@@ -1,0 +1,114 @@
+"""Device-ready genome index (L2).
+
+Replaces the reference's trio of index artifacts — ``.sa`` suffix array with
+prefix lookup table (SuffixArray.h:193,505), ``.bwt`` FM-index (BWT.h) and
+``.ctab`` k-mer counts (TupleCountTable.h) — with one bundle designed for
+TPU HBM residency:
+
+  * ``genome``    uint8 [G]    codes 0..4 (N=4), concatenated contigs
+  * ``sa``        int32/int64 [G]  suffix array over the N->A projected genome
+  * ``sa_kmers``  int32 [G]    packed k-mer (k = min_match_length) starting at
+                               each suffix, in SA order — an ascending array,
+                               so anchoring = pure binary search over it
+                               (this plays the role of both the prefix lookup
+                               table and the tuple count table: interval width
+                               IS the genome-wide k-mer frequency)
+  * ``pos_ok``    bool  [G]    genome position t can seed an anchor (window
+                               [t, t+k) has no N and stays inside one contig)
+
+All positions are 64-bit on disk; cast to int32 for the device when G < 2^31.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from blasr_tpu.core.encode import pack_kmers
+from blasr_tpu.index.suffix_array import build_suffix_array
+from blasr_tpu.io.seqdb import SeqDB, load_genome
+
+INDEX_SUFFIX = ".btidx.npz"
+INDEX_VERSION = 1
+
+
+@dataclasses.dataclass
+class GenomeIndex:
+    genome: np.ndarray     # uint8 [G]
+    sa: np.ndarray         # int [G]
+    sa_kmers: np.ndarray   # int32 [G], ascending
+    pos_ok: np.ndarray     # bool [G]
+    k: int                 # k-mer length of sa_kmers
+    seqdb: SeqDB
+
+    @property
+    def genome_length(self) -> int:
+        return int(self.genome.shape[0])
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            version=np.int64(INDEX_VERSION),
+            genome=self.genome,
+            sa=self.sa.astype(np.int64),
+            sa_kmers=self.sa_kmers,
+            pos_ok=self.pos_ok,
+            k=np.int64(self.k),
+            names=np.asarray(self.seqdb.names, dtype=object),
+            starts=self.seqdb.starts,
+            md5s=np.asarray(self.seqdb.md5s, dtype=object),
+        )
+
+    @staticmethod
+    def load(path: str) -> "GenomeIndex":
+        z = np.load(path, allow_pickle=True)
+        seqdb = SeqDB(list(z["names"]), z["starts"], list(z["md5s"]))
+        sa = z["sa"]
+        if len(sa) < 2**31:
+            sa = sa.astype(np.int32)
+        return GenomeIndex(z["genome"], sa, z["sa_kmers"], z["pos_ok"], int(z["k"]), seqdb)
+
+
+def build_index_from_arrays(genome: np.ndarray, seqdb: SeqDB, k: int) -> GenomeIndex:
+    """Build the index from an in-memory concatenated genome."""
+    g = int(len(genome))
+    # SA over the N->A projection so that 2-bit packed keys are SA-ordered.
+    proj = (genome & 3).astype(np.uint8)
+    sa = build_suffix_array(proj)
+    keys, valid = pack_kmers(genome, k)  # valid == no-N window fully inside
+    sa_kmers = keys[sa].astype(np.int32)
+    # contig-boundary crossing: window [t, t+k) must stay inside one contig
+    pos_ok = valid.copy()
+    for s in seqdb.starts[1:-1]:
+        lo = max(0, int(s) - (k - 1))
+        pos_ok[lo : int(s)] = False
+    if len(sa) < 2**31:
+        sa = sa.astype(np.int32)
+    return GenomeIndex(genome.astype(np.uint8), sa, sa_kmers, pos_ok, k, seqdb)
+
+
+def build_index(genome_path: str, k: int = 14) -> GenomeIndex:
+    genome, seqdb = load_genome(genome_path)
+    return build_index_from_arrays(genome, seqdb, k)
+
+
+def load_index(genome_path: str, k: int = 14, cache: bool = True) -> GenomeIndex:
+    """Load (or build and cache) the index for a genome FASTA.
+
+    Mirrors the reference's index auto-discovery (Blasr.cpp:4375-4449:
+    use genome.bwt if present, else genome.sa, else build on the fly).
+    """
+    idx_path = genome_path + INDEX_SUFFIX
+    if cache and os.path.exists(idx_path) and os.path.getmtime(idx_path) >= os.path.getmtime(genome_path):
+        idx = GenomeIndex.load(idx_path)
+        if idx.k == k:
+            return idx
+    idx = build_index(genome_path, k=k)
+    if cache:
+        try:
+            idx.save(idx_path)
+        except OSError:
+            pass
+    return idx

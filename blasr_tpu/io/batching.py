@@ -1,0 +1,137 @@
+"""Read batching: ragged host reads -> fixed-shape device batches (L1).
+
+Role of reference ``common/files/ReaderAgglomerate.h`` (:21-399 — the
+format-dispatching shared reader that feeds one read at a time to each
+pthread). The TPU design replaces the semaphore-guarded single-read stream
+with length-bucketed, padded (B, L) uint8 batches: all irregularity is
+resolved on the host so the device only ever sees static shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from blasr_tpu.core.encode import CODE_N
+from blasr_tpu.io.fasta import read_fasta
+from blasr_tpu.io.fastq import read_fastq
+
+
+@dataclasses.dataclass
+class Read:
+    name: str
+    codes: np.ndarray            # uint8 [n]
+    qual: Optional[np.ndarray] = None  # uint8 [n] phred, or None (FASTA)
+    index: int = -1              # position in the input stream
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+
+@dataclasses.dataclass
+class ReadBatch:
+    """A padded batch of reads.
+
+    codes: uint8 [B, L] padded with CODE_N
+    lengths: int32 [B]
+    names: list[str] length B (padding rows get name "")
+    indices: int32 [B] original stream indices (-1 for padding rows)
+    qual: optional uint8 [B, L]
+    """
+
+    codes: np.ndarray
+    lengths: np.ndarray
+    names: list[str]
+    indices: np.ndarray
+    qual: Optional[np.ndarray] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.codes.shape[1]
+
+
+def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
+    """Load reads from FASTA/FASTQ, dispatching on extension like the
+    reference BaseSequenceIO (common/files/BaseSequenceIO.h)."""
+    if fmt is None:
+        low = path.lower()
+        if low.endswith((".fq", ".fastq")):
+            fmt = "fastq"
+        elif low.endswith((".fa", ".fasta", ".fsta", ".fna")):
+            fmt = "fasta"
+        else:
+            # sniff first byte
+            with open(path, "rb") as f:
+                first = f.read(1)
+            fmt = "fastq" if first == b"@" else "fasta"
+    if fmt == "fastq":
+        return [
+            Read(name, codes, qual, i)
+            for i, (name, codes, qual) in enumerate(read_fastq(path))
+        ]
+    return [Read(name, codes, None, i) for i, (name, codes) in enumerate(read_fasta(path))]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def batch_reads(
+    reads: Sequence[Read],
+    batch_size: int,
+    max_read_len: int,
+    length_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192),
+    subsample: float = 1.0,
+    stride: int = 1,
+    start: int = 0,
+    seed: int = 0,
+) -> Iterator[ReadBatch]:
+    """Bucket reads by length and yield padded batches.
+
+    Reads longer than max_read_len are truncated (the long-read piecewise
+    path handles them separately in later rounds). ``stride``/``start``/
+    ``subsample`` mirror the reference's process-level input sharding flags
+    (-stride/-start/-subsample, ReaderAgglomerate.h:81-95).
+    """
+    rng = np.random.default_rng(seed)
+    chosen = [
+        r
+        for i, r in enumerate(reads)
+        if i >= start and (i - start) % stride == 0
+        and (subsample >= 1.0 or rng.random() < subsample)
+    ]
+    buckets: dict[int, list[Read]] = {}
+    caps = sorted(set(min(b, max_read_len) for b in length_buckets if b > 0))
+    if not caps or caps[-1] < max_read_len:
+        caps.append(max_read_len)
+    for r in chosen:
+        n = min(len(r), max_read_len)
+        cap = next(c for c in caps if n <= c)
+        buckets.setdefault(cap, []).append(r)
+
+    for cap in sorted(buckets):
+        group = buckets[cap]
+        has_qual = any(r.qual is not None for r in group)
+        for ofs in range(0, len(group), batch_size):
+            chunk = group[ofs : ofs + batch_size]
+            b = len(chunk)
+            codes = np.full((batch_size, cap), CODE_N, dtype=np.uint8)
+            lengths = np.zeros(batch_size, dtype=np.int32)
+            indices = np.full(batch_size, -1, dtype=np.int32)
+            names = [""] * batch_size
+            qual = np.zeros((batch_size, cap), dtype=np.uint8) if has_qual else None
+            for j, r in enumerate(chunk):
+                n = min(len(r), cap)
+                codes[j, :n] = r.codes[:n]
+                lengths[j] = n
+                indices[j] = r.index
+                names[j] = r.name
+                if qual is not None and r.qual is not None:
+                    qual[j, :n] = r.qual[:n]
+            yield ReadBatch(codes, lengths, names, indices, qual)

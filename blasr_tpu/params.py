@@ -1,0 +1,75 @@
+"""Mapping parameters.
+
+Mirrors the *semantics* of the reference parameter bag
+(``alignment/MappingParameters.h`` in mchaisso/blasr: ``Init()`` defaults at
+MappingParameters.h:192-361, ``MakeSane()`` normalization at :367-545) over a
+frozen dataclass, plus the TPU-specific static shape bounds that the batched
+device pipeline needs (band width, anchors cap, candidates cap, ...).
+
+Scoring convention follows the reference: scores are *minimized*; match is
+negative, mismatch/gap positive (SMRTDistanceMatrix in
+``common/algorithms/alignment/ScoreMatrices.h:20-26``: match -5, mismatch +6,
+vs-N 0; indel 5; affine open 50 / extend 0 at MappingParameters.h:338-340).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingParams:
+    # ---- seeding / anchoring (reference: AnchorParameters) ----
+    min_match_length: int = 14        # -minMatch (ref default 14)
+    max_anchors_per_position: int = 8  # -maxAnchorsPerPosition (shape bound)
+    # ---- candidate interval selection ----
+    n_candidates: int = 6             # -nCandidates (ref default 10)
+    best_n: int = 1                   # -bestn (ref default 10; 1 = primary)
+    indel_rate: float = 0.3           # -indelRate
+    # ---- scoring (minimization; SMRT defaults) ----
+    match_score: int = -5
+    mismatch_score: int = 6
+    insertion_score: int = 5          # gap in target (extra read base), -indel
+    deletion_score: int = 5           # gap in read (missing read base)
+    affine_open: int = 50             # -affineOpen
+    affine_extend: int = 0            # -affineExtend
+    max_score: int = -200             # -maxScore: report only score <= this
+    min_pct_similarity: float = 0.0   # -minPctIdentity
+    min_align_length: int = 0         # -minAlnLength
+    # ---- TPU shape bounds (static; chosen per batch bucket) ----
+    max_read_len: int = 2048          # padded query length L
+    band_width: int = 128             # DP band (lane dim multiple of 128)
+    target_pad: int = 256             # extra target window beyond read length
+    max_anchors_per_read: int = 512   # A: anchors kept per read-strand
+    diag_bucket_log2: int = 8         # diagonal bin width = 256
+    batch_size: int = 64              # reads per device batch
+    # ---- misc ----
+    sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
+    nproc: int = 1                    # host worker threads for IO/traceback
+    scale_map_qv_by_align_length: bool = False
+
+    @property
+    def num_dp_steps(self) -> int:
+        """Anti-diagonal count for the banded wavefront DP."""
+        return self.max_read_len + self.target_len
+
+    @property
+    def target_len(self) -> int:
+        """Padded target window length T."""
+        return self.max_read_len + self.target_pad
+
+    def with_read_len(self, max_read_len: int) -> "MappingParams":
+        return dataclasses.replace(self, max_read_len=max_read_len)
+
+    def validate(self) -> None:
+        if self.band_width % 128 != 0:
+            raise ValueError("band_width must be a multiple of 128 (TPU lanes)")
+        if not (1 <= self.min_match_length <= 15):
+            # packed k-mer codes must fit in int32 (2k <= 30 bits)
+            raise ValueError("min_match_length must be in [1, 15]")
+        if self.best_n > self.n_candidates:
+            raise ValueError("best_n must be <= n_candidates")
+
+
+DEFAULT_PARAMS = MappingParams()

@@ -1,0 +1,51 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from blasr_tpu.core.encode import seq_to_codes  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+def random_genome(rng, n, seed_offset=0):
+    return rng.integers(0, 4, size=n).astype(np.uint8)
+
+
+def mutate_read(rng, genome, start, length, sub=0.05, ins=0.06, dele=0.04):
+    """Sample a PacBio-like noisy read from genome[start:start+length]."""
+    out = []
+    i = start
+    end = min(start + length, len(genome))
+    while i < end:
+        r = rng.random()
+        if r < ins:
+            out.append(rng.integers(0, 4))
+        elif r < ins + dele:
+            i += 1
+        elif r < ins + dele + sub:
+            out.append((genome[i] + 1 + rng.integers(0, 3)) % 4)
+            i += 1
+        else:
+            out.append(genome[i])
+            i += 1
+    return np.asarray(out, dtype=np.uint8)
+
+
+@pytest.fixture(scope="session")
+def small_genome(rng):
+    return random_genome(rng, 20000)

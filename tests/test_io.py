@@ -1,0 +1,66 @@
+import numpy as np
+
+from blasr_tpu.core.encode import codes_to_seq, seq_to_codes
+from blasr_tpu.io.batching import Read, batch_reads, read_records
+from blasr_tpu.io.fasta import read_fasta, write_fasta
+from blasr_tpu.io.fastq import read_fastq, write_fastq
+from blasr_tpu.io.seqdb import load_genome
+
+
+def test_fasta_roundtrip(tmp_path):
+    recs = [("chr1", seq_to_codes("ACGTACGTAC")), ("chr2 extra", seq_to_codes("GGGGCCCC"))]
+    p = str(tmp_path / "t.fasta")
+    write_fasta(p, recs, width=4)
+    out = read_fasta(p)
+    assert out[0][0] == "chr1"
+    assert codes_to_seq(out[0][1]) == "ACGTACGTAC"
+    assert out[1][0] == "chr2"  # name = first token
+    assert codes_to_seq(out[1][1]) == "GGGGCCCC"
+
+
+def test_fastq_roundtrip(tmp_path):
+    qual = np.array([10, 20, 30, 40], dtype=np.uint8)
+    recs = [("r1", seq_to_codes("ACGT"), qual)]
+    p = str(tmp_path / "t.fastq")
+    write_fastq(p, recs)
+    out = read_fastq(p)
+    assert out[0][0] == "r1"
+    assert codes_to_seq(out[0][1]) == "ACGT"
+    assert np.array_equal(out[0][2], qual)
+
+
+def test_load_genome_concat(tmp_path):
+    recs = [("a", seq_to_codes("ACGT")), ("b", seq_to_codes("TTTT"))]
+    p = str(tmp_path / "g.fasta")
+    write_fasta(p, recs)
+    genome, seqdb = load_genome(p)
+    assert len(genome) == 8
+    assert seqdb.names == ["a", "b"]
+    assert seqdb.starts.tolist() == [0, 4, 8]
+    c, off = seqdb.to_local(np.array([0, 3, 4, 7]))
+    assert c.tolist() == [0, 0, 1, 1]
+    assert off.tolist() == [0, 3, 0, 3]
+
+
+def test_batching_pads_and_buckets():
+    rng = np.random.default_rng(0)
+    reads = [
+        Read(f"r{i}", rng.integers(0, 4, size=n).astype(np.uint8), None, i)
+        for i, n in enumerate([100, 120, 500, 900, 2000])
+    ]
+    batches = list(batch_reads(reads, batch_size=4, max_read_len=2048,
+                               length_buckets=(256, 1024, 2048)))
+    # bucket caps: 256 (r0,r1), 1024 (r2,r3), 2048 (r4)
+    assert len(batches) == 3
+    b0 = batches[0]
+    assert b0.max_len == 256 and b0.lengths[:2].tolist() == [100, 120]
+    assert b0.indices.tolist() == [0, 1, -1, -1]
+    # padding uses CODE_N = 4
+    assert b0.codes[0, 100] == 4
+
+
+def test_read_records_dispatch(tmp_path):
+    p = str(tmp_path / "r.fq")
+    write_fastq(p, [("x", seq_to_codes("AC"), np.array([1, 2], dtype=np.uint8))])
+    recs = read_records(p)
+    assert recs[0].qual is not None
