@@ -1,0 +1,111 @@
+"""Batched anchor search on device (L3).
+
+Role of reference ``common/algorithms/anchoring/MapBySuffixArray.h``
+(:25-212 LocateAnchorBoundsInSuffixArray + :215-310 MapReadToGenome): for
+every read position find the suffix-array interval of genome positions whose
+suffix starts with the read's k-mer, then expand intervals into anchors.
+
+TPU re-design: because the index stores the packed k-mer key of every suffix
+in SA order (an ascending int32 array, see index/artifacts.py), the
+per-position search collapses to two vectorized binary searches
+(``jnp.searchsorted``) over that array — no character-by-character LCP
+walk, no divergent control flow. Interval width doubles as the genome-wide
+k-mer frequency (the reference's TupleCountTable role) for anchor weighting.
+
+Anchor compaction uses a single ``lax.top_k`` with a priority that prefers
+low-frequency (unique) anchors and guarantees coverage across the read via a
+stride bonus, replacing the reference's maxAnchorsPerPosition/advance
+heuristics with a fixed-shape selection.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_query_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
+    """Pack the k-mer starting at every read position.
+
+    codes: (B, L) uint8 with values 0..4 (4 = N/pad)
+    lengths: (B,) int32
+    Returns (B, L) int32 keys; -1 where the window is invalid (contains N
+    or runs past the read end), which makes searchsorted return an empty
+    interval.
+    """
+    B, L = codes.shape
+    ext = jnp.pad(codes.astype(jnp.int32), ((0, 0), (0, k)), constant_values=4)
+    acc = jnp.zeros((B, L), jnp.int32)
+    bad = jnp.zeros((B, L), bool)
+    for j in range(k):
+        w = jax.lax.dynamic_slice_in_dim(ext, j, L, axis=1)
+        acc = (acc << 2) | (w & 3)
+        bad = bad | (w >= 4)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    bad = bad | (pos + k > lengths[:, None])
+    return jnp.where(bad, jnp.int32(-1), acc)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "max_hits_per_pos", "max_anchors_per_read")
+)
+def find_anchors(
+    codes: jax.Array,        # (B, L) uint8
+    lengths: jax.Array,      # (B,) int32
+    sa: jax.Array,           # (G,) int32/int64 suffix array
+    sa_kmers: jax.Array,     # (G,) int32 ascending packed k-mers in SA order
+    pos_ok: jax.Array,       # (G,) bool
+    *,
+    k: int,
+    max_hits_per_pos: int = 8,
+    max_anchors_per_read: int = 512,
+):
+    """Find up to A anchors per read.
+
+    Returns (t, q, nhits, valid):
+      t      (B, A) int32  genome position of anchor start (global coords)
+      q      (B, A) int32  read position of anchor start
+      nhits  (B, A) int32  genome-wide frequency of the anchor k-mer
+      valid  (B, A) bool
+    """
+    B, L = codes.shape
+    G = sa.shape[0]
+    KH = max_hits_per_pos
+    A = max_anchors_per_read
+
+    qk = pack_query_kmers(codes, lengths, k)                      # (B, L)
+    lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
+    hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
+    nh = (hi - lo).astype(jnp.int32)                              # (B, L)
+    pos_has = (qk >= 0) & (nh > 0) & (nh <= KH)
+
+    offs = jnp.arange(KH, dtype=jnp.int32)
+    idx = lo[..., None].astype(jnp.int32) + offs[None, None, :]   # (B, L, KH)
+    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None])
+    idx = jnp.clip(idx, 0, G - 1)
+    t = sa[idx].astype(jnp.int32)                                 # (B, L, KH)
+    hit_ok = hit_ok & pos_ok[jnp.clip(t, 0, G - 1)]
+
+    q = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, KH)
+    )
+    # Priority: valid first; unique (low-frequency) anchors preferred;
+    # a stride bonus guarantees anchors spread across the whole read even
+    # when there are more unique anchors than slots.
+    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
+    base = jnp.int32(1 << 20)
+    prio = base - nh[..., None] * 16
+    prio = prio + jnp.where(q % stride == 0, base // 2, 0)
+    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
+
+    flat_prio = prio.reshape(B, L * KH)
+    vals, sel = jax.lax.top_k(flat_prio, A)                       # (B, A)
+    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
+    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
+    anh = jnp.take_along_axis(
+        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
+    )
+    avalid = vals > 0  # vals==-1 marks invalid; any real anchor has prio > 0
+    return at, aq, jnp.maximum(anh, 1), avalid
