@@ -1,0 +1,204 @@
+"""Banded affine-gap local alignment as a wavefront over anti-diagonals (L4).
+
+Role of reference ``common/algorithms/alignment/KBandAlign.h`` /
+``GuidedAlign.h`` / ``AffineKBandAlign.h`` (row-by-row banded DP with an
+in-row sequential gap recurrence) — re-designed for TPU as an
+**anti-diagonal wavefront**: every cell of anti-diagonal ``a = q + t``
+depends only on anti-diagonals ``a-1`` and ``a-2``, so the whole band
+(width W, mapped to the 128-lane dim) updates as pure element-wise vector
+ops, batched over items on the sublane dim. One ``lax.scan`` over
+``S = L + T - 1`` steps replaces the irregular per-read DP loop.
+
+Scoring matches the reference's SMRT model (ScoreMatrices.h:20-26 +
+MappingParameters.h:202,338-340): minimization, match<0, mismatch>0,
+linear indels, PLUS an affine gap pair (open+extend) that undercuts the
+linear path for long gaps — both paths coexist exactly as in
+AffineKBandAlign's three-matrix design. Local alignment is expressed as a
+0-clamp (H = min(..., 0)) which subsumes all boundary initialisation.
+
+Band placement: the band is centred on the candidate diagonal. Cell
+``(a, w)`` is ``q = qoff[a] + w``, ``t = a - q`` (t in local target-window
+coords). ``qoff`` is a static per-step offset array shared by all items
+(the candidate diagonal is normalised into the target window by the
+caller), so per-step band shifts are scalar selects, not gathers.
+
+Traceback is *stored, not walked*, on device: a packed arrow byte per cell
+(3 bits H-source, 1 bit E-extend, 1 bit F-extend) streams out per step;
+the host replays the path (pipeline/traceback.py), mirroring the
+reference's split between DP and path recovery.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INF = np.int32(2**30)
+
+# H-source codes stored in the arrow byte (priority order on ties)
+SRC_DIAG, SRC_UP, SRC_LEFT, SRC_E, SRC_F, SRC_STOP = 0, 1, 2, 3, 4, 5
+SRC_DIAG_START = 6  # diagonal move from a fresh (empty) local start
+
+
+class AlignScores(NamedTuple):
+    match: int = -5
+    mismatch: int = 6
+    n_score: int = 0        # vs-N column of the SMRT matrix
+    insertion: int = 5      # consume query (read insertion)
+    deletion: int = 5       # consume target (read deletion)
+    affine_open: int = 50
+    affine_extend: int = 0
+
+
+class BandedResult(NamedTuple):
+    score: jax.Array    # (I,) int32 best local score (<= 0)
+    best_a: jax.Array   # (I,) int32 anti-diagonal of alignment end cell
+    best_w: jax.Array   # (I,) int32 band coord of alignment end cell
+    arrows: Optional[jax.Array]  # (S, I, W) uint8 or None
+
+
+def make_qoff(L: int, T: int, W: int, diag: int) -> np.ndarray:
+    """Static band offsets: centre the band on local diagonal ``diag``.
+
+    Returns int32 [S] with qoff[a+1] - qoff[a] in {0, 1}.
+    """
+    S = L + T - 1
+    a = np.arange(S, dtype=np.int64)
+    centre_q = (a - diag) // 2
+    qoff = np.clip(centre_q - W // 2, 0, max(0, L - W)).astype(np.int32)
+    return qoff
+
+
+@functools.partial(jax.jit, static_argnames=("scores", "with_traceback", "band_width"))
+def banded_align(
+    query: jax.Array,    # (I, L) uint8 codes 0..4
+    qlen: jax.Array,     # (I,) int32
+    target: jax.Array,   # (I, T) uint8 codes 0..5 (5 = out-of-window sentinel)
+    tlo: jax.Array,      # (I,) int32 valid target range start (local coords)
+    thi: jax.Array,      # (I,) int32 valid target range end (local coords)
+    qoff: jax.Array,     # (S,) int32 static band offsets (see make_qoff)
+    *,
+    scores: AlignScores = AlignScores(),
+    with_traceback: bool = False,
+    band_width: int = 128,
+) -> BandedResult:
+    I, L = query.shape
+    T = target.shape[1]
+    S = int(qoff.shape[0])
+    assert S == L + T - 1
+    W = band_width
+
+    inf = jnp.int32(INF)
+    qext = jnp.pad(query, ((0, 0), (0, W)), constant_values=4).astype(jnp.int8)
+    # reversed padded target: trev[:, j] = tpad[:, Tp-1-j]; see offset math below
+    tpad = jnp.pad(target, ((0, 0), (W, W)), constant_values=5).astype(jnp.int8)
+    trev = tpad[:, ::-1]
+    Tp = T + 2 * W
+
+    s1_arr = jnp.diff(qoff, prepend=qoff[:1])          # (S,) 0/1, s1[0] = 0
+    s2_arr = jnp.concatenate([jnp.zeros(1, jnp.int32), s1_arr[:-1]])
+    a_arr = jnp.arange(S, dtype=jnp.int32)
+
+    w_ar = jnp.arange(W, dtype=jnp.int32)[None, :]     # (1, W)
+    qlen_c = qlen[:, None]
+    tlo_c = tlo[:, None]
+    thi_c = thi[:, None]
+
+    m_sc = jnp.int32(scores.match)
+    x_sc = jnp.int32(scores.mismatch)
+    n_sc = jnp.int32(scores.n_score)
+    ins_sc = jnp.int32(scores.insertion)
+    del_sc = jnp.int32(scores.deletion)
+    go = jnp.int32(scores.affine_open)
+    ge = jnp.int32(scores.affine_extend)
+
+    def shift(x, dlt):
+        """Value at band index w + dlt (dlt traced scalar in {-1, 0, 1})."""
+        xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=INF)
+        return jax.lax.dynamic_slice_in_dim(xp, 1 + dlt, W, axis=1)
+
+    def step(carry, xs):
+        H1, H2, E1, F1, best, besta, bestw = carry
+        a, qo, s1, s2 = xs
+
+        qwin = jax.lax.dynamic_slice_in_dim(qext, qo, W, axis=1)
+        # t = a - qo - w  ->  trev index = (Tp - 1 - W) - (a - qo) + w
+        tstart = (Tp - 1 - W) - (a - qo)
+        twin = jax.lax.dynamic_slice_in_dim(trev, tstart, W, axis=1)
+
+        q_pos = qo + w_ar                               # (1->I, W)
+        t_pos = a - q_pos
+        valid = (q_pos < qlen_c) & (t_pos >= tlo_c) & (t_pos < thi_c) & (t_pos >= 0)
+
+        eq = (qwin == twin) & (qwin < 4)
+        anyn = (qwin >= 4) | (twin >= 4)
+        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_sc))
+
+        H1_up = shift(H1, s1 - 1)
+        H1_left = shift(H1, s1)
+        E1_left = shift(E1, s1)
+        F1_up = shift(F1, s1 - 1)
+        H2_diag = shift(H2, s1 + s2 - 1)
+
+        e_open = H1_left + go
+        E_new = jnp.minimum(E1_left, e_open) + ge
+        ebit = (E1_left <= e_open).astype(jnp.int32)
+        f_open = H1_up + go
+        F_new = jnp.minimum(F1_up, f_open) + ge
+        fbit = (F1_up <= f_open).astype(jnp.int32)
+
+        # The diagonal predecessor may be an empty local start (score 0):
+        # this is the local-alignment boundary condition, uniform across the
+        # whole band. A fresh start gets its own source code so traceback
+        # terminates after emitting the first M.
+        diag_fresh = H2_diag > 0  # INF marks out-of-band/masked predecessors
+        h = jnp.minimum(H2_diag, 0) + sub
+        src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
+        for val, code in (
+            (H1_up + ins_sc, SRC_UP),
+            (H1_left + del_sc, SRC_LEFT),
+            (E_new, SRC_E),
+            (F_new, SRC_F),
+        ):
+            take = val < h
+            h = jnp.minimum(h, val)
+            src = jnp.where(take, code, src)
+        # empty alignment wins all ties at 0 (trims zero-sum prefixes)
+        take_stop = h >= 0
+        h = jnp.minimum(h, 0)
+        src = jnp.where(take_stop, SRC_STOP, src)
+
+        H_new = jnp.where(valid, h, inf)
+        E_new = jnp.where(valid, E_new, inf)
+        F_new = jnp.where(valid, F_new, inf)
+        src = jnp.where(valid, src, SRC_STOP)
+
+        row_min = jnp.min(H_new, axis=1)
+        row_arg = jnp.argmin(H_new, axis=1).astype(jnp.int32)
+        better = row_min < best
+        best = jnp.minimum(best, row_min)
+        besta = jnp.where(better, a, besta)
+        bestw = jnp.where(better, row_arg, bestw)
+
+        out = None
+        if with_traceback:
+            out = (src | (ebit << 3) | (fbit << 4)).astype(jnp.uint8)
+        return (H_new, H1, E_new, F_new, best, besta, bestw), out
+
+    init = (
+        jnp.full((I, W), INF, jnp.int32),
+        jnp.full((I, W), INF, jnp.int32),
+        jnp.full((I, W), INF, jnp.int32),
+        jnp.full((I, W), INF, jnp.int32),
+        jnp.zeros(I, jnp.int32),
+        jnp.zeros(I, jnp.int32),
+        jnp.zeros(I, jnp.int32),
+    )
+    xs = (a_arr, qoff, s1_arr, s2_arr)
+    carry, arrows = jax.lax.scan(step, init, xs)
+    _, _, _, _, best, besta, bestw = carry
+    return BandedResult(best, besta, bestw, arrows)

@@ -1,0 +1,187 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M, walk_traceback
+
+SC = AlignScores()
+BIG = 10**9
+
+
+def oracle_local_affine(q, t, sc: AlignScores):
+    """Unbanded local min-score affine DP with identical semantics."""
+    L, T = len(q), len(t)
+    H = np.zeros((L + 1, T + 1), np.int64)
+    E = np.full((L + 1, T + 1), BIG, np.int64)
+    F = np.full((L + 1, T + 1), BIG, np.int64)
+    best = 0
+    for i in range(1, L + 1):
+        for j in range(1, T + 1):
+            E[i][j] = min(E[i][j - 1], H[i][j - 1] + sc.affine_open) + sc.affine_extend
+            F[i][j] = min(F[i - 1][j], H[i - 1][j] + sc.affine_open) + sc.affine_extend
+            qc, tc = q[i - 1], t[j - 1]
+            if qc == tc and qc < 4:
+                sub = sc.match
+            elif qc >= 4 or tc >= 4:
+                sub = sc.n_score
+            else:
+                sub = sc.mismatch
+            h = min(
+                H[i - 1][j - 1] + sub,
+                H[i - 1][j] + sc.insertion,
+                H[i][j - 1] + sc.deletion,
+                E[i][j],
+                F[i][j],
+                0,
+            )
+            H[i][j] = h
+            best = min(best, h)
+    return best
+
+
+def gap_cost(r, lin, sc: AlignScores):
+    return min(r * lin, sc.affine_open + r * sc.affine_extend)
+
+
+def replay_score(path, q, t, sc: AlignScores):
+    """Recompute path score: subs + optimal per-run gap decomposition."""
+    score = 0
+    qp, tp = path.q_start, path.t_start
+    i = 0
+    ops = path.ops
+    n = len(ops)
+    while i < n:
+        op = ops[i]
+        j = i
+        while j < n and ops[j] == op:
+            j += 1
+        run = j - i
+        if op == OP_M:
+            for _ in range(run):
+                qc, tc = q[qp], t[tp]
+                if qc == tc and qc < 4:
+                    score += sc.match
+                elif qc >= 4 or tc >= 4:
+                    score += sc.n_score
+                else:
+                    score += sc.mismatch
+                qp += 1
+                tp += 1
+        elif op == OP_I:
+            score += gap_cost(run, sc.insertion, sc)
+            qp += run
+        else:
+            score += gap_cost(run, sc.deletion, sc)
+            tp += run
+        i = j
+    assert qp == path.q_end and tp == path.t_end
+    return score
+
+
+def run_kernel(qs, ts, with_traceback=True):
+    I = len(qs)
+    L = max(len(x) for x in qs)
+    T = max(len(x) for x in ts)
+    Q = np.full((I, L), 4, np.uint8)
+    Tc = np.full((I, T), 5, np.uint8)
+    qlen = np.zeros(I, np.int32)
+    thi = np.zeros(I, np.int32)
+    for i, (a, b) in enumerate(zip(qs, ts)):
+        Q[i, : len(a)] = a
+        Tc[i, : len(b)] = b
+        qlen[i] = len(a)
+        thi[i] = len(b)
+    diag = (T - L) // 2
+    qoff = make_qoff(L, T, 128, diag)
+    res = banded_align(
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.asarray(thi), jnp.asarray(qoff),
+        scores=SC, with_traceback=with_traceback,
+    )
+    return Q, Tc, qoff, res
+
+
+def test_banded_matches_oracle_small_random(rng):
+    # L,T small enough that the 128-band covers the full matrix -> exact
+    qs, ts = [], []
+    for i in range(16):
+        L = int(rng.integers(10, 60))
+        T = int(rng.integers(10, 70))
+        qs.append(rng.integers(0, 4, L).astype(np.uint8))
+        ts.append(rng.integers(0, 4, T).astype(np.uint8))
+    # plant some real homology in half the pairs
+    for i in range(0, 16, 2):
+        n = min(len(qs[i]), len(ts[i]), 30)
+        ts[i][:n] = qs[i][:n]
+    Q, Tc, qoff, res = run_kernel(qs, ts)
+    scores = np.asarray(res.score)
+    for i in range(16):
+        want = oracle_local_affine(qs[i], ts[i], SC)
+        assert scores[i] == want, f"item {i}: kernel {scores[i]} oracle {want}"
+
+
+def test_traceback_consistent(rng):
+    qs, ts = [], []
+    for i in range(8):
+        L = int(rng.integers(30, 80))
+        base = rng.integers(0, 4, 120).astype(np.uint8)
+        # query = noisy copy of a slice of target
+        q = []
+        for c in base[20 : 20 + L]:
+            r = rng.random()
+            if r < 0.08:
+                q.append(int(rng.integers(0, 4)))  # sub / ins
+                if rng.random() < 0.5:
+                    q.append(int(c))
+            elif r < 0.14:
+                continue  # deletion
+            else:
+                q.append(int(c))
+        qs.append(np.asarray(q, np.uint8))
+        ts.append(base)
+    Q, Tc, qoff, res = run_kernel(qs, ts)
+    scores = np.asarray(res.score)
+    paths = walk_traceback(
+        np.asarray(res.arrows), np.asarray(qoff),
+        np.asarray(res.best_a), np.asarray(res.best_w), scores, Q, Tc,
+    )
+    for i, p in enumerate(paths):
+        assert p is not None
+        assert 0 <= p.q_start <= p.q_end <= len(qs[i])
+        assert 0 <= p.t_start <= p.t_end <= len(ts[i])
+        got = replay_score(p, Q[i], Tc[i], SC)
+        assert got == scores[i], f"item {i}: replay {got} vs kernel {scores[i]}"
+        # most of the query should be aligned
+        assert p.q_end - p.q_start >= 0.8 * len(qs[i])
+        # stats add up
+        assert p.n_match + p.n_mismatch == int(np.count_nonzero(p.ops == OP_M))
+        assert p.n_ins == int(np.count_nonzero(p.ops == OP_I))
+        assert p.n_del == int(np.count_nonzero(p.ops == OP_D))
+
+
+def test_perfect_match_score():
+    q = np.array([0, 1, 2, 3] * 10, np.uint8)
+    t = np.concatenate([np.full(7, 2, np.uint8), q, np.full(9, 1, np.uint8)])
+    Q, Tc, qoff, res = run_kernel([q], [t])
+    assert int(res.score[0]) == SC.match * 40
+    paths = walk_traceback(
+        np.asarray(res.arrows), np.asarray(qoff),
+        np.asarray(res.best_a), np.asarray(res.best_w), np.asarray(res.score), Q, Tc,
+    )
+    p = paths[0]
+    assert (p.q_start, p.q_end) == (0, 40)
+    assert (p.t_start, p.t_end) == (7, 47)
+    assert p.n_match == 40 and p.n_mismatch == 0 and p.n_ins == 0 and p.n_del == 0
+
+
+def test_no_alignment_when_dissimilar(rng):
+    q = np.zeros(30, np.uint8)          # AAAA...
+    t = np.full(40, 1, np.uint8)        # CCCC...
+    Q, Tc, qoff, res = run_kernel([q], [t])
+    assert int(res.score[0]) == 0
+    paths = walk_traceback(
+        np.asarray(res.arrows), np.asarray(qoff),
+        np.asarray(res.best_a), np.asarray(res.best_w), np.asarray(res.score), Q, Tc,
+    )
+    assert paths[0] is None
