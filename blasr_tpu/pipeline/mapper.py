@@ -1,0 +1,241 @@
+"""Per-batch mapping step on device (L5).
+
+Role of reference ``MapRead`` (Blasr.cpp:2246-2644) + ``AlignIntervals``
+(:1152-1965): anchor -> candidate intervals -> align -> select best ->
+MAPQ. Re-designed as ONE jitted program over a padded read batch:
+
+  1. reverse-complement rows appended -> (2B, L) strand-expanded batch
+  2. batched SA anchor search                      (ops/anchors.py)
+  3. diagonal-window candidate selection, C/strand (ops/candidates.py)
+  4. score-only wavefront banded DP over all 2B*C candidate windows
+  5. top-best_n selection per read across strands/candidates (lax.top_k)
+  6. traceback-mode DP re-run on the B*best_n winners (arrows -> HBM)
+  7. MAPQ over the full candidate score set         (ops/mapqv.py)
+
+The host then walks the arrows (pipeline/traceback.py) and formats output.
+Static shapes everywhere; one compilation per (B, L) length bucket.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.ops.anchors import find_anchors
+from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+from blasr_tpu.ops.candidates import select_candidates
+from blasr_tpu.ops.mapqv import map_qv
+from blasr_tpu.params import MappingParams
+
+
+class DeviceIndex(NamedTuple):
+    """Genome index resident in device HBM."""
+
+    genome_pad: jax.Array   # (G + 2*pad,) uint8; out-of-genome = 5 sentinel
+    sa: jax.Array           # (G,) int32
+    sa_kmers: jax.Array     # (G,) int32 ascending
+    pos_ok: jax.Array       # (G,) bool
+    starts: jax.Array       # (C+1,) int32 contig start positions
+    pad: int                # static padding amount
+    k: int                  # anchor k-mer length
+    genome_len: int
+
+
+def make_device_index(idx: GenomeIndex, params: MappingParams) -> DeviceIndex:
+    pad = params.max_read_len + params.target_len
+    gp = np.full(idx.genome_length + 2 * pad, 5, dtype=np.uint8)
+    gp[pad : pad + idx.genome_length] = idx.genome
+    return DeviceIndex(
+        genome_pad=jnp.asarray(gp),
+        sa=jnp.asarray(idx.sa.astype(np.int32)),
+        sa_kmers=jnp.asarray(idx.sa_kmers),
+        pos_ok=jnp.asarray(idx.pos_ok),
+        starts=jnp.asarray(idx.seqdb.starts.astype(np.int32)),
+        pad=pad,
+        k=idx.k,
+        genome_len=idx.genome_length,
+    )
+
+
+class MapBatchResult(NamedTuple):
+    """Device outputs for one batch (I2 = B * best_n selected alignments)."""
+
+    arrows: jax.Array      # (S, I2, W) uint8
+    sel_score: jax.Array   # (I2,) int32
+    sel_best_a: jax.Array  # (I2,) int32
+    sel_best_w: jax.Array  # (I2,) int32
+    sel_t0: jax.Array      # (I2,) int32 global window start (may be negative)
+    sel_strand: jax.Array  # (I2,) int32 0=fwd 1=rc
+    sel_valid: jax.Array   # (I2,) bool candidate was real
+    sel_tcodes: jax.Array  # (I2, T) uint8 target window codes
+    sel_qcodes: jax.Array  # (I2, L) uint8 query codes (strand-resolved)
+    mapqv: jax.Array       # (B,) int32
+    cand_scores: jax.Array  # (B, 2*C) int32 all candidate scores (debug/MAPQ)
+    cand_valid: jax.Array   # (B, 2*C) bool
+
+
+def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Per-row reverse complement keeping reads left-aligned in padding."""
+    B, L = codes.shape
+    idx = lengths[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idx >= 0
+    gathered = jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1), axis=1)
+    comp = jnp.where(gathered < 4, 3 - gathered, gathered)
+    return jnp.where(ok, comp, jnp.uint8(4)).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "pad", "k", "genome_len"),
+)
+def _map_batch_impl(
+    codes: jax.Array,
+    lengths: jax.Array,
+    genome_pad: jax.Array,
+    sa: jax.Array,
+    sa_kmers: jax.Array,
+    pos_ok: jax.Array,
+    starts: jax.Array,
+    *,
+    params: MappingParams,
+    pad: int,
+    k: int,
+    genome_len: int,
+) -> MapBatchResult:
+    B, L = codes.shape
+    C = params.n_candidates
+    T = L + params.target_pad
+    W = params.band_width
+    G = genome_len
+
+    # ---- strands ----
+    rc = _revcomp_rows(codes, lengths)
+    reads2 = jnp.concatenate([codes, rc], axis=0)          # (2B, L)
+    lens2 = jnp.concatenate([lengths, lengths], axis=0)
+
+    # ---- anchoring ----
+    at, aq, anh, avalid = find_anchors(
+        reads2, lens2, sa, sa_kmers, pos_ok,
+        k=k,
+        max_hits_per_pos=params.max_anchors_per_position,
+        max_anchors_per_read=params.max_anchors_per_read,
+    )
+
+    # ---- candidate windows ----
+    cand = select_candidates(
+        at, aq, anh, avalid,
+        n_candidates=C, win=W, k=k,
+    )                                                       # (2B, C)
+
+    d0 = jnp.clip(cand.d0, -L, G - 1)
+    t0 = d0 - params.target_pad // 2                        # (2B, C) global
+    t0f = t0.reshape(-1)                                    # (I,) I = 2B*C
+    I = 2 * B * C
+
+    gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad
+    tcodes = genome_pad[gidx]                               # (I, T)
+
+    # contig bounds for boundary masking
+    mid = jnp.clip(t0f + T // 2, 0, G - 1)
+    ci = jnp.searchsorted(starts, mid, side="right") - 1
+    ci = jnp.clip(ci, 0, starts.shape[0] - 2)
+    tlo = jnp.maximum(starts[ci] - t0f, 0).astype(jnp.int32)
+    thi = jnp.minimum(starts[ci + 1] - t0f, T).astype(jnp.int32)
+
+    row = jnp.repeat(jnp.arange(2 * B, dtype=jnp.int32), C)
+    qitems = reads2[row]                                    # (I, L)
+    qlens = lens2[row]
+
+    scores_cfg = AlignScores(
+        match=params.match_score,
+        mismatch=params.mismatch_score,
+        insertion=params.insertion_score,
+        deletion=params.deletion_score,
+        affine_open=params.affine_open,
+        affine_extend=params.affine_extend,
+    )
+    qoff = jnp.asarray(make_qoff(L, T, W, params.target_pad // 2))
+
+    # ---- pass 1: score-only DP over every candidate ----
+    res1 = banded_align(
+        qitems, qlens, tcodes, tlo, thi, qoff,
+        scores=scores_cfg, with_traceback=False, band_width=W,
+    )
+    cvalid = cand.valid.reshape(-1)
+    cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
+
+    # ---- per-read best_n selection across strands & candidates ----
+    # layout: item i = (strand s, read b, cand c) with s major
+    sc = cscore.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    sv = cvalid.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    neg = jnp.where(sv, -sc, jnp.int32(-(2**30)))
+    topv, topi = jax.lax.top_k(neg, params.best_n)          # (B, best_n)
+    sel_strand = (topi // C).astype(jnp.int32)
+    sel_c = (topi % C).astype(jnp.int32)
+    sel_item = sel_strand * (B * C) + jnp.arange(B, dtype=jnp.int32)[:, None] * C + sel_c
+    sel_item = sel_item.reshape(-1)                         # (I2,)
+    sel_valid = (topv > -(2**30)).reshape(-1) & (topv.reshape(-1) > 0)
+
+    # ---- MAPQ over all candidates of each read ----
+    best_sc = -topv[:, 0]
+    mapq = map_qv(sc, sv & (sc < 0), best_sc)
+
+    # ---- pass 2: traceback DP on winners ----
+    q2 = qitems[sel_item]
+    ql2 = qlens[sel_item]
+    t2 = tcodes[sel_item]
+    tlo2 = tlo[sel_item]
+    thi2 = thi[sel_item]
+    res2 = banded_align(
+        q2, ql2, t2, tlo2, thi2, qoff,
+        scores=scores_cfg, with_traceback=True, band_width=W,
+    )
+
+    return MapBatchResult(
+        arrows=res2.arrows,
+        sel_score=res2.score,
+        sel_best_a=res2.best_a,
+        sel_best_w=res2.best_w,
+        sel_t0=t0f[sel_item],
+        sel_strand=sel_strand.reshape(-1),
+        sel_valid=sel_valid,
+        sel_tcodes=t2,
+        sel_qcodes=q2,
+        mapqv=mapq,
+        cand_scores=sc,
+        cand_valid=sv,
+    )
+
+
+@dataclasses.dataclass
+class Mapper:
+    """Holds the device index and dispatches jitted map steps per bucket."""
+
+    index: GenomeIndex
+    params: MappingParams
+
+    def __post_init__(self):
+        self.device_index = make_device_index(self.index, self.params)
+
+    def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapBatchResult:
+        di = self.device_index
+        return _map_batch_impl(
+            jnp.asarray(codes),
+            jnp.asarray(lengths),
+            di.genome_pad, di.sa, di.sa_kmers, di.pos_ok, di.starts,
+            params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
+        )
+
+    def qoff_for(self, read_len: int) -> np.ndarray:
+        return make_qoff(
+            read_len,
+            read_len + self.params.target_pad,
+            self.params.band_width,
+            self.params.target_pad // 2,
+        )

@@ -1,0 +1,159 @@
+"""End-to-end mapping run: reads -> alignment records (L5 host loop).
+
+Role of reference ``MapReads`` worker loop (Blasr.cpp:3193-3917) and
+coordinate assignment (``AssignRefContigLocations``, Blasr.cpp:2186).
+Host pulls padded batches, dispatches the jitted device step, walks
+tracebacks, converts window-local coordinates to contig coordinates and
+applies the reporting filters (maxScore/minPctSimilarity/minAlnLength,
+cf. PrintAlignments filters at Blasr.cpp:2958-2978).
+
+m4 coordinate convention (reference IntervalAlignmentPrinter.h): qstrand is
+always 0; when tstrand == 1 the target interval is reported in
+reverse-complement coordinates of the contig; qstart/qend always refer to
+the forward (original) read.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.io.batching import Read, ReadBatch, batch_reads
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.mapper import Mapper
+from blasr_tpu.pipeline.traceback import AlignmentPath, walk_traceback
+
+
+@dataclasses.dataclass
+class AlignmentRecord:
+    """One reported alignment (all coordinates ready for m4/SAM printing)."""
+
+    qname: str
+    tname: str
+    score: int
+    pct_similarity: float
+    qstrand: int          # always 0 (blasr convention)
+    qstart: int           # forward-read coords
+    qend: int
+    qlength: int
+    tstrand: int          # 0/1
+    tstart: int           # fwd coords if tstrand==0 else RC-of-contig coords
+    tend: int
+    tlength: int
+    mapqv: int
+    # extras for SAM emission
+    contig_index: int = -1
+    tstart_fwd: int = 0   # contig-forward coords, always
+    tend_fwd: int = 0
+    path: Optional[AlignmentPath] = None
+    read_index: int = -1
+    nhits_considered: int = 0
+
+
+def run_mapping(
+    index: GenomeIndex,
+    reads: Sequence[Read],
+    params: MappingParams,
+) -> tuple[list[AlignmentRecord], list[str]]:
+    """Map reads; returns (alignments, unmapped read names)."""
+    mapper = Mapper(index, params)
+    out: list[AlignmentRecord] = []
+    unmapped: list[str] = []
+    for batch in batch_reads(reads, params.batch_size, params.max_read_len):
+        out_b, unm_b = _process_batch(mapper, batch)
+        out.extend(out_b)
+        unmapped.extend(unm_b)
+    order = {r.name: i for i, r in enumerate(reads)}
+    out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
+    return out, unmapped
+
+
+def _process_batch(mapper: Mapper, batch: ReadBatch) -> tuple[list[AlignmentRecord], list[str]]:
+    params = mapper.params
+    seqdb = mapper.index.seqdb
+    res = mapper.map_batch(batch.codes, batch.lengths)
+
+    arrows = np.asarray(res.arrows)
+    scores = np.asarray(res.sel_score)
+    best_a = np.asarray(res.sel_best_a)
+    best_w = np.asarray(res.sel_best_w)
+    t0 = np.asarray(res.sel_t0).astype(np.int64)
+    strand = np.asarray(res.sel_strand)
+    valid = np.asarray(res.sel_valid)
+    tcodes = np.asarray(res.sel_tcodes)
+    qcodes = np.asarray(res.sel_qcodes)
+    mapqv = np.asarray(res.mapqv)
+
+    L = batch.codes.shape[1]
+    qoff = mapper.qoff_for(L)
+    qlens_sel = np.repeat(batch.lengths, params.best_n)
+
+    paths = walk_traceback(arrows, qoff, best_a, best_w, scores, qcodes, tcodes)
+
+    records: list[AlignmentRecord] = []
+    mapped_reads: set[int] = set()
+    B = batch.codes.shape[0]
+    lens = seqdb.lengths()
+    for i2, path in enumerate(paths):
+        b = i2 // params.best_n
+        if batch.indices[b] < 0:
+            continue  # padding row
+        if path is None or not valid[i2]:
+            continue
+        score = int(scores[i2])
+        if score > params.max_score:
+            continue
+        if path.pct_similarity < params.min_pct_similarity:
+            continue
+        if path.n_aligned < params.min_align_length:
+            continue
+        g_start = int(t0[i2]) + path.t_start
+        g_end = int(t0[i2]) + path.t_end
+        if g_start < 0 or g_end > seqdb.total_length:
+            continue
+        ci = int(seqdb.contig_of(g_start))
+        c_off = int(seqdb.starts[ci])
+        c_len = int(lens[ci])
+        ts_f = g_start - c_off
+        te_f = g_end - c_off
+        n = int(qlens_sel[i2])
+        st = int(strand[i2])
+        if st == 0:
+            qs, qe = path.q_start, path.q_end
+            ts, te = ts_f, te_f
+        else:
+            qs, qe = n - path.q_end, n - path.q_start
+            ts, te = c_len - te_f, c_len - ts_f
+        records.append(
+            AlignmentRecord(
+                qname=batch.names[b],
+                tname=seqdb.names[ci],
+                score=score,
+                pct_similarity=round(path.pct_similarity, 4),
+                qstrand=0,
+                qstart=qs,
+                qend=qe,
+                qlength=n,
+                tstrand=st,
+                tstart=ts,
+                tend=te,
+                tlength=c_len,
+                mapqv=int(mapqv[b]),
+                contig_index=ci,
+                tstart_fwd=ts_f,
+                tend_fwd=te_f,
+                path=path,
+                read_index=int(batch.indices[b]),
+            )
+        )
+        mapped_reads.add(b)
+
+    unmapped = [
+        batch.names[b]
+        for b in range(B)
+        if batch.indices[b] >= 0 and b not in mapped_reads
+    ]
+    return records, unmapped

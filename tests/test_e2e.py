@@ -1,0 +1,81 @@
+"""End-to-end mapping accuracy on simulated reads with known positions."""
+
+import numpy as np
+import pytest
+
+from blasr_tpu.core.encode import revcomp_codes
+from blasr_tpu.index.artifacts import build_index_from_arrays
+from blasr_tpu.io.batching import Read
+from blasr_tpu.io.seqdb import SeqDB
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.runner import run_mapping
+from tests.conftest import mutate_read
+
+
+@pytest.fixture(scope="module")
+def sim():
+    rng = np.random.default_rng(42)
+    G = 200_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    seqdb = SeqDB(["ref"], np.array([0, G], dtype=np.int64), ["0" * 32])
+    index = build_index_from_arrays(genome, seqdb, k=14)
+    reads, truth = [], []
+    for i in range(40):
+        start = int(rng.integers(0, G - 1200))
+        length = int(rng.integers(400, 1000))
+        r = mutate_read(rng, genome, start, length)
+        strand = int(rng.integers(0, 2))
+        if strand == 1:
+            r = revcomp_codes(r)
+        reads.append(Read(f"read{i}/0/0_{len(r)}", r, None, i))
+        truth.append((start, start + length, strand))
+    return index, reads, truth
+
+
+def test_e2e_accuracy(sim):
+    index, reads, truth = sim
+    params = MappingParams(batch_size=16, max_read_len=1024, n_candidates=4, best_n=1)
+    records, unmapped = run_mapping(index, reads, params)
+    byname = {}
+    for r in records:
+        byname.setdefault(r.qname, []).append(r)
+
+    n_ok = 0
+    for i, (start, end, strand) in enumerate(truth):
+        recs = byname.get(reads[i].name, [])
+        assert recs, f"read{i} unmapped"
+        best = min(recs, key=lambda r: r.score)
+        assert best.tstrand == strand, f"read{i} strand {best.tstrand} != {strand}"
+        # forward-contig coords of the alignment
+        ts, te = best.tstart_fwd, best.tend_fwd
+        if abs(ts - start) < 50 and abs(te - end) < 50:
+            n_ok += 1
+        # quality of alignment
+        assert best.pct_similarity > 70.0
+        assert best.mapqv > 0
+    assert n_ok >= 38, f"only {n_ok}/40 reads mapped to true location"
+    assert len(unmapped) == 0
+
+
+def test_e2e_m4_output(sim, tmp_path):
+    import io
+
+    from blasr_tpu.output.m4 import format_m4, write_m4
+
+    index, reads, truth = sim
+    params = MappingParams(batch_size=16, max_read_len=1024, n_candidates=4, best_n=1)
+    records, _ = run_mapping(index, reads[:4], params)
+    buf = io.StringIO()
+    write_m4(records, buf, header=False)
+    lines = buf.getvalue().strip().split("\n")
+    assert len(lines) >= 4
+    for ln in lines:
+        f = ln.split()
+        assert len(f) == 13
+        assert f[1] == "ref"
+        assert int(f[2]) < 0  # score negative
+        q0, q1, qn = int(f[5]), int(f[6]), int(f[7])
+        assert 0 <= q0 < q1 <= qn
+        t0_, t1_, tn = int(f[9]), int(f[10]), int(f[11])
+        assert 0 <= t0_ < t1_ <= tn
+        assert 0 <= int(f[12]) <= 254
