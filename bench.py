@@ -1,0 +1,122 @@
+"""Benchmark: reads/s mapping simulated PacBio reads to an E. coli-scale genome.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (see BASELINE.md): reference blasrmc measured on this exact corpus
+in this container at 442 reads/s single-thread (mapping-only, precomputed
+SA). The reference's 16-thread figure is extrapolated linearly (the
+container has 1 core): 16 x 442 = 7072 reads/s. vs_baseline is measured
+reads/s (full pipeline incl. host traceback + m4 formatting) divided by
+that 16-thread estimate, i.e. the BASELINE.json north-star ">=10x reference
+16-thread CPU" corresponds to vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_16THREAD_READS_PER_S = 7072.0  # measured 442 r/s x 16 (see BASELINE.md)
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchdata")
+GENOME_FA = os.path.join(BENCH_DIR, "genome.fasta")
+READS_FA = os.path.join(BENCH_DIR, "reads.fasta")
+
+
+def ensure_corpus():
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    if not os.path.exists(GENOME_FA):
+        g = simulate_genome(4_600_000, seed=7)
+        write_fasta(GENOME_FA, [("ref", g)])
+    if not os.path.exists(READS_FA):
+        from blasr_tpu.io.fasta import read_fasta
+
+        g = read_fasta(GENOME_FA)[0][1]
+        reads, _ = simulate_reads(g, 2000, mean_len=1000, seed=11)
+        write_fasta(READS_FA, [(r.name, r.codes) for r in reads])
+
+
+def main():
+    ensure_corpus()
+
+    from blasr_tpu.index.artifacts import load_index
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import parse_truth
+
+    t0 = time.time()
+    index = load_index(GENOME_FA, k=14)
+    t_index = time.time() - t0
+    reads = read_records(READS_FA)
+    params = MappingParams(
+        batch_size=64,
+        max_read_len=3072,
+        n_candidates=4,
+        best_n=1,
+    )
+
+    # warmup: compile every length bucket once on a small prefix
+    _ = run_mapping(index, reads[:128], params)
+
+    t0 = time.time()
+    records, unmapped = run_mapping(index, reads, params)
+    wall = time.time() - t0
+    reads_per_s = len(reads) / wall
+
+    # accuracy guard: mapped to true location
+    byname = {}
+    for r in records:
+        cur = byname.get(r.qname)
+        if cur is None or r.score < cur.score:
+            byname[r.qname] = r
+    n_correct = 0
+    for rd in reads:
+        rec = byname.get(rd.name)
+        if rec is None:
+            continue
+        start, end, strand = parse_truth(rd.name)
+        if (
+            rec.tstrand == strand
+            and abs(rec.tstart_fwd - start) < 100
+            and abs(rec.tend_fwd - end) < 100
+        ):
+            n_correct += 1
+    accuracy = n_correct / len(reads)
+
+    result = {
+        "metric": "reads_per_sec_per_chip_ecoli_sim",
+        "value": round(reads_per_s, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / REFERENCE_16THREAD_READS_PER_S, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "n_reads": len(reads),
+                    "wall_s": round(wall, 3),
+                    "mapped": len(byname),
+                    "accuracy_true_locus": round(accuracy, 4),
+                    "unmapped": len(unmapped),
+                    "index_load_s": round(t_index, 2),
+                    "vs_singlethread_ref": round(reads_per_s / 442.0, 2),
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+    if accuracy < 0.9:
+        print(json.dumps({"warning": f"accuracy {accuracy:.3f} below 0.9"}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

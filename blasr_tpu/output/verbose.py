@@ -1,0 +1,109 @@
+"""m0 / m1 / m5 output formats (L6).
+
+Roles of reference printers:
+  m0 — StickAlignmentPrinter.h (human-readable block view)
+  m1 — SummaryAlignmentPrinter.h ("qname tname qstrand tstrand score
+        pctsimilarity tstart tend tlength qstart qend qlength ncells")
+  m5 — CompareSequencesAlignmentPrinter.h ("qname qlength qstart qend
+        qstrand tname tlength tstart tend tstrand score nummatch
+        nummismatch numins numdel mapqv qalignedseq matchpattern
+        talignedseq")
+"""
+
+from __future__ import annotations
+
+from typing import IO, Iterable, Sequence
+
+import numpy as np
+
+from blasr_tpu.core.encode import codes_to_seq, revcomp_codes
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.io.batching import Read
+from blasr_tpu.pipeline.runner import AlignmentRecord
+from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M
+
+
+def alignment_strings(rec: AlignmentRecord, read: Read, index: GenomeIndex):
+    """Reconstruct (query_str, match_pattern, target_str) with gap dashes."""
+    p = rec.path
+    assert p is not None
+    q = read.codes if rec.tstrand == 0 else revcomp_codes(read.codes)
+    c_off = int(index.seqdb.starts[rec.contig_index])
+    t = index.genome[c_off + rec.tstart_fwd : c_off + rec.tend_fwd]
+    qs, ts, ms = [], [], []
+    qi, ti = p.q_start, 0
+    for op in p.ops:
+        if op == OP_M:
+            qc, tc = int(q[qi]), int(t[ti])
+            qs.append(qc)
+            ts.append(tc)
+            ms.append("|" if (qc == tc and qc < 4) else "*")
+            qi += 1
+            ti += 1
+        elif op == OP_I:
+            qs.append(int(q[qi]))
+            ts.append(-1)
+            ms.append("*")
+            qi += 1
+        else:
+            qs.append(-1)
+            ts.append(int(t[ti]))
+            ms.append("*")
+            ti += 1
+    to_str = lambda cs: "".join("-" if c < 0 else codes_to_seq(np.array([c], np.uint8)) for c in cs)
+    return to_str(qs), "".join(ms), to_str(ts)
+
+
+def format_m1(rec: AlignmentRecord) -> str:
+    return (
+        f"{rec.qname} {rec.tname} {rec.qstrand} {rec.tstrand} {rec.score} "
+        f"{rec.pct_similarity:.4f} {rec.tstart} {rec.tend} {rec.tlength} "
+        f"{rec.qstart} {rec.qend} {rec.qlength} 0"
+    )
+
+
+def format_m5(rec: AlignmentRecord, read: Read, index: GenomeIndex) -> str:
+    p = rec.path
+    qstr, mstr, tstr = alignment_strings(rec, read, index)
+    return (
+        f"{rec.qname} {rec.qlength} {rec.qstart} {rec.qend} {rec.qstrand} "
+        f"{rec.tname} {rec.tlength} {rec.tstart} {rec.tend} {rec.tstrand} "
+        f"{rec.score} {p.n_match} {p.n_mismatch} {p.n_ins} {p.n_del} "
+        f"{rec.mapqv} {qstr} {mstr} {tstr}"
+    )
+
+
+def format_m0(rec: AlignmentRecord, read: Read, index: GenomeIndex, width: int = 50) -> str:
+    qstr, mstr, tstr = alignment_strings(rec, read, index)
+    lines = [
+        f"qName: {rec.qname}",
+        f"tName: {rec.tname}",
+        f"qRange: {rec.qstart} -> {rec.qend} of {rec.qlength}",
+        f"tRange: {rec.tstart} -> {rec.tend} of {rec.tlength}",
+        f"qStrand/tStrand: {rec.qstrand}/{rec.tstrand}",
+        f"score: {rec.score}  pctSimilarity: {rec.pct_similarity:.2f}  mapQV: {rec.mapqv}",
+    ]
+    for ofs in range(0, len(qstr), width):
+        lines.append(f"  q: {qstr[ofs:ofs + width]}")
+        lines.append(f"     {mstr[ofs:ofs + width]}")
+        lines.append(f"  t: {tstr[ofs:ofs + width]}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def write_verbose(
+    records: Iterable[AlignmentRecord],
+    reads: Sequence[Read],
+    index: GenomeIndex,
+    out: IO[str],
+    fmt: int = 5,
+) -> None:
+    by_name = {r.name: r for r in reads}
+    for rec in records:
+        rd = by_name.get(rec.qname)
+        if fmt == 1:
+            out.write(format_m1(rec) + "\n")
+        elif fmt == 0 and rd is not None:
+            out.write(format_m0(rec, rd, index) + "\n")
+        elif rd is not None:
+            out.write(format_m5(rec, rd, index) + "\n")
