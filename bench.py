@@ -63,8 +63,16 @@ def main():
         best_n=1,
     )
 
-    # warmup: compile every length bucket once on a small prefix
-    _ = run_mapping(index, reads[:128], params)
+    # warmup: compile every length bucket once (pick a few reads per bucket)
+    from blasr_tpu.io.batching import batch_reads
+
+    warm: list = []
+    seen_caps: set[int] = set()
+    for b in batch_reads(reads, params.batch_size, params.max_read_len):
+        if b.max_len not in seen_caps:
+            seen_caps.add(b.max_len)
+            warm.extend(reads[i] for i in b.indices[:4] if i >= 0)
+    _ = run_mapping(index, warm or reads[:32], params)
 
     t0 = time.time()
     records, unmapped = run_mapping(index, reads, params)

@@ -31,6 +31,7 @@ from blasr_tpu.ops.anchors import find_anchors
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.candidates import select_candidates
 from blasr_tpu.ops.mapqv import map_qv
+from blasr_tpu.ops.traceback_device import walk_arrows_device
 from blasr_tpu.params import MappingParams
 
 
@@ -63,21 +64,65 @@ def make_device_index(idx: GenomeIndex, params: MappingParams) -> DeviceIndex:
     )
 
 
-class MapBatchResult(NamedTuple):
-    """Device outputs for one batch (I2 = B * best_n selected alignments)."""
+# row order of MapBatchResult.sel_ints
+SEL_FIELDS = (
+    "sel_score", "sel_t0", "sel_strand", "sel_valid", "nops",
+    "q_start", "q_end", "t_start", "t_end",
+    "n_match", "n_mismatch", "n_ins", "n_del",
+)
 
-    arrows: jax.Array      # (S, I2, W) uint8
-    sel_score: jax.Array   # (I2,) int32
-    sel_best_a: jax.Array  # (I2,) int32
-    sel_best_w: jax.Array  # (I2,) int32
-    sel_t0: jax.Array      # (I2,) int32 global window start (may be negative)
-    sel_strand: jax.Array  # (I2,) int32 0=fwd 1=rc
-    sel_valid: jax.Array   # (I2,) bool candidate was real
-    sel_tcodes: jax.Array  # (I2, T) uint8 target window codes
-    sel_qcodes: jax.Array  # (I2, L) uint8 query codes (strand-resolved)
-    mapqv: jax.Array       # (B,) int32
-    cand_scores: jax.Array  # (B, 2*C) int32 all candidate scores (debug/MAPQ)
-    cand_valid: jax.Array   # (B, 2*C) bool
+
+class MapBatchResult(NamedTuple):
+    """Device outputs for one batch (I2 = B * best_n selected alignments).
+
+    Traceback is walked ON DEVICE (ops/traceback_device.py) — only the
+    2-bit-packed move strings and per-alignment stats cross the host link,
+    never the (S, I2, W) arrow tensor. All scalar per-item outputs are packed
+    into sel_ints/read_ints because the host link pays ~30 ms latency per
+    transfer regardless of size.
+    """
+
+    sel_ints: jax.Array      # (len(SEL_FIELDS), I2) int32, rows = SEL_FIELDS
+    moves_packed: jax.Array  # (I2, P) uint8 packed ops, END->START order
+    read_ints: jax.Array     # (B, 1 + 4*C) int32: mapqv | cand_scores | cand_valid
+
+
+class HostBatchResult(NamedTuple):
+    """Numpy view of MapBatchResult after a single host transfer per array."""
+
+    sel_score: np.ndarray
+    sel_t0: np.ndarray
+    sel_strand: np.ndarray
+    sel_valid: np.ndarray
+    nops: np.ndarray
+    q_start: np.ndarray
+    q_end: np.ndarray
+    t_start: np.ndarray
+    t_end: np.ndarray
+    n_match: np.ndarray
+    n_mismatch: np.ndarray
+    n_ins: np.ndarray
+    n_del: np.ndarray
+    moves_packed: np.ndarray
+    mapqv: np.ndarray
+    cand_scores: np.ndarray
+    cand_valid: np.ndarray
+
+
+def unpack_result(res: MapBatchResult, n_candidates: int) -> HostBatchResult:
+    sel = np.asarray(res.sel_ints)
+    moves = np.asarray(res.moves_packed)
+    rints = np.asarray(res.read_ints)
+    C2 = 2 * n_candidates
+    fields = {name: sel[i] for i, name in enumerate(SEL_FIELDS)}
+    fields["sel_valid"] = fields["sel_valid"].astype(bool)
+    return HostBatchResult(
+        moves_packed=moves,
+        mapqv=rints[:, 0],
+        cand_scores=rints[:, 1 : 1 + C2],
+        cand_valid=rints[:, 1 + C2 : 1 + 2 * C2].astype(bool),
+        **fields,
+    )
 
 
 def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
@@ -197,19 +242,36 @@ def _map_batch_impl(
         scores=scores_cfg, with_traceback=True, band_width=W,
     )
 
+    # ---- on-device traceback walk: arrows never leave the chip ----
+    tb = walk_arrows_device(
+        res2.arrows, qoff, res2.best_a, res2.best_w, res2.score, q2, t2
+    )
+
+    sel_ints = jnp.stack(
+        [
+            res2.score,
+            t0f[sel_item],
+            sel_strand.reshape(-1),
+            sel_valid.astype(jnp.int32),
+            tb.nops,
+            tb.q_start,
+            tb.q_end,
+            tb.t_start,
+            tb.t_end,
+            tb.n_match,
+            tb.n_mismatch,
+            tb.n_ins,
+            tb.n_del,
+        ]
+    ).astype(jnp.int32)
+    read_ints = jnp.concatenate(
+        [mapq[:, None], sc, sv.astype(jnp.int32)], axis=1
+    ).astype(jnp.int32)
+
     return MapBatchResult(
-        arrows=res2.arrows,
-        sel_score=res2.score,
-        sel_best_a=res2.best_a,
-        sel_best_w=res2.best_w,
-        sel_t0=t0f[sel_item],
-        sel_strand=sel_strand.reshape(-1),
-        sel_valid=sel_valid,
-        sel_tcodes=t2,
-        sel_qcodes=q2,
-        mapqv=mapq,
-        cand_scores=sc,
-        cand_valid=sv,
+        sel_ints=sel_ints,
+        moves_packed=tb.moves_packed,
+        read_ints=read_ints,
     )
 
 

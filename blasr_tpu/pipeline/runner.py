@@ -23,8 +23,9 @@ import numpy as np
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.io.batching import Read, ReadBatch, batch_reads
 from blasr_tpu.params import MappingParams
-from blasr_tpu.pipeline.mapper import Mapper
-from blasr_tpu.pipeline.traceback import AlignmentPath, walk_traceback
+from blasr_tpu.pipeline.mapper import Mapper, unpack_result
+from blasr_tpu.ops.traceback_device import unpack_moves
+from blasr_tpu.pipeline.traceback import AlignmentPath
 
 
 @dataclasses.dataclass
@@ -71,27 +72,45 @@ def run_mapping(
     return out, unmapped
 
 
+def _paths_from_device(res) -> list[Optional[AlignmentPath]]:
+    """Reassemble AlignmentPath objects from the compact device traceback."""
+    out: list[Optional[AlignmentPath]] = []
+    for i in range(len(res.sel_score)):
+        if res.sel_score[i] >= 0 or res.nops[i] == 0:
+            out.append(None)
+            continue
+        out.append(
+            AlignmentPath(
+                q_start=int(res.q_start[i]),
+                q_end=int(res.q_end[i]),
+                t_start=int(res.t_start[i]),
+                t_end=int(res.t_end[i]),
+                ops=unpack_moves(res.moves_packed[i], int(res.nops[i])),
+                score=int(res.sel_score[i]),
+                n_match=int(res.n_match[i]),
+                n_mismatch=int(res.n_mismatch[i]),
+                n_ins=int(res.n_ins[i]),
+                n_del=int(res.n_del[i]),
+            )
+        )
+    return out
+
+
 def _process_batch(mapper: Mapper, batch: ReadBatch) -> tuple[list[AlignmentRecord], list[str]]:
     params = mapper.params
     seqdb = mapper.index.seqdb
-    res = mapper.map_batch(batch.codes, batch.lengths)
+    res = unpack_result(
+        mapper.map_batch(batch.codes, batch.lengths), params.n_candidates
+    )
 
-    arrows = np.asarray(res.arrows)
-    scores = np.asarray(res.sel_score)
-    best_a = np.asarray(res.sel_best_a)
-    best_w = np.asarray(res.sel_best_w)
-    t0 = np.asarray(res.sel_t0).astype(np.int64)
-    strand = np.asarray(res.sel_strand)
-    valid = np.asarray(res.sel_valid)
-    tcodes = np.asarray(res.sel_tcodes)
-    qcodes = np.asarray(res.sel_qcodes)
-    mapqv = np.asarray(res.mapqv)
+    scores = res.sel_score
+    t0 = res.sel_t0.astype(np.int64)
+    strand = res.sel_strand
+    valid = res.sel_valid
+    mapqv = res.mapqv
 
-    L = batch.codes.shape[1]
-    qoff = mapper.qoff_for(L)
     qlens_sel = np.repeat(batch.lengths, params.best_n)
-
-    paths = walk_traceback(arrows, qoff, best_a, best_w, scores, qcodes, tcodes)
+    paths = _paths_from_device(res)
 
     records: list[AlignmentRecord] = []
     mapped_reads: set[int] = set()

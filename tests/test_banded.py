@@ -185,3 +185,57 @@ def test_no_alignment_when_dissimilar(rng):
         np.asarray(res.best_a), np.asarray(res.best_w), np.asarray(res.score), Q, Tc,
     )
     assert paths[0] is None
+
+
+def test_device_walk_matches_host_walk(rng):
+    """On-device traceback must reproduce the host replay exactly."""
+    import jax.numpy as jnp
+
+    from blasr_tpu.ops.traceback_device import unpack_moves, walk_arrows_device
+
+    qs, ts = [], []
+    for i in range(8):
+        L = int(rng.integers(30, 90))
+        base = rng.integers(0, 4, 140).astype(np.uint8)
+        q = []
+        for c in base[25 : 25 + L]:
+            r = rng.random()
+            if r < 0.1:
+                q.append(int(rng.integers(0, 4)))
+                if rng.random() < 0.5:
+                    q.append(int(c))
+            elif r < 0.16:
+                continue
+            else:
+                q.append(int(c))
+        qs.append(np.asarray(q, np.uint8))
+        ts.append(base)
+    # one hopeless pair -> no alignment path
+    qs.append(np.zeros(40, np.uint8))
+    ts.append(np.full(140, 1, np.uint8))
+    Q, Tc, qoff, res = run_kernel(qs, ts)
+    scores = np.asarray(res.score)
+    host_paths = walk_traceback(
+        np.asarray(res.arrows), np.asarray(qoff),
+        np.asarray(res.best_a), np.asarray(res.best_w), scores, Q, Tc,
+    )
+    tb = walk_arrows_device(
+        res.arrows, jnp.asarray(qoff), res.best_a, res.best_w, res.score,
+        jnp.asarray(Q), jnp.asarray(Tc),
+    )
+    packed = np.asarray(tb.moves_packed)
+    nops = np.asarray(tb.nops)
+    for i, hp in enumerate(host_paths):
+        if hp is None:
+            assert scores[i] >= 0 or nops[i] == 0
+            continue
+        ops = unpack_moves(packed[i], int(nops[i]))
+        np.testing.assert_array_equal(ops, hp.ops)
+        assert int(tb.q_start[i]) == hp.q_start
+        assert int(tb.q_end[i]) == hp.q_end
+        assert int(tb.t_start[i]) == hp.t_start
+        assert int(tb.t_end[i]) == hp.t_end
+        assert int(tb.n_match[i]) == hp.n_match
+        assert int(tb.n_mismatch[i]) == hp.n_mismatch
+        assert int(tb.n_ins[i]) == hp.n_ins
+        assert int(tb.n_del[i]) == hp.n_del

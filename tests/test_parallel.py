@@ -14,10 +14,13 @@ def test_dryrun_multichip_8():
 def test_entry_compiles_and_runs():
     import __graft_entry__ as ge
 
+    from blasr_tpu.pipeline.mapper import unpack_result
+
     fn, args = ge.entry()
     res = jax.jit(fn)(*args)
     jax.block_until_ready(res)
-    assert np.asarray(res.sel_valid).sum() >= 4
+    host = unpack_result(res, 2)
+    assert host.sel_valid.sum() >= 4
 
 
 def test_sharded_matches_single_device():
@@ -36,7 +39,8 @@ def test_sharded_matches_single_device():
     )
     mesh = make_mesh(4)
     multi = sharded_map_batch(mesh, di, params, codes, lengths)
-    np.testing.assert_array_equal(np.asarray(single.sel_score), np.asarray(multi.sel_score))
-    np.testing.assert_array_equal(np.asarray(single.sel_t0), np.asarray(multi.sel_t0))
-    np.testing.assert_array_equal(np.asarray(single.mapqv), np.asarray(multi.mapqv))
-    np.testing.assert_array_equal(np.asarray(single.arrows), np.asarray(multi.arrows))
+    np.testing.assert_array_equal(np.asarray(single.sel_ints), np.asarray(multi.sel_ints))
+    np.testing.assert_array_equal(np.asarray(single.read_ints), np.asarray(multi.read_ints))
+    np.testing.assert_array_equal(
+        np.asarray(single.moves_packed), np.asarray(multi.moves_packed)
+    )
