@@ -1,0 +1,293 @@
+"""Pallas TPU kernel for the banded affine wavefront DP (L4 hot kernel).
+
+Same contract and cell semantics as ops/banded_align.py (the XLA-scan
+reference implementation, kept as the CPU/test oracle) — see that module
+for the recurrence. The kernel maps the band (W=128) onto the lane dim,
+an item tile onto sublanes, and walks anti-diagonals as the minor grid
+dimension with the H/E/F wavefront carried in VMEM scratch; arrow bytes
+stream straight to HBM one (IT, W) tile per step.
+
+Role of reference KBandAlign.h / GuidedAlign.h / AffineKBandAlign.h inner
+loops (row-sequential, pointer-chasing) — re-derived as a vector program:
+per step everything is elementwise on (IT, W) int32 registers; the only
+non-elementwise ops are two dynamic window slices and three lane shifts
+(selected among static shifts because the band offset moves by 0/1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blasr_tpu.ops.banded_align import (
+    INF,
+    SRC_DIAG,
+    SRC_DIAG_START,
+    SRC_E,
+    SRC_F,
+    SRC_LEFT,
+    SRC_STOP,
+    SRC_UP,
+    AlignScores,
+    BandedResult,
+)
+
+ITEM_TILE = 32  # items per grid row (sublane-dim batching)
+
+
+def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
+    """Value at band index w + dlt for traced dlt in {-1, 0, +1}."""
+    xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=INF)
+    xm = xp[:, 0:W]
+    x0 = xp[:, 1 : W + 1]
+    xp1 = xp[:, 2 : W + 2]
+    return jnp.where(dlt == -1, xm, jnp.where(dlt == 0, x0, xp1))
+
+
+def _make_kernel(
+    scores: AlignScores, S: int, W: int, IT: int, Tp: int, with_traceback: bool
+):
+    m_sc = np.int32(scores.match)
+    x_sc = np.int32(scores.mismatch)
+    n_sc = np.int32(scores.n_score)
+    ins_sc = np.int32(scores.insertion)
+    del_sc = np.int32(scores.deletion)
+    go = np.int32(scores.affine_open)
+    ge = np.int32(scores.affine_extend)
+
+    def kernel(
+        qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S,) int32
+        qext_ref,                          # (IT, L+W) uint8
+        trev_ref,                          # (IT, Tp) uint8
+        qlen_ref, tlo_ref, thi_ref,        # (IT, 1) int32
+        # outputs
+        *refs,
+    ):
+        if with_traceback:
+            arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
+            scratch = refs[4:]
+        else:
+            best_ref, besta_ref, bestw_ref = refs[:3]
+            scratch = refs[3:]
+        H1s, H2s, E1s, F1s, bests = scratch
+
+        s = pl.program_id(1)
+
+        @pl.when(s == 0)
+        def _init():
+            H1s[:] = jnp.full((IT, W), INF, jnp.int32)
+            H2s[:] = jnp.full((IT, W), INF, jnp.int32)
+            E1s[:] = jnp.full((IT, W), INF, jnp.int32)
+            F1s[:] = jnp.full((IT, W), INF, jnp.int32)
+            bests[:] = jnp.zeros((IT, 3), jnp.int32)
+
+        qo = qoff_ref[s]
+        s1 = s1_ref[s]
+        s2 = s2_ref[s]
+        a = s
+
+        # Dynamic lane-window extraction via lane rotation (Mosaic supports
+        # dynamic rotate but not unaligned dynamic vector loads):
+        # roll(x, shift=n) is a RIGHT rotate, so left-rotating by `ofs` is
+        # shift = rowlen - ofs; the window is then the first W lanes.
+        Lq = qext_ref.shape[1]
+        qwin = pltpu.roll(qext_ref[:], shift=Lq - qo, axis=1)[:, :W]
+        tstart = (Tp - 1 - W) - (a - qo)
+        Lt = trev_ref.shape[1]
+        twin = pltpu.roll(trev_ref[:], shift=Lt - tstart, axis=1)[:, :W]
+
+        w_ar = jax.lax.broadcasted_iota(jnp.int32, (IT, W), 1)
+        q_pos = qo + w_ar
+        t_pos = a - q_pos
+        valid = (
+            (q_pos < qlen_ref[:])
+            & (t_pos >= tlo_ref[:])
+            & (t_pos < thi_ref[:])
+            & (t_pos >= 0)
+        )
+
+        eq = (qwin == twin) & (qwin < 4)
+        anyn = (qwin >= 4) | (twin >= 4)
+        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_sc))
+
+        H1 = H1s[:]
+        H2 = H2s[:]
+        E1 = E1s[:]
+        F1 = F1s[:]
+
+        H1_up = _shift(H1, s1 - 1, IT, W)
+        H1_left = _shift(H1, s1, IT, W)
+        E1_left = _shift(E1, s1, IT, W)
+        F1_up = _shift(F1, s1 - 1, IT, W)
+        H2_diag = _shift(H2, s1 + s2 - 1, IT, W)
+
+        e_open = H1_left + go
+        E_new = jnp.minimum(E1_left, e_open) + ge
+        ebit = (E1_left <= e_open).astype(jnp.int32)
+        f_open = H1_up + go
+        F_new = jnp.minimum(F1_up, f_open) + ge
+        fbit = (F1_up <= f_open).astype(jnp.int32)
+
+        diag_fresh = H2_diag > 0
+        h = jnp.minimum(H2_diag, 0) + sub
+        src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
+        for val, code in (
+            (H1_up + ins_sc, SRC_UP),
+            (H1_left + del_sc, SRC_LEFT),
+            (E_new, SRC_E),
+            (F_new, SRC_F),
+        ):
+            take = val < h
+            h = jnp.minimum(h, val)
+            src = jnp.where(take, code, src)
+        take_stop = h >= 0
+        h = jnp.minimum(h, 0)
+        src = jnp.where(take_stop, SRC_STOP, src)
+
+        inf = jnp.int32(INF)
+        H_new = jnp.where(valid, h, inf)
+        E_out = jnp.where(valid, E_new, inf)
+        F_out = jnp.where(valid, F_new, inf)
+        src = jnp.where(valid, src, SRC_STOP)
+
+        if with_traceback:
+            arrows_ref[0] = (src | (ebit << 3) | (fbit << 4)).astype(jnp.uint8)
+
+        row_min = jnp.min(H_new, axis=1, keepdims=True)           # (IT, 1)
+        # first-index argmin (Mosaic lacks integer argmin)
+        row_arg = jnp.min(
+            jnp.where(H_new == row_min, w_ar, jnp.int32(W)), axis=1, keepdims=True
+        )
+        prev = bests[:]
+        better = row_min < prev[:, 0:1]
+        bests[:, 0:1] = jnp.minimum(prev[:, 0:1], row_min)
+        bests[:, 1:2] = jnp.where(better, a, prev[:, 1:2])
+        bests[:, 2:3] = jnp.where(better, row_arg, prev[:, 2:3])
+
+        H1s[:] = H_new
+        H2s[:] = H1
+        E1s[:] = E_out
+        F1s[:] = F_out
+
+        @pl.when(s == S - 1)
+        def _finish():
+            b = bests[:]
+            best_ref[:] = b[:, 0:1]
+            besta_ref[:] = b[:, 1:2]
+            bestw_ref[:] = b[:, 2:3]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scores", "with_traceback", "band_width", "interpret")
+)
+def banded_align_pallas(
+    query: jax.Array,    # (I, L) uint8 codes 0..4
+    qlen: jax.Array,     # (I,) int32
+    target: jax.Array,   # (I, T) uint8 codes 0..5
+    tlo: jax.Array,      # (I,) int32
+    thi: jax.Array,      # (I,) int32
+    qoff: jax.Array,     # (S,) int32
+    *,
+    scores: AlignScores = AlignScores(),
+    with_traceback: bool = False,
+    band_width: int = 128,
+    interpret: bool = False,
+) -> BandedResult:
+    I0, L = query.shape
+    T = target.shape[1]
+    S = int(qoff.shape[0])
+    assert S == L + T - 1
+    W = band_width
+    IT = min(ITEM_TILE, I0)
+    I = -(-I0 // IT) * IT
+    if I != I0:  # pad items up to a tile multiple; padded rows align nothing
+        pad_i = I - I0
+        query = jnp.pad(query, ((0, pad_i), (0, 0)), constant_values=4)
+        target = jnp.pad(target, ((0, pad_i), (0, 0)), constant_values=5)
+        qlen = jnp.pad(qlen, (0, pad_i))
+        tlo = jnp.pad(tlo, (0, pad_i))
+        thi = jnp.pad(thi, (0, pad_i))
+
+    def _pad128(n: int) -> int:
+        return -(-n // 128) * 128
+
+    # int32 rows padded to lane multiples (Mosaic dynamic rotate + i32 only)
+    Lq = _pad128(L + W)
+    Tp = T + 2 * W
+    Lt = _pad128(Tp)
+    qext = jnp.pad(
+        query.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=4
+    )
+    trev = jnp.pad(target.astype(jnp.int32), ((0, 0), (W, W)), constant_values=5)[
+        :, ::-1
+    ]
+    trev = jnp.pad(trev, ((0, 0), (0, Lt - Tp)), constant_values=5)
+
+    qoff = qoff.astype(jnp.int32)
+    s1 = jnp.diff(qoff, prepend=qoff[:1])
+    s2 = jnp.concatenate([jnp.zeros(1, jnp.int32), s1[:-1]])
+
+    kernel = _make_kernel(scores, S, W, IT, Tp, with_traceback)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # best
+        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # besta
+        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # bestw
+    ]
+    out_specs = [
+        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    if with_traceback:
+        out_shapes = [jax.ShapeDtypeStruct((S, I, W), jnp.uint8)] + out_shapes
+        out_specs = [
+            pl.BlockSpec((1, IT, W), lambda i, s, *_: (s, i, 0), memory_space=pltpu.VMEM)
+        ] + out_specs
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(I // IT, S),
+        in_specs=[
+            pl.BlockSpec((IT, Lq), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, Lt), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((IT, W), jnp.int32),  # H1
+            pltpu.VMEM((IT, W), jnp.int32),  # H2
+            pltpu.VMEM((IT, W), jnp.int32),  # E1
+            pltpu.VMEM((IT, W), jnp.int32),  # F1
+            pltpu.VMEM((IT, 3), jnp.int32),  # best/besta/bestw
+        ],
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(
+        qoff, s1, s2,
+        qext, trev,
+        qlen.astype(jnp.int32)[:, None],
+        tlo.astype(jnp.int32)[:, None],
+        thi.astype(jnp.int32)[:, None],
+    )
+    if with_traceback:
+        arrows, best, besta, bestw = outs
+        arrows = arrows[:, :I0] if I != I0 else arrows
+    else:
+        best, besta, bestw = outs
+        arrows = None
+    return BandedResult(best[:I0, 0], besta[:I0, 0], bestw[:I0, 0], arrows)

@@ -60,19 +60,28 @@ def packed_width(S: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=())
 def walk_arrows_device(
-    arrows: jax.Array,   # (S, I, W) uint8
+    arrows: jax.Array,   # (S, IA, W) uint8
     qoff: jax.Array,     # (S,) int32
     best_a: jax.Array,   # (I,) int32
     best_w: jax.Array,   # (I,) int32
     scores: jax.Array,   # (I,) int32 (< 0 where an alignment exists)
     query: jax.Array,    # (I, L) uint8
     target: jax.Array,   # (I, T) uint8
+    item_idx: jax.Array | None = None,  # (I,) int32 column of each walk in arrows
 ) -> DeviceTraceback:
-    S, I, W = arrows.shape
+    """Walk I paths through an (S, IA, W) arrow tensor.
+
+    item_idx maps walk i -> arrow column (IA >= I), so a walk over a
+    selected subset (the per-read winners) reads the full-candidate arrow
+    tensor in place instead of gathering a copy.
+    """
+    S, IA, W = arrows.shape
+    I = best_a.shape[0]
     L = query.shape[1]
     T = target.shape[1]
     S2 = S + 3  # op slots + one dump column for non-emitting lanes
-    ii = jnp.arange(I, dtype=jnp.int32)
+    rows = jnp.arange(I, dtype=jnp.int32)           # walk-local row index
+    ii = rows if item_idx is None else item_idx.astype(jnp.int32)  # arrow column
     flat = arrows.reshape(-1)
     s1 = jnp.diff(qoff, prepend=qoff[:1]).astype(jnp.int32)  # (S,)
 
@@ -86,7 +95,7 @@ def walk_arrows_device(
         a, w, st, active, nops, moves, it = carry
         ac = jnp.clip(a, 0, S - 1)
         wc = jnp.clip(w, 0, W - 1)
-        byte = flat[(ac * I + ii) * W + wc].astype(jnp.int32)
+        byte = flat[(ac * IA + ii) * W + wc].astype(jnp.int32)
         src = byte & 7
         ebit = (byte >> 3) & 1
         fbit = (byte >> 4) & 1
@@ -121,7 +130,7 @@ def walk_arrows_device(
 
         has_emit = active & (emit > 0)
         col = jnp.where(has_emit, nops, S2 - 1)
-        moves = moves.at[ii, col].set(jnp.where(has_emit, emit, jnp.uint8(0)))
+        moves = moves.at[rows, col].set(jnp.where(has_emit, emit, jnp.uint8(0)))
         nops = nops + has_emit.astype(jnp.int32)
 
         a = jnp.where(active, a + da, a)

@@ -44,6 +44,7 @@ class MappingParams:
     max_anchors_per_read: int = 512   # A: anchors kept per read-strand
     diag_bucket_log2: int = 8         # diagonal bin width = 256
     batch_size: int = 64              # reads per device batch
+    dispatch_ahead: int = 8           # batches in flight (async pipeline depth)
     # ---- misc ----
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     nproc: int = 1                    # host worker threads for IO/traceback

@@ -29,6 +29,7 @@ import numpy as np
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.ops.anchors import find_anchors
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import select_candidates
 from blasr_tpu.ops.mapqv import map_qv
 from blasr_tpu.ops.traceback_device import walk_arrows_device
@@ -125,6 +126,15 @@ def unpack_result(res: MapBatchResult, n_candidates: int) -> HostBatchResult:
     )
 
 
+def default_use_pallas() -> bool:
+    """Pallas kernels on real TPU; XLA-scan fallback on CPU (tests/mesh)."""
+    import os
+
+    if os.environ.get("BLASR_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     """Per-row reverse complement keeping reads left-aligned in padding."""
     B, L = codes.shape
@@ -137,7 +147,7 @@ def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "pad", "k", "genome_len"),
+    static_argnames=("params", "pad", "k", "genome_len", "use_pallas"),
 )
 def _map_batch_impl(
     codes: jax.Array,
@@ -152,6 +162,7 @@ def _map_batch_impl(
     pad: int,
     k: int,
     genome_len: int,
+    use_pallas: bool = False,
 ) -> MapBatchResult:
     B, L = codes.shape
     C = params.n_candidates
@@ -207,10 +218,12 @@ def _map_batch_impl(
     )
     qoff = jnp.asarray(make_qoff(L, T, W, params.target_pad // 2))
 
-    # ---- pass 1: score-only DP over every candidate ----
-    res1 = banded_align(
+    # ---- ONE DP pass with traceback over every candidate; the arrow
+    # tensor stays in HBM and the walk below reads only the winners' paths.
+    align_fn = banded_align_pallas if use_pallas else banded_align
+    res1 = align_fn(
         qitems, qlens, tcodes, tlo, thi, qoff,
-        scores=scores_cfg, with_traceback=False, band_width=W,
+        scores=scores_cfg, with_traceback=True, band_width=W,
     )
     cvalid = cand.valid.reshape(-1)
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
@@ -231,25 +244,19 @@ def _map_batch_impl(
     best_sc = -topv[:, 0]
     mapq = map_qv(sc, sv & (sc < 0), best_sc)
 
-    # ---- pass 2: traceback DP on winners ----
+    # ---- on-device traceback walk of the winners' paths, in place over
+    # the full-candidate arrow tensor (arrows never leave the chip) ----
     q2 = qitems[sel_item]
-    ql2 = qlens[sel_item]
     t2 = tcodes[sel_item]
-    tlo2 = tlo[sel_item]
-    thi2 = thi[sel_item]
-    res2 = banded_align(
-        q2, ql2, t2, tlo2, thi2, qoff,
-        scores=scores_cfg, with_traceback=True, band_width=W,
-    )
-
-    # ---- on-device traceback walk: arrows never leave the chip ----
+    sel_score = res1.score[sel_item]
     tb = walk_arrows_device(
-        res2.arrows, qoff, res2.best_a, res2.best_w, res2.score, q2, t2
+        res1.arrows, qoff, res1.best_a[sel_item], res1.best_w[sel_item],
+        sel_score, q2, t2, item_idx=sel_item,
     )
 
     sel_ints = jnp.stack(
         [
-            res2.score,
+            sel_score,
             t0f[sel_item],
             sel_strand.reshape(-1),
             sel_valid.astype(jnp.int32),
@@ -292,6 +299,7 @@ class Mapper:
             jnp.asarray(lengths),
             di.genome_pad, di.sa, di.sa_kmers, di.pos_ok, di.starts,
             params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
+            use_pallas=default_use_pallas(),
         )
 
     def qoff_for(self, read_len: int) -> np.ndarray:

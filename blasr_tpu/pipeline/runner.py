@@ -59,14 +59,32 @@ def run_mapping(
     reads: Sequence[Read],
     params: MappingParams,
 ) -> tuple[list[AlignmentRecord], list[str]]:
-    """Map reads; returns (alignments, unmapped read names)."""
+    """Map reads; returns (alignments, unmapped read names).
+
+    Batches are dispatched ahead of host post-processing (JAX async
+    dispatch), so device compute, host<->device transfers and host
+    formatting overlap — the TPU analogue of the reference's
+    reader/worker/writer pipeline (Blasr.cpp:3131-3177,3066-3126).
+    """
+    from collections import deque
+
     mapper = Mapper(index, params)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
-    for batch in batch_reads(reads, params.batch_size, params.max_read_len):
-        out_b, unm_b = _process_batch(mapper, batch)
+    inflight: deque = deque()
+
+    def drain_one():
+        batch, res = inflight.popleft()
+        out_b, unm_b = _finalize_batch(mapper, batch, res)
         out.extend(out_b)
         unmapped.extend(unm_b)
+
+    for batch in batch_reads(reads, params.batch_size, params.max_read_len):
+        inflight.append((batch, mapper.map_batch(batch.codes, batch.lengths)))
+        if len(inflight) > params.dispatch_ahead:
+            drain_one()
+    while inflight:
+        drain_one()
     order = {r.name: i for i, r in enumerate(reads)}
     out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
     return out, unmapped
@@ -97,11 +115,15 @@ def _paths_from_device(res) -> list[Optional[AlignmentPath]]:
 
 
 def _process_batch(mapper: Mapper, batch: ReadBatch) -> tuple[list[AlignmentRecord], list[str]]:
+    return _finalize_batch(mapper, batch, mapper.map_batch(batch.codes, batch.lengths))
+
+
+def _finalize_batch(
+    mapper: Mapper, batch: ReadBatch, device_res
+) -> tuple[list[AlignmentRecord], list[str]]:
     params = mapper.params
     seqdb = mapper.index.seqdb
-    res = unpack_result(
-        mapper.map_batch(batch.codes, batch.lengths), params.n_candidates
-    )
+    res = unpack_result(device_res, params.n_candidates)
 
     scores = res.sel_score
     t0 = res.sel_t0.astype(np.int64)
