@@ -139,6 +139,13 @@ def walk_arrows_device(
         active = active & ~stop & (a >= 0) & (w >= 0) & (w < W)
         return a, w, st, active, nops, moves, it + 1
 
+    UNROLL = 4  # sub-steps per while iteration (amortizes loop overhead)
+
+    def body_unrolled(carry):
+        for _ in range(UNROLL):
+            carry = body(carry)
+        return carry
+
     init = (
         best_a.astype(jnp.int32),
         best_w.astype(jnp.int32),
@@ -148,7 +155,7 @@ def walk_arrows_device(
         jnp.zeros((I, S2), jnp.uint8),
         jnp.int32(0),
     )
-    _, _, _, _, nops, moves, _ = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, nops, moves, _ = jax.lax.while_loop(cond, body_unrolled, init)
 
     # ---- stats (vectorized over the move strings; END->START order) ----
     jidx = jnp.arange(S2, dtype=jnp.int32)[None, :]

@@ -25,6 +25,8 @@ class MappingParams:
     max_anchors_per_position: int = 8  # -maxAnchorsPerPosition (shape bound)
     # ---- candidate interval selection ----
     n_candidates: int = 6             # -nCandidates (ref default 10)
+    n_dp_candidates: Optional[int] = None  # windows DP'd per read across both
+                                      # strands (default: n_candidates)
     best_n: int = 1                   # -bestn (ref default 10; 1 = primary)
     indel_rate: float = 0.3           # -indelRate
     # ---- scoring (minimization; SMRT defaults) ----
@@ -49,6 +51,11 @@ class MappingParams:
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     nproc: int = 1                    # host worker threads for IO/traceback
     scale_map_qv_by_align_length: bool = False
+
+    @property
+    def dp_candidates(self) -> int:
+        """Windows actually aligned per read (across strands)."""
+        return self.n_dp_candidates or self.n_candidates
 
     @property
     def num_dp_steps(self) -> int:

@@ -110,18 +110,18 @@ class HostBatchResult(NamedTuple):
     cand_valid: np.ndarray
 
 
-def unpack_result(res: MapBatchResult, n_candidates: int) -> HostBatchResult:
+def unpack_result(res: MapBatchResult, dp_candidates: int) -> HostBatchResult:
     sel = np.asarray(res.sel_ints)
     moves = np.asarray(res.moves_packed)
     rints = np.asarray(res.read_ints)
-    C2 = 2 * n_candidates
+    CD = dp_candidates
     fields = {name: sel[i] for i, name in enumerate(SEL_FIELDS)}
     fields["sel_valid"] = fields["sel_valid"].astype(bool)
     return HostBatchResult(
         moves_packed=moves,
         mapqv=rints[:, 0],
-        cand_scores=rints[:, 1 : 1 + C2],
-        cand_valid=rints[:, 1 + C2 : 1 + 2 * C2].astype(bool),
+        cand_scores=rints[:, 1 : 1 + CD],
+        cand_valid=rints[:, 1 + CD : 1 + 2 * CD].astype(bool),
         **fields,
     )
 
@@ -189,10 +189,26 @@ def _map_batch_impl(
         n_candidates=C, win=W, k=k,
     )                                                       # (2B, C)
 
-    d0 = jnp.clip(cand.d0, -L, G - 1)
-    t0 = d0 - params.target_pad // 2                        # (2B, C) global
-    t0f = t0.reshape(-1)                                    # (I,) I = 2B*C
-    I = 2 * B * C
+    # ---- cross-strand DP-candidate selection: keep only the CD best
+    # windows per read (by anchor weight) across both strands, so the DP
+    # runs on half the items the strand-expanded layout would imply.
+    # (Role of WeightedIntervalSet keeping top nCandidates across strands,
+    # FindMaxInterval.h:839 + Blasr.cpp:2422-2441 fwd+rev into one set.)
+    CD = params.n_dp_candidates or C
+    wgt2 = cand.weight.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    vld2 = cand.valid.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    wneg = jnp.where(vld2, wgt2, jnp.float32(-1.0))
+    topw, topj = jax.lax.top_k(wneg, CD)                    # (B, CD)
+    dp_strand = (topj // C).astype(jnp.int32)               # 0 fwd / 1 rc
+    dp_c = (topj % C).astype(jnp.int32)
+    b_ar = jnp.arange(B, dtype=jnp.int32)[:, None]
+    cand_item = (dp_strand * B + b_ar) * C + dp_c           # into (2B*C,) layout
+    cand_flat = cand_item.reshape(-1)                       # (I,) I = B*CD
+    I = B * CD
+
+    d0 = jnp.clip(cand.d0.reshape(-1)[cand_flat], -L, G - 1)
+    cvalid = (topw > 0.0).reshape(-1)
+    t0f = d0 - params.target_pad // 2                       # (I,) global
 
     gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad
     tcodes = genome_pad[gidx]                               # (I, T)
@@ -204,7 +220,7 @@ def _map_batch_impl(
     tlo = jnp.maximum(starts[ci] - t0f, 0).astype(jnp.int32)
     thi = jnp.minimum(starts[ci + 1] - t0f, T).astype(jnp.int32)
 
-    row = jnp.repeat(jnp.arange(2 * B, dtype=jnp.int32), C)
+    row = (dp_strand * B + b_ar).reshape(-1)                # (I,) strand row
     qitems = reads2[row]                                    # (I, L)
     qlens = lens2[row]
 
@@ -225,19 +241,15 @@ def _map_batch_impl(
         qitems, qlens, tcodes, tlo, thi, qoff,
         scores=scores_cfg, with_traceback=True, band_width=W,
     )
-    cvalid = cand.valid.reshape(-1)
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
 
-    # ---- per-read best_n selection across strands & candidates ----
-    # layout: item i = (strand s, read b, cand c) with s major
-    sc = cscore.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
-    sv = cvalid.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    # ---- per-read best_n selection over the DP'd candidates ----
+    sc = cscore.reshape(B, CD)
+    sv = cvalid.reshape(B, CD)
     neg = jnp.where(sv, -sc, jnp.int32(-(2**30)))
     topv, topi = jax.lax.top_k(neg, params.best_n)          # (B, best_n)
-    sel_strand = (topi // C).astype(jnp.int32)
-    sel_c = (topi % C).astype(jnp.int32)
-    sel_item = sel_strand * (B * C) + jnp.arange(B, dtype=jnp.int32)[:, None] * C + sel_c
-    sel_item = sel_item.reshape(-1)                         # (I2,)
+    sel_item = (b_ar * CD + topi).reshape(-1)               # (I2,) into DP items
+    sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
     sel_valid = (topv > -(2**30)).reshape(-1) & (topv.reshape(-1) > 0)
 
     # ---- MAPQ over all candidates of each read ----

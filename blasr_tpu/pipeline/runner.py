@@ -123,7 +123,7 @@ def _finalize_batch(
 ) -> tuple[list[AlignmentRecord], list[str]]:
     params = mapper.params
     seqdb = mapper.index.seqdb
-    res = unpack_result(device_res, params.n_candidates)
+    res = unpack_result(device_res, params.dp_candidates)
 
     scores = res.sel_score
     t0 = res.sel_t0.astype(np.int64)
