@@ -23,13 +23,20 @@ import numpy as np
 def build_suffix_array(codes: np.ndarray) -> np.ndarray:
     """Return int64 suffix array of ``codes`` (uint8 alphabet).
 
-    sa[i] = start position of the i-th smallest suffix.
+    sa[i] = start position of the i-th smallest suffix. Uses the native
+    SA-IS builder (blasr_tpu/native, linear time) when available; falls
+    back to the numpy prefix-doubling sort below.
     """
     n = int(len(codes))
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if n == 1:
         return np.zeros(1, dtype=np.int64)
+    from blasr_tpu import native
+
+    sa = native.sais(codes)
+    if sa is not None:
+        return sa
     rank = codes.astype(np.int64)
     k = 1
     while True:

@@ -22,24 +22,32 @@ def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:
     Name is the first whitespace-delimited token of the title line
     (matching reference FASTASequence::GetName()).
     """
+    from blasr_tpu import native
+
     with open(path, "rb") as f:
         data = f.read()
+    use_native = native.available()
     records: list[tuple[str, np.ndarray]] = []
-    name: str | None = None
-    chunks: list[bytes] = []
-    for line in data.split(b"\n"):
-        line = line.strip()
-        if not line:
-            continue
-        if line.startswith(b">"):
-            if name is not None:
-                records.append((name, seq_to_codes(b"".join(chunks))))
-            name = line[1:].split()[0].decode("ascii") if len(line) > 1 else ""
-            chunks = []
-        else:
-            chunks.append(line)
-    if name is not None:
-        records.append((name, seq_to_codes(b"".join(chunks))))
+
+    def encode(body: bytes) -> np.ndarray:
+        if use_native:
+            out = native.encode_strip(body)
+            if out is not None:
+                return out
+        return seq_to_codes(b"".join(body.split()))
+
+    # split on headers; the native encoder strips newlines/whitespace itself
+    pos = data.find(b">")
+    while pos >= 0:
+        eol = data.find(b"\n", pos)
+        if eol < 0:
+            eol = len(data)
+        title = data[pos + 1 : eol].strip()
+        name = title.split()[0].decode("ascii") if title else ""
+        nxt = data.find(b"\n>", eol)
+        body_end = len(data) if nxt < 0 else nxt + 1
+        records.append((name, encode(data[eol + 1 : body_end])))
+        pos = -1 if nxt < 0 else nxt + 1
     return records
 
 

@@ -1,0 +1,122 @@
+"""ctypes loader for the native host kernels (C++, see src/blasr_native.cpp).
+
+The shared library is built on demand with g++ (no pybind11 in the image;
+plain C ABI + ctypes keeps the binding layer trivial). Every entry point
+has a pure-numpy fallback so the framework works without a toolchain; the
+native path is the production one (index builds, ingest, CIGAR formatting).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "blasr_native.cpp")
+_SO = os.path.join(_DIR, "libblasr_native.so")
+
+_lib = None
+_lock = threading.Lock()
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             _SRC, "-o", _SO],
+            check=True, capture_output=True, timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("BLASR_TPU_NO_NATIVE"):
+            return None
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC) and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.bn_sais_i64.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.bn_sais_i64.restype = ctypes.c_int
+        lib.bn_sais_i32.argtypes = [u8p, ctypes.c_int32, i32p]
+        lib.bn_sais_i32.restype = ctypes.c_int
+        lib.bn_encode_strip.argtypes = [ctypes.c_char_p, ctypes.c_int64, u8p]
+        lib.bn_encode_strip.restype = ctypes.c_int64
+        lib.bn_moves_to_cigar.argtypes = [u8p, ctypes.c_int64, u8p, i32p]
+        lib.bn_moves_to_cigar.restype = ctypes.c_int64
+        lib.bn_unpack_moves.argtypes = [u8p, ctypes.c_int64, u8p]
+        lib.bn_unpack_moves.restype = None
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def sais(codes: np.ndarray) -> np.ndarray | None:
+    """Suffix array via native SA-IS; None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(len(codes))
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    if n < 2**31:
+        sa = np.empty(n, np.int32)
+        lib.bn_sais_i32(codes, n, sa)
+        return sa.astype(np.int64)
+    sa = np.empty(n, np.int64)
+    lib.bn_sais_i64(codes, n, sa)
+    return sa
+
+
+def encode_strip(data: bytes) -> np.ndarray | None:
+    """ASCII sequence bytes -> codes (whitespace skipped); None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(len(data), np.uint8)
+    m = lib.bn_encode_strip(data, len(data), out)
+    return out[:m].copy()
+
+
+def moves_to_cigar(packed_row: np.ndarray, nops: int):
+    """(ops, lens) forward-order run-length CIGAR; None if no lib."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed_row = np.ascontiguousarray(packed_row, dtype=np.uint8)
+    op_out = np.empty(max(nops, 1), np.uint8)
+    len_out = np.empty(max(nops, 1), np.int32)
+    n = lib.bn_moves_to_cigar(packed_row, nops, op_out, len_out)
+    return op_out[:n], len_out[:n]
+
+
+def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    packed_row = np.ascontiguousarray(packed_row, dtype=np.uint8)
+    out = np.empty(max(nops, 1), np.uint8)
+    lib.bn_unpack_moves(packed_row, nops, out)
+    return out[:nops]

@@ -204,6 +204,11 @@ def walk_arrows_device(
 
 def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray:
     """Host-side: unpack one move string to START->END op order (uint8)."""
+    from blasr_tpu import native
+
+    out = native.unpack_moves(packed_row, nops)
+    if out is not None:
+        return out
     b = packed_row[:, None] >> np.array([0, 2, 4, 6], np.uint8)[None, :]
     ops_rev = (b & 3).reshape(-1)[:nops]
     return ops_rev[::-1].copy()

@@ -60,15 +60,16 @@ class AlignmentPath:
 
     def cigar_runs(self) -> list[tuple[str, int]]:
         """Run-length encoded ops as (op_char, length), M/I/D."""
-        out: list[tuple[str, int]] = []
+        ops = np.asarray(self.ops)
+        if ops.size == 0:
+            return []
         chars = {OP_M: "M", OP_I: "I", OP_D: "D"}
-        for op in self.ops:
-            c = chars[int(op)]
-            if out and out[-1][0] == c:
-                out[-1] = (c, out[-1][1] + 1)
-            else:
-                out.append((c, 1))
-        return out
+        ends = np.flatnonzero(np.diff(ops)) + 1
+        bounds = np.concatenate(([0], ends, [ops.size]))
+        return [
+            (chars[int(ops[bounds[i]])], int(bounds[i + 1] - bounds[i]))
+            for i in range(len(bounds) - 1)
+        ]
 
 
 def walk_traceback(
