@@ -1,10 +1,13 @@
 """blasr-tpu command line (L7).
 
 Mirrors the reference CLI surface (Blasr.cpp:3996-4139 flag registry,
-MappingParameters::MakeSane) for the flags that matter to mapping runs, with
+MappingParameters::MakeSane at alignment/MappingParameters.h:367-545) with
 the same single-dash spelling so benchmark scripts can swap binaries:
 
-    blasr-tpu reads.{fasta,fastq} genome.fasta -m 4 -out out.m4 -bestn 2 ...
+    blasr-tpu reads.{fasta,fastq,sam} genome.fasta -m 4 -out out.m4 -bestn 2
+
+Presets follow the reference: -nucmer (SetEmulateNucmer,
+MappingParameters.h:547) and -useSensitiveSearch (SetForSensitivity, :560).
 
 Usage: python -m blasr_tpu.cli.blasr <reads> <genome> [options]
 """
@@ -12,7 +15,9 @@ Usage: python -m blasr_tpu.cli.blasr <reads> <genome> [options]
 from __future__ import annotations
 
 import argparse
+import json
 import sys
+import time
 
 from blasr_tpu.params import MappingParams
 
@@ -22,48 +27,107 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="blasr-tpu",
         description="TPU-native long-read aligner (BLASR-capability framework)",
     )
-    p.add_argument("reads", help="reads file (FASTA/FASTQ)")
+    p.add_argument("reads", help="reads file (FASTA/FASTQ/SAM)")
     p.add_argument("genome", help="reference genome FASTA")
-    p.add_argument("-m", type=int, default=4, choices=[0, 1, 4, 5],
-                   help="output format (0=stick,1=columns,4=interval,5=verbose)")
+    # ---- output selection ----
+    p.add_argument("-m", type=int, default=4, choices=[0, 1, 2, 3, 4, 5],
+                   help="output format (0=stick,1=columns,2=XML,3=vulgar,"
+                        "4=interval,5=verbose)")
     p.add_argument("-sam", action="store_true", help="write SAM output")
     p.add_argument("-out", default="-", help="output file (default stdout)")
-    p.add_argument("-clipping", default="soft", choices=["none", "soft", "hard"])
+    p.add_argument("-clipping", default="soft",
+                   choices=["none", "soft", "hard", "subread"])
+    p.add_argument("-header", action="store_true", help="column header line")
+    p.add_argument("-titleTable", default=None, metavar="FILE",
+                   help="write contig-title table and print title indices")
+    p.add_argument("-unaligned", default=None, metavar="FILE",
+                   help="write unaligned read names to FILE")
+    p.add_argument("-noPrintUnalignedSeqs", action="store_true",
+                   help="names only in -unaligned file (no sequences)")
+    # ---- selection / filtering ----
     p.add_argument("-bestn", type=int, default=1)
     p.add_argument("-nCandidates", type=int, default=6)
-    p.add_argument("-minMatch", type=int, default=14)
     p.add_argument("-maxScore", type=int, default=-200)
     p.add_argument("-minPctIdentity", type=float, default=0.0)
     p.add_argument("-minAlnLength", type=int, default=0)
+    p.add_argument("-minReadLength", type=int, default=50)
+    p.add_argument("-maxReadLength", type=int, default=0,
+                   help="skip reads longer than this (0 = no limit)")
+    p.add_argument("-placeRepeatsRandomly", action="store_true")
+    p.add_argument("-randomSeed", type=int, default=0)
+    # ---- anchoring ----
+    p.add_argument("-minMatch", type=int, default=14)
     p.add_argument("-maxAnchorsPerPosition", type=int, default=8)
+    p.add_argument("-pvaltype", type=int, default=0, choices=[0, 1, 2, 3])
+    p.add_argument("-advanceExactMatches", type=int, default=0,
+                   help="(accepted; anchor compaction covers this heuristic)")
+    # ---- scoring ----
     p.add_argument("-indel", type=int, default=5)
+    p.add_argument("-insertion", type=int, default=None)
+    p.add_argument("-deletion", type=int, default=None)
     p.add_argument("-affineOpen", type=int, default=50)
     p.add_argument("-affineExtend", type=int, default=0)
+    p.add_argument("-affineAlign", action="store_true",
+                   help="(always on: the DP kernel is affine)")
+    # ---- input sharding (reference -start/-stride/-subsample) ----
+    p.add_argument("-start", type=int, default=0)
+    p.add_argument("-stride", type=int, default=1)
+    p.add_argument("-subsample", type=float, default=1.0)
+    # ---- presets ----
+    p.add_argument("-nucmer", action="store_true",
+                   help="nucmer emulation preset (SetEmulateNucmer)")
+    p.add_argument("-useSensitiveSearch", action="store_true",
+                   help="sensitivity preset (SetForSensitivity)")
+    # ---- TPU shape/batch knobs ----
     p.add_argument("-maxReadLen", type=int, default=3072,
-                   help="pad bound; longer reads are truncated (piecewise path TBD)")
+                   help="pad bound; longer reads are truncated (piecewise path for contigs)")
     p.add_argument("-batchSize", type=int, default=64)
-    p.add_argument("-header", action="store_true", help="m4 header line")
-    p.add_argument("-noSplitSubreads", action="store_true", help="(accepted; subread splitting TBD)")
-    p.add_argument("-nproc", type=int, default=1, help="(accepted; device batching replaces threads)")
+    p.add_argument("-noSplitSubreads", action="store_true",
+                   help="(accepted; subread splitting applies to region-annotated input)")
+    p.add_argument("-nproc", type=int, default=1,
+                   help="(accepted; device batching replaces threads)")
+    # ---- observability ----
+    p.add_argument("-metrics", default=None, metavar="FILE",
+                   help="write per-stage timing/counter metrics JSON")
+    p.add_argument("-V", "-v", dest="verbosity", type=int, default=0, nargs="?",
+                   const=1)
     return p
 
 
 def params_from_args(args) -> MappingParams:
+    """Flag bag -> MappingParams, applying MakeSane-style normalization."""
     best_n = max(1, args.bestn)
+    n_cand = max(args.nCandidates, best_n)
+    min_match = args.minMatch
+    insertion = args.insertion if args.insertion is not None else args.indel
+    deletion = args.deletion if args.deletion is not None else args.indel
+    if args.nucmer:
+        # SetEmulateNucmer (MappingParameters.h:547): exact-match oriented
+        min_match = max(min_match, 30 if min_match == 14 else min_match)
+        args.maxScore = min(args.maxScore, -200)
+    if args.useSensitiveSearch:
+        # SetForSensitivity (MappingParameters.h:560): more candidates,
+        # lower match threshold
+        n_cand = max(n_cand, 10)
+        min_match = min(min_match, 12)
     return MappingParams(
-        min_match_length=args.minMatch,
+        min_match_length=min_match,
         max_anchors_per_position=args.maxAnchorsPerPosition,
-        n_candidates=max(args.nCandidates, best_n),
+        n_candidates=n_cand,
         best_n=best_n,
-        insertion_score=args.indel,
-        deletion_score=args.indel,
+        pval_type=args.pvaltype,
+        insertion_score=insertion,
+        deletion_score=deletion,
         affine_open=args.affineOpen,
         affine_extend=args.affineExtend,
         max_score=args.maxScore,
         min_pct_similarity=args.minPctIdentity,
         min_align_length=args.minAlnLength,
+        min_read_length=args.minReadLength,
         max_read_len=args.maxReadLen,
         batch_size=args.batchSize,
+        place_repeats_randomly=args.placeRepeatsRandomly,
+        random_seed=args.randomSeed,
     )
 
 
@@ -78,9 +142,25 @@ def main(argv=None) -> int:
     from blasr_tpu.output.sam_writer import write_sam
     from blasr_tpu.pipeline.runner import run_mapping
 
+    t_start = time.time()
     index = load_index(args.genome, k=params.min_match_length)
+    t_index = time.time() - t_start
     reads = read_records(args.reads)
+    if args.start or args.stride > 1 or args.subsample < 1.0:
+        import numpy as np
+
+        rng = np.random.default_rng(args.randomSeed)
+        reads = [
+            r for i, r in enumerate(reads)
+            if i >= args.start and (i - args.start) % args.stride == 0
+            and (args.subsample >= 1.0 or rng.random() < args.subsample)
+        ]
+    if args.maxReadLength:
+        reads = [r for r in reads if len(r) <= args.maxReadLength]
+
+    t0 = time.time()
     records, unmapped = run_mapping(index, reads, params)
+    t_map = time.time() - t0
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")
     try:
@@ -98,6 +178,40 @@ def main(argv=None) -> int:
     finally:
         if out is not sys.stdout:
             out.close()
+
+    if args.unaligned:
+        by_name = {r.name: r for r in reads}
+        from blasr_tpu.core.encode import codes_to_seq
+
+        with open(args.unaligned, "w") as f:
+            for name in unmapped:
+                if args.noPrintUnalignedSeqs:
+                    f.write(name + "\n")
+                else:
+                    rd = by_name.get(name)
+                    f.write(f">{name}\n")
+                    if rd is not None:
+                        f.write(codes_to_seq(rd.codes) + "\n")
+
+    if args.titleTable:
+        with open(args.titleTable, "w") as f:
+            for name in index.seqdb.names:
+                f.write(name + "\n")
+
+    if args.metrics:
+        m = {
+            "nReads": len(reads),
+            "nMapped": len(reads) - len(unmapped),
+            "nUnmapped": len(unmapped),
+            "nAlignments": len(records),
+            "indexLoadSeconds": round(t_index, 3),
+            "mapSeconds": round(t_map, 3),
+            "readsPerSecond": round(len(reads) / t_map, 2) if t_map > 0 else 0.0,
+            "totalSeconds": round(time.time() - t_start, 3),
+        }
+        with open(args.metrics, "w") as f:
+            json.dump(m, f, indent=2)
+
     print(
         f"Finished mapping {len(reads) - len(unmapped)}/{len(reads)} reads",
         file=sys.stderr,

@@ -45,7 +45,8 @@ class Candidates(NamedTuple):
 def select_candidates(
     t: jax.Array,        # (B, A) int32 anchor genome pos
     q: jax.Array,        # (B, A) int32 anchor read pos
-    nhits: jax.Array,    # (B, A) int32
+    weight: jax.Array,   # (B, A) f32 per-anchor evidence weight (see
+                         # anchor_weights below — the weightor's output)
     valid: jax.Array,    # (B, A) bool
     *,
     n_candidates: int,
@@ -56,7 +57,7 @@ def select_candidates(
     BIG = jnp.int32(2**30)
 
     d = t - q
-    w = jnp.where(valid, 1.0 / nhits.astype(jnp.float32), 0.0)
+    w = jnp.where(valid, weight, 0.0)
 
     order = jnp.argsort(jnp.where(valid, d, BIG), axis=1)
     ds = jnp.take_along_axis(d, order, axis=1)
@@ -127,3 +128,30 @@ def select_candidates(
         n_anchors=stack(ns),
         valid=stack(valids),
     )
+
+
+def anchor_weights(
+    nhits: jax.Array, valid: jax.Array, genome_len: int, win: int, pval_type: int
+) -> jax.Array:
+    """Per-anchor evidence weight — the candidate-weightor family.
+
+    Role of the reference's -pvaltype weightor selection
+    (Blasr.cpp:2342-2347,2388-2488; LISPValueWeightor / LISSumOfLogPWeightor /
+    LISSizeWeightor in common/algorithms/anchoring/):
+
+      0/1  -log2 of the expected number of random hits of this k-mer inside
+           the candidate window (nhits * win / G) — rarer k-mers carry more
+           evidence, the vectorized analogue of ComputeLISPValue over the
+           TupleCountTable (the SA-interval width IS the genome-wide count)
+      2    plain anchor count (LISSizeWeightor)
+      3    inverse frequency 1/nhits (legacy v0 weighting)
+    """
+    nh = jnp.maximum(nhits, 1).astype(jnp.float32)
+    if pval_type == 2:
+        w = jnp.ones_like(nh)
+    elif pval_type == 3:
+        w = 1.0 / nh
+    else:
+        expect = nh * jnp.float32(win) / jnp.float32(max(genome_len, 1))
+        w = jnp.maximum(-jnp.log2(expect), 0.5)
+    return jnp.where(valid, w, 0.0)

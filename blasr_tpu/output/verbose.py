@@ -103,7 +103,94 @@ def write_verbose(
         rd = by_name.get(rec.qname)
         if fmt == 1:
             out.write(format_m1(rec) + "\n")
-        elif fmt == 0 and rd is not None:
+        elif fmt == 3:
+            out.write(format_m3(rec) + "\n")
+        elif rd is None:
+            continue
+        elif fmt == 0:
             out.write(format_m0(rec, rd, index) + "\n")
-        elif rd is not None:
+        elif fmt == 2:
+            out.write(format_m2(rec, rd, index) + "\n")
+        else:
             out.write(format_m5(rec, rd, index) + "\n")
+
+
+def format_m2(rec: AlignmentRecord, read: Read, index: GenomeIndex) -> str:
+    """-m 2 XML output (role of XMLAlignmentPrinter.h CompareXMLPrintAlignment).
+
+    Field semantics follow the reference: query start/end in the reported
+    strand orientation, percent fields use n*0.5/alignLength, and the
+    alignment strings carry gap dashes.
+    """
+    p = rec.path
+    assert p is not None
+    qstr, mstr, tstr = alignment_strings(rec, read, index)
+    aln_len = max(len(mstr), 1)
+    strand = "+-"[rec.tstrand]
+    lines = [
+        (
+            f'<hit name="{rec.qname}" unalignedLength="{rec.qlength}" '
+            f'start="{rec.qstart}" end="{rec.qend}" strand="{"+-"[rec.qstrand]}" '
+            f'targetStart="{rec.tstart}" targetEnd="{rec.tend}" '
+            f'targetStrand="{strand}">'
+        ),
+        f'<zScore value="{0.0:.3f}"/>',
+        f'<nInsert value="{p.n_ins}" percent="{p.n_ins * 0.5 / aln_len:.2f}" />',
+        f'<nDelete value="{p.n_del}" percent="{p.n_del * 0.5 / aln_len:.2f}" />',
+        (
+            f'<nMismatch value="{p.n_mismatch}" '
+            f'percent="{p.n_mismatch * 0.5 / aln_len:.2f}" />'
+        ),
+        f'<nCorrect value="{p.n_match}" percent="{p.n_match * 0.5 / aln_len:.2f}" />',
+        "<alignment><query>",
+        qstr,
+        "</query><target>",
+        tstr,
+        "</target></alignment>",
+        "</hit>",
+    ]
+    return "\n".join(lines)
+
+
+def format_m3(rec: AlignmentRecord) -> str:
+    """-m 3 VULGAR string (role of VulgarAlignmentPrinter.h CreateVulgarString).
+
+    Reproduces the reference's block walk: simultaneous insertion+deletion
+    between two match blocks is folded into the preceding M run (cGap), then
+    a single D or I run is emitted.
+    """
+    p = rec.path
+    assert p is not None
+    runs = p.cigar_runs()
+    if not runs:
+        return ""
+    # collapse to (M-len, tGap, qGap) block gaps like the reference's blocks
+    blocks: list[int] = []
+    gaps: list[tuple[int, int]] = []  # (tGap=del, qGap=ins) after each block
+    cur_t = cur_q = 0
+    for op, ln in runs:
+        if op == "M":
+            blocks.append(ln)
+            gaps.append((0, 0))
+        elif not blocks:
+            continue  # leading gap outside any block: reference has none
+        elif op == "D":
+            t, q = gaps[-1]
+            gaps[-1] = (t + ln, q)
+        else:
+            t, q = gaps[-1]
+            gaps[-1] = (t, q + ln)
+    # merge consecutive M runs produced by dropped leading gaps
+    out: list[str] = []
+    for b in range(len(blocks) - 1):
+        t_gap, q_gap = gaps[b]
+        c_gap = abs(t_gap - q_gap) if (t_gap > 0 and q_gap > 0) else 0
+        t_gap -= c_gap
+        q_gap -= c_gap
+        out.append(f" M {blocks[b] + c_gap}")
+        if t_gap > 0:
+            out.append(f" D {t_gap}")
+        else:
+            out.append(f" I {q_gap}")
+    out.append(f" M {blocks[-1]}")
+    return "".join(out)

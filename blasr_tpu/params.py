@@ -25,6 +25,8 @@ class MappingParams:
     max_anchors_per_position: int = 8  # -maxAnchorsPerPosition (shape bound)
     # ---- candidate interval selection ----
     n_candidates: int = 6             # -nCandidates (ref default 10)
+    pval_type: int = 0                # -pvaltype: 0/1 log-pvalue, 2 size,
+                                      # 3 legacy inverse-frequency
     n_dp_candidates: Optional[int] = None  # windows DP'd per read across both
                                       # strands (default: n_candidates)
     best_n: int = 1                   # -bestn (ref default 10; 1 = primary)
@@ -39,6 +41,9 @@ class MappingParams:
     max_score: int = -200             # -maxScore: report only score <= this
     min_pct_similarity: float = 0.0   # -minPctIdentity
     min_align_length: int = 0         # -minAlnLength
+    min_read_length: int = 50         # -minReadLength (ref default 50)
+    place_repeats_randomly: bool = False  # -placeRepeatsRandomly
+    random_seed: int = 0              # -randomSeed
     # ---- TPU shape bounds (static; chosen per batch bucket) ----
     max_read_len: int = 2048          # padded query length L
     band_width: int = 128             # DP band (lane dim multiple of 128)

@@ -30,7 +30,7 @@ from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.ops.anchors import find_anchors
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
-from blasr_tpu.ops.candidates import select_candidates
+from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 from blasr_tpu.ops.mapqv import map_qv
 from blasr_tpu.ops.traceback_device import walk_arrows_device
 from blasr_tpu.params import MappingParams
@@ -184,8 +184,9 @@ def _map_batch_impl(
     )
 
     # ---- candidate windows ----
+    aw = anchor_weights(anh, avalid, G, W, params.pval_type)
     cand = select_candidates(
-        at, aq, anh, avalid,
+        at, aq, aw, avalid,
         n_candidates=C, win=W, k=k,
     )                                                       # (2B, C)
 

@@ -71,6 +71,12 @@ def run_mapping(
     mapper = Mapper(index, params)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
+    if params.min_read_length > 0:
+        # reference length filter (Blasr.cpp:3327-3343): short reads are
+        # reported unaligned without entering the pipeline
+        short = [r for r in reads if len(r) < params.min_read_length]
+        unmapped.extend(r.name for r in short)
+        reads = [r for r in reads if len(r) >= params.min_read_length]
     inflight: deque = deque()
 
     def drain_one():
@@ -86,7 +92,14 @@ def run_mapping(
     while inflight:
         drain_one()
     order = {r.name: i for i, r in enumerate(reads)}
-    out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
+    if params.place_repeats_randomly:
+        # -placeRepeatsRandomly (Blasr.cpp:3041-3086): tied-best alignments
+        # of a read are ordered uniformly at random (deterministic per seed)
+        rng = np.random.default_rng(params.random_seed)
+        tie = {id(a): rng.random() for a in out}
+        out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score, tie[id(a)]))
+    else:
+        out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
     return out, unmapped
 
 
