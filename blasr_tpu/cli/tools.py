@@ -1,0 +1,240 @@
+"""Satellite tools (L8) — one multi-command CLI.
+
+Roles of the reference satellite executables that remain relevant without
+HDF5 (SURVEY.md §2.10):
+
+  samtom4     pbihdfutils/SamToM4.cpp   — SAM -> m4 interval format
+  samfilter   pbihdfutils/SamFilter.cpp — filter SAM by score/identity/length
+  ctab        alignment/PrintTupleCountTable.cpp + TupleCountTable.h —
+              genome k-mer count table (built on the fly, printed or saved)
+  shredder    sequtils/SimpleShredder   — shred a genome into reads
+  evolve      sequtils/Evolve.cpp       — mutate a genome (test data)
+  wordcount   alignment/WordCounter.cpp — top-N k-mer frequencies
+
+Usage: python -m blasr_tpu.cli.tools <command> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _cmd_samtom4(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools samtom4")
+    p.add_argument("sam")
+    p.add_argument("-out", default="-")
+    p.add_argument("-header", action="store_true")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.sam import read_sam
+
+    sam = read_sam(args.sam)
+    ref_lens = sam.ref_lengths
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    if args.header:
+        out.write(
+            "qname tname score pctsimilarity qstrand qstart qend qseqlength "
+            "tstrand tstart tend tseqlength mapqv ncells\n"
+        )
+    for rec in sam.records:
+        if rec.is_unmapped:
+            continue
+        qstart, qend, tlen, qlen = rec.aligned_lengths()
+        tstart = rec.pos - 1
+        tend = tstart + tlen
+        tlength = ref_lens.get(rec.rname, 0)
+        score = int(rec.tags.get("AS", 0))
+        nm = int(rec.tags.get("NM", 0))
+        nmatch_est = sum(n for op, n in rec.cigar_runs() if op in "M=")
+        denom = max(nmatch_est + nm, 1)
+        pct = 100.0 * max(nmatch_est - nm, 0) / denom
+        strand = 1 if rec.is_reverse else 0
+        if strand == 1:
+            # m4 convention: reverse-strand target interval in RC coords
+            tstart, tend = tlength - tend, tlength - tstart
+        out.write(
+            f"{rec.qname} {rec.rname} {score} {pct:.4f} 0 {qstart} {qend} "
+            f"{qlen} {strand} {tstart} {tend} {tlength} {rec.mapq} 0\n"
+        )
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _cmd_samfilter(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools samfilter")
+    p.add_argument("sam")
+    p.add_argument("-out", default="-")
+    p.add_argument("-maxScore", type=int, default=0)
+    p.add_argument("-minPctIdentity", type=float, default=0.0)
+    p.add_argument("-minAlnLength", type=int, default=0)
+    p.add_argument("-minMapQV", type=int, default=0)
+    args = p.parse_args(argv)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    from blasr_tpu.io.sam import _CIGAR_RE  # reuse parse regex
+
+    with open(args.sam) as f:
+        for line in f:
+            if line.startswith("@"):
+                out.write(line)
+                continue
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 11:
+                continue
+            flag = int(fields[1])
+            if flag & 4:
+                continue
+            if int(fields[4]) < args.minMapQV:
+                continue
+            tags = dict(
+                (t.split(":", 2)[0], t.split(":", 2)[2])
+                for t in fields[11:]
+                if t.count(":") >= 2
+            )
+            score = int(tags.get("AS", 0))
+            if args.maxScore and score > args.maxScore:
+                continue
+            runs = [
+                (op.decode(), int(n))
+                for n, op in _CIGAR_RE.findall(fields[5].encode())
+            ]
+            aln_len = sum(n for op, n in runs if op in "M=XID")
+            if aln_len < args.minAlnLength:
+                continue
+            nmatch = sum(n for op, n in runs if op in "M=")
+            nm = int(tags.get("NM", 0))
+            pct = 100.0 * max(nmatch - nm, 0) / max(nmatch + nm, 1)
+            if pct < args.minPctIdentity:
+                continue
+            out.write(line)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _cmd_ctab(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools ctab")
+    p.add_argument("genome")
+    p.add_argument("-wordsize", type=int, default=8)
+    p.add_argument("-out", default="-", help="'-' prints text; else .npy")
+    p.add_argument("-minCount", type=int, default=0,
+                   help="print only k-mers with count > this")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.index.artifacts import build_count_table
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome, _ = load_genome(args.genome)
+    counts = build_count_table(genome, args.wordsize)
+    if args.out == "-":
+        k = args.wordsize
+        for key in np.flatnonzero(counts > args.minCount):
+            codes = (key >> (2 * np.arange(k - 1, -1, -1))) & 3
+            print(codes_to_seq(codes.astype(np.uint8)), int(counts[key]))
+    else:
+        np.save(args.out, counts)
+        print(f"wrote {args.out}: 4^{args.wordsize} counts", file=sys.stderr)
+    return 0
+
+
+def _cmd_shredder(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools shredder")
+    p.add_argument("genome")
+    p.add_argument("-out", default="-")
+    p.add_argument("-readLength", type=int, default=1000)
+    p.add_argument("-coverage", type=float, default=1.0)
+    p.add_argument("-seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.io.seqdb import load_genome
+    from blasr_tpu.sim import shred_genome
+
+    genome, seqdb = load_genome(args.genome)
+    reads = shred_genome(
+        genome, seqdb, args.readLength, args.coverage, seed=args.seed
+    )
+    if args.out == "-":
+        from blasr_tpu.core.encode import codes_to_seq
+
+        for name, codes in reads:
+            print(f">{name}")
+            print(codes_to_seq(codes))
+    else:
+        write_fasta(args.out, reads)
+    return 0
+
+
+def _cmd_evolve(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools evolve")
+    p.add_argument("genome")
+    p.add_argument("-out", default="evolved.fasta")
+    p.add_argument("-sub", type=float, default=0.01)
+    p.add_argument("-ins", type=float, default=0.005)
+    p.add_argument("-del", dest="dele", type=float, default=0.005)
+    p.add_argument("-seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+    from blasr_tpu.sim import evolve_sequence
+
+    out_recs = []
+    for name, codes in read_fasta(args.genome):
+        mutated, _ = evolve_sequence(
+            codes, args.sub, args.ins, args.dele, seed=args.seed
+        )
+        out_recs.append((name, mutated))
+    write_fasta(args.out, out_recs)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def _cmd_wordcount(argv) -> int:
+    p = argparse.ArgumentParser(prog="tools wordcount")
+    p.add_argument("fasta")
+    p.add_argument("-wordsize", type=int, default=8)
+    p.add_argument("-top", type=int, default=20)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.index.artifacts import build_count_table
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome, _ = load_genome(args.fasta)
+    counts = build_count_table(genome, args.wordsize)
+    top = np.argsort(counts)[::-1][: args.top]
+    k = args.wordsize
+    for key in top:
+        if counts[key] == 0:
+            break
+        codes = (int(key) >> (2 * np.arange(k - 1, -1, -1))) & 3
+        print(codes_to_seq(codes.astype(np.uint8)), int(counts[key]))
+    return 0
+
+
+COMMANDS = {
+    "samtom4": _cmd_samtom4,
+    "samfilter": _cmd_samfilter,
+    "ctab": _cmd_ctab,
+    "shredder": _cmd_shredder,
+    "evolve": _cmd_evolve,
+    "wordcount": _cmd_wordcount,
+}
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in COMMANDS:
+        print(f"usage: python -m blasr_tpu.cli.tools {{{','.join(COMMANDS)}}} ...",
+              file=sys.stderr)
+        return 2
+    return COMMANDS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -112,3 +112,19 @@ def load_index(genome_path: str, k: int = 14, cache: bool = True) -> GenomeIndex
         except OSError:
             pass
     return idx
+
+
+def build_count_table(genome: np.ndarray, k: int = 8) -> np.ndarray:
+    """Dense 4^k genome k-mer count table.
+
+    Role of reference ``TupleCountTable`` (datastructures/tuplelists/
+    TupleCountTable.h:11-90, built on the fly at Blasr.cpp:4479-4483): the
+    background k-mer frequency model behind anchor p-values. The mapping
+    pipeline gets the same information from SA-interval widths at the full
+    anchor length; this dense table serves the satellite tools and the
+    explicit-ctab workflow.
+    """
+    keys, valid = pack_kmers(genome, k)
+    return np.bincount(keys[valid].astype(np.int64), minlength=4**k).astype(
+        np.int32
+    )

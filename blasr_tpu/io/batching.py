@@ -65,11 +65,17 @@ def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
             fmt = "fastq"
         elif low.endswith((".fa", ".fasta", ".fsta", ".fna")):
             fmt = "fasta"
+        elif low.endswith(".sam"):
+            fmt = "sam"
         else:
             # sniff first byte
             with open(path, "rb") as f:
                 first = f.read(1)
             fmt = "fastq" if first == b"@" else "fasta"
+    if fmt == "sam":
+        from blasr_tpu.io.sam import read_sam, sam_records_to_reads
+
+        return sam_records_to_reads(read_sam(path))
     if fmt == "fastq":
         return [
             Read(name, codes, qual, i)

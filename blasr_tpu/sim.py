@@ -73,3 +73,67 @@ def parse_truth(name: str) -> tuple[int, int, int]:
     """Decode (start, end, strand) from a simulated read title."""
     parts = name.split("|")
     return int(parts[2]), int(parts[3]), int(parts[4])
+
+
+def shred_genome(
+    genome: np.ndarray,
+    seqdb,
+    read_length: int,
+    coverage: float = 1.0,
+    seed: int = 0,
+) -> list[tuple[str, np.ndarray]]:
+    """Shred a genome into error-free reads (role of sequtils simpleShredder).
+
+    Tiles each contig with reads of ``read_length``; coverage > 1 adds
+    additional randomly-offset passes.
+    """
+    rng = np.random.default_rng(seed)
+    out: list[tuple[str, np.ndarray]] = []
+    starts = seqdb.starts
+    idx = 0
+    n_pass = max(1, int(np.ceil(coverage)))
+    for ci, name in enumerate(seqdb.names):
+        lo, hi = int(starts[ci]), int(starts[ci + 1])
+        for p in range(n_pass):
+            ofs = 0 if p == 0 else int(rng.integers(0, read_length))
+            for s in range(lo + ofs, hi, read_length):
+                e = min(s + read_length, hi)
+                if e - s < read_length // 4:
+                    continue
+                out.append((f"shred/{idx}|{name}|{s - lo}|{e - lo}|0",
+                            genome[s:e].copy()))
+                idx += 1
+    return out
+
+
+def evolve_sequence(
+    codes: np.ndarray,
+    sub_rate: float,
+    ins_rate: float,
+    del_rate: float,
+    seed: int = 0,
+) -> tuple[np.ndarray, dict]:
+    """Mutate a sequence (role of sequtils/Evolve.cpp): substitutions,
+    insertions and deletions at the given per-base rates. Returns the
+    mutated sequence and mutation counts."""
+    rng = np.random.default_rng(seed)
+    n = len(codes)
+    r = rng.random(n)
+    keep = r >= del_rate
+    seg = codes[keep]
+    r2 = rng.random(len(seg))
+    subs = (r2 < sub_rate) & (seg < 4)
+    seg = np.where(
+        subs, (seg + rng.integers(1, 4, len(seg))) % 4, seg
+    ).astype(np.uint8)
+    n_ins = rng.binomial(len(seg), ins_rate)
+    if n_ins:
+        pos = np.sort(rng.integers(0, len(seg) + 1, n_ins))
+        ins = rng.integers(0, 4, n_ins).astype(np.uint8)
+        seg = np.insert(seg, pos, ins)
+    stats = {
+        "n_sub": int(subs.sum()),
+        "n_del": int(n - keep.sum()),
+        "n_ins": int(n_ins),
+    }
+    return seg, stats

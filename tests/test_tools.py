@@ -1,0 +1,110 @@
+"""Satellite tools + SAM reader tests (L8/L1)."""
+
+import numpy as np
+import pytest
+
+from blasr_tpu.core.encode import codes_to_seq
+from blasr_tpu.io.fasta import write_fasta
+from blasr_tpu.io.sam import read_sam, sam_records_to_reads
+from blasr_tpu.io.seqdb import load_genome
+from blasr_tpu.sim import evolve_sequence, shred_genome, simulate_genome
+
+
+@pytest.fixture(scope="module")
+def genome_fa(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tools")
+    g = simulate_genome(30_000, seed=1)
+    path = str(d / "g.fa")
+    write_fasta(path, [("c1", g[:20_000]), ("c2", g[20_000:])])
+    return path
+
+
+def test_count_table(genome_fa):
+    from blasr_tpu.index.artifacts import build_count_table
+
+    genome, _ = load_genome(genome_fa)
+    k = 6
+    counts = build_count_table(genome, k)
+    assert counts.shape == (4**k,)
+    # spot-check one k-mer against a direct scan
+    key = 0b101101001110
+    kmer = np.array([(key >> (2 * i)) & 3 for i in range(k - 1, -1, -1)], np.uint8)
+    direct = sum(
+        1
+        for i in range(len(genome) - k + 1)
+        if np.array_equal(genome[i : i + k], kmer)
+    )
+    assert counts[key] == direct
+
+
+def test_shredder_tiles_genome(genome_fa):
+    genome, seqdb = load_genome(genome_fa)
+    reads = shred_genome(genome, seqdb, 1000, coverage=1.0)
+    total = sum(len(c) for _, c in reads)
+    assert total == len(genome)  # exact tiling at coverage 1
+    # titles encode contig-local truth
+    name, codes = reads[0]
+    assert name.startswith("shred/0|c1|0|1000")
+    np.testing.assert_array_equal(codes, genome[:1000])
+
+
+def test_evolve_rates():
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 50_000).astype(np.uint8)
+    out, stats = evolve_sequence(codes, 0.02, 0.01, 0.01, seed=5)
+    assert abs(stats["n_sub"] / 50_000 - 0.02) < 0.005
+    assert abs(stats["n_del"] / 50_000 - 0.01) < 0.005
+    assert abs(stats["n_ins"] / 50_000 - 0.01) < 0.005
+    assert abs(len(out) - 50_000) < 1000
+
+
+def test_sam_roundtrip(tmp_path, genome_fa):
+    """Map shredded reads -> SAM -> re-read as input reads."""
+    from blasr_tpu.index.artifacts import load_index
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.output.sam_writer import write_sam
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+
+    genome, seqdb = load_genome(genome_fa)
+    reads_fa = str(tmp_path / "r.fa")
+    write_fasta(reads_fa, shred_genome(genome, seqdb, 600)[:8])
+    index = load_index(genome_fa, k=12, cache=False)
+    reads = read_records(reads_fa)
+    params = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=12,
+    )
+    records, unmapped = run_mapping(index, reads, params)
+    assert not unmapped
+    sam_path = str(tmp_path / "o.sam")
+    with open(sam_path, "w") as f:
+        write_sam(records, reads, seqdb, f)
+    sam = read_sam(sam_path)
+    assert sam.ref_lengths == {"c1": 20_000, "c2": 10_000}
+    assert len(sam.records) == 8
+    rt = sam_records_to_reads(sam)
+    by_name = {r.name: r for r in rt}
+    for rd in reads:
+        got = by_name[rd.name]
+        np.testing.assert_array_equal(got.codes, rd.codes)  # strand restored
+
+
+def test_samtom4_and_filter(tmp_path, genome_fa, capsys):
+    from blasr_tpu.cli.tools import main as tools_main
+
+    # reuse the SAM from a fresh tiny mapping
+    test_sam_roundtrip(tmp_path, genome_fa)
+    sam_path = str(tmp_path / "o.sam")
+    assert tools_main(["samtom4", sam_path, "-header"]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert len(out) == 9  # header + 8 records
+    assert out[0].startswith("qname tname score")
+    # perfect reads: 100% identity expected
+    assert all(" 100.0000 " in line for line in out[1:])
+    assert tools_main(["samfilter", sam_path, "-minPctIdentity", "99"]) == 0
+    out2 = [
+        l for l in capsys.readouterr().out.strip().split("\n")
+        if not l.startswith("@")
+    ]
+    assert len(out2) == 8
