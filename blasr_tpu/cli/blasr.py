@@ -56,6 +56,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-placeRepeatsRandomly", action="store_true")
     p.add_argument("-randomSeed", type=int, default=0)
     # ---- anchoring ----
+    p.add_argument("-bwt", nargs="?", const="", default=None, metavar="FILE",
+                   help="anchor via the FM-index (low-memory path); optional "
+                        "prebuilt .btfm.npz bundle (else built/cached)")
     p.add_argument("-minMatch", type=int, default=14)
     p.add_argument("-maxAnchorsPerPosition", type=int, default=8)
     p.add_argument("-pvaltype", type=int, default=0, choices=[0, 1, 2, 3])
@@ -144,6 +147,23 @@ def main(argv=None) -> int:
 
     t_start = time.time()
     index = load_index(args.genome, k=params.min_match_length)
+    fm = None
+    if args.bwt is not None:
+        import os
+
+        from blasr_tpu.cli.bwtutils import FM_SUFFIX
+        from blasr_tpu.index.fm import FMIndex, build_fm_index
+        from blasr_tpu.index.suffix_array import build_suffix_array
+
+        fm_path = args.bwt or (args.genome + FM_SUFFIX)
+        if os.path.exists(fm_path):
+            fm = FMIndex.load(fm_path)
+        else:
+            fm = build_fm_index(index.genome, build_suffix_array(index.genome))
+            try:
+                fm.save(fm_path)
+            except OSError:
+                pass
     t_index = time.time() - t_start
     reads = read_records(args.reads)
     if args.start or args.stride > 1 or args.subsample < 1.0:
@@ -159,7 +179,7 @@ def main(argv=None) -> int:
         reads = [r for r in reads if len(r) <= args.maxReadLength]
 
     t0 = time.time()
-    records, unmapped = run_mapping(index, reads, params)
+    records, unmapped = run_mapping(index, reads, params, fm=fm)
     t_map = time.time() - t0
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")

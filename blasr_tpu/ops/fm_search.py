@@ -1,0 +1,168 @@
+"""Batched FM-index backward search on device (L3 alternative path).
+
+Role of reference ``common/algorithms/anchoring/BWTSearch.h`` (:9-92
+``MapReadToGenome`` over the FM-index: per read position backward-search the
+suffix, cap hits, ``Locate`` each) re-designed for TPU:
+
+  * rank/occ = one row gather from the (NB, 128) BWT + compare + masked sum
+    — the 128-wide row maps exactly onto the lane dim, so a rank query is a
+    handful of VPU ops (no popcount tables needed)
+  * backward search runs k fixed steps vectorized over every (read, position)
+    query at once
+  * locate = LF-walk of at most SAMPLE_D-1 steps (sampled-SA stride), all
+    lanes in lockstep with popcount-rank into the bit-packed sample mask
+
+The output contract matches ops/anchors.find_anchors so the rest of the
+mapping pipeline is index-agnostic.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from blasr_tpu.index.fm import ROW, SAMPLE_D, SENTINEL
+
+
+def fm_occ(bwt_rows: jax.Array, occ_bins: jax.Array, c: jax.Array, i: jax.Array):
+    """occ(c, i) = # of char c in bwt[0:i), vectorized over queries.
+
+    c, i: any matching shape; returns same shape int32.
+    """
+    b = i // ROW
+    r = i % ROW
+    rows = bwt_rows[b]                                   # (..., ROW)
+    lane = jnp.arange(ROW, dtype=jnp.int32)
+    within = jnp.sum(
+        (rows == c[..., None]) & (lane < r[..., None]), axis=-1, dtype=jnp.int32
+    )
+    return occ_bins[b, c] + within
+
+
+def fm_count_kmers(
+    bwt_rows: jax.Array,   # (NB, ROW) uint8
+    occ_bins: jax.Array,   # (NB, 6) int32
+    C: jax.Array,          # (7,) int64/int32
+    codes: jax.Array,      # (B, L) uint8
+    lengths: jax.Array,    # (B,) int32
+    k: int,
+    n: int,
+):
+    """Backward-search the k-mer starting at every read position.
+
+    Returns (lo, hi) int32 (B, L): the BWT row interval of suffixes
+    prefixed by codes[b, p:p+k]; empty (lo==hi) where the window is
+    invalid (contains N, runs past the read end).
+    """
+    B, L = codes.shape
+    ext = jnp.pad(codes, ((0, 0), (0, k)), constant_values=4)
+    lo = jnp.zeros((B, L), jnp.int32)
+    hi = jnp.full((B, L), n, jnp.int32)
+    Ci = C.astype(jnp.int32)
+    bad = jnp.zeros((B, L), bool)
+    for j in range(k - 1, -1, -1):
+        c = jax.lax.dynamic_slice_in_dim(ext, j, L, axis=1).astype(jnp.int32)
+        bad = bad | (c >= 4)
+        lo = Ci[c] + fm_occ(bwt_rows, occ_bins, c, lo)
+        hi = Ci[c] + fm_occ(bwt_rows, occ_bins, c, hi)
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    bad = bad | (pos + k > lengths[:, None])
+    hi = jnp.where(bad, lo, hi)
+    return lo, hi
+
+
+def fm_locate(
+    bwt_rows: jax.Array,
+    occ_bins: jax.Array,
+    C: jax.Array,
+    ssa_mask: jax.Array,   # (W32,) uint32
+    ssa_base: jax.Array,   # (W32,) int32
+    ssa_vals: jax.Array,   # (n_sampled,) int
+    rows: jax.Array,       # (...,) int32 BWT rows to locate
+) -> jax.Array:
+    """Text position of each row (vectorized LF-walk, <= SAMPLE_D-1 steps)."""
+    Ci = C.astype(jnp.int32)
+    pos = jnp.zeros(rows.shape, jnp.int32)
+    done = jnp.zeros(rows.shape, bool)
+    cur = rows.astype(jnp.int32)
+    steps = jnp.zeros(rows.shape, jnp.int32)
+    for _ in range(SAMPLE_D):
+        w = cur // 32
+        b = cur % 32
+        bit = (ssa_mask[w] >> b.astype(jnp.uint32)) & 1
+        hit = (bit == 1) & ~done
+        mask_below = ssa_mask[w] & ((jnp.uint32(1) << b.astype(jnp.uint32)) - 1)
+        rank = ssa_base[w] + jax.lax.population_count(mask_below).astype(jnp.int32)
+        val = ssa_vals[jnp.clip(rank, 0, ssa_vals.shape[0] - 1)].astype(jnp.int32)
+        pos = jnp.where(hit, val + steps, pos)
+        done = done | hit
+        # LF step for lanes still walking
+        c = bwt_rows[cur // ROW, cur % ROW].astype(jnp.int32)
+        is_dollar = c >= SENTINEL
+        nxt = jnp.where(
+            is_dollar,
+            jnp.int32(0),
+            Ci[jnp.clip(c, 0, 5)] + fm_occ(bwt_rows, occ_bins, c, cur),
+        )
+        cur = jnp.where(done, cur, nxt)
+        steps = steps + (~done).astype(jnp.int32)
+    return pos
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "n", "max_hits_per_pos", "max_anchors_per_read")
+)
+def find_anchors_fm(
+    codes: jax.Array,        # (B, L) uint8
+    lengths: jax.Array,      # (B,) int32
+    bwt_rows: jax.Array,
+    occ_bins: jax.Array,
+    C: jax.Array,
+    ssa_mask: jax.Array,
+    ssa_base: jax.Array,
+    ssa_vals: jax.Array,
+    pos_ok: jax.Array,       # (G,) bool anchor-seed validity (contig bounds)
+    *,
+    k: int,
+    n: int,
+    max_hits_per_pos: int = 8,
+    max_anchors_per_read: int = 512,
+):
+    """FM-index anchor search with the find_anchors output contract:
+    (t, q, nhits, valid) each (B, A)."""
+    B, L = codes.shape
+    KH = max_hits_per_pos
+    A = max_anchors_per_read
+    G = n - 1
+
+    lo, hi = fm_count_kmers(bwt_rows, occ_bins, C, codes, lengths, k, n)
+    nh = (hi - lo).astype(jnp.int32)
+    pos_has = (nh > 0) & (nh <= KH)
+
+    offs = jnp.arange(KH, dtype=jnp.int32)
+    rows = jnp.clip(lo[..., None] + offs[None, None, :], 0, n - 1)   # (B,L,KH)
+    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None])
+    t = fm_locate(bwt_rows, occ_bins, C, ssa_mask, ssa_base, ssa_vals, rows)
+    t = jnp.clip(t, 0, G - 1)
+    hit_ok = hit_ok & pos_ok[t]
+
+    q = jnp.broadcast_to(
+        jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, KH)
+    )
+    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
+    base = jnp.int32(1 << 20)
+    prio = base - nh[..., None] * 16
+    prio = prio + jnp.where(q % stride == 0, base // 2, 0)
+    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
+
+    flat_prio = prio.reshape(B, L * KH)
+    vals, sel = jax.lax.top_k(flat_prio, A)
+    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
+    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
+    anh = jnp.take_along_axis(
+        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
+    )
+    avalid = vals > 0
+    return at, aq, jnp.maximum(anh, 1), avalid

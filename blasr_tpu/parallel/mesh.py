@@ -44,13 +44,13 @@ def replicate_index(mesh: Mesh, di: DeviceIndex) -> DeviceIndex:
     rep = NamedSharding(mesh, P())
     return DeviceIndex(
         genome_pad=jax.device_put(di.genome_pad, rep),
-        sa=jax.device_put(di.sa, rep),
-        sa_kmers=jax.device_put(di.sa_kmers, rep),
-        pos_ok=jax.device_put(di.pos_ok, rep),
+        arrays=tuple(jax.device_put(a, rep) for a in di.arrays),
         starts=jax.device_put(di.starts, rep),
         pad=di.pad,
         k=di.k,
         genome_len=di.genome_len,
+        kind=di.kind,
+        fm_n=di.fm_n,
     )
 
 
@@ -70,6 +70,7 @@ def sharded_map_batch(
     dri = replicate_index(mesh, di)
     return _map_batch_impl(
         c, l,
-        dri.genome_pad, dri.sa, dri.sa_kmers, dri.pos_ok, dri.starts,
+        dri.genome_pad, dri.arrays, dri.starts,
         params=params, pad=di.pad, k=di.k, genome_len=di.genome_len,
+        index_kind=di.kind, fm_n=di.fm_n,
     )

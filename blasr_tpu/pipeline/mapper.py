@@ -28,6 +28,7 @@ import numpy as np
 
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.ops.anchors import find_anchors
+from blasr_tpu.ops.fm_search import find_anchors_fm
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, select_candidates
@@ -37,31 +38,57 @@ from blasr_tpu.params import MappingParams
 
 
 class DeviceIndex(NamedTuple):
-    """Genome index resident in device HBM."""
+    """Genome index resident in device HBM.
+
+    ``kind`` selects the anchoring engine: "sa" (suffix array + packed-kmer
+    binary search, 9 B/base) or "fm" (FM-index backward search, ~1.6 B/base
+    — the reference's low-memory -bwt path, README.md:70-74). ``arrays`` is
+    the kind-specific tuple handed to the anchor op.
+    """
 
     genome_pad: jax.Array   # (G + 2*pad,) uint8; out-of-genome = 5 sentinel
-    sa: jax.Array           # (G,) int32
-    sa_kmers: jax.Array     # (G,) int32 ascending
-    pos_ok: jax.Array       # (G,) bool
+    arrays: tuple           # kind-specific device arrays (see above)
     starts: jax.Array       # (C+1,) int32 contig start positions
     pad: int                # static padding amount
     k: int                  # anchor k-mer length
     genome_len: int
+    kind: str = "sa"
+    fm_n: int = 0           # FM total rows (G + 1) when kind == "fm"
 
 
-def make_device_index(idx: GenomeIndex, params: MappingParams) -> DeviceIndex:
+def make_device_index(
+    idx: GenomeIndex, params: MappingParams, fm=None
+) -> DeviceIndex:
     pad = params.max_read_len + params.target_len
     gp = np.full(idx.genome_length + 2 * pad, 5, dtype=np.uint8)
     gp[pad : pad + idx.genome_length] = idx.genome
+    if fm is not None:
+        arrays = (
+            jnp.asarray(fm.bwt_rows),
+            jnp.asarray(fm.occ_bins),
+            jnp.asarray(fm.C.astype(np.int32)),
+            jnp.asarray(fm.ssa_mask),
+            jnp.asarray(fm.ssa_base),
+            jnp.asarray(fm.ssa_vals.astype(np.int32)),
+            jnp.asarray(idx.pos_ok),
+        )
+        kind, fm_n = "fm", fm.n
+    else:
+        arrays = (
+            jnp.asarray(idx.sa.astype(np.int32)),
+            jnp.asarray(idx.sa_kmers),
+            jnp.asarray(idx.pos_ok),
+        )
+        kind, fm_n = "sa", 0
     return DeviceIndex(
         genome_pad=jnp.asarray(gp),
-        sa=jnp.asarray(idx.sa.astype(np.int32)),
-        sa_kmers=jnp.asarray(idx.sa_kmers),
-        pos_ok=jnp.asarray(idx.pos_ok),
+        arrays=arrays,
         starts=jnp.asarray(idx.seqdb.starts.astype(np.int32)),
         pad=pad,
         k=idx.k,
         genome_len=idx.genome_length,
+        kind=kind,
+        fm_n=fm_n,
     )
 
 
@@ -147,15 +174,15 @@ def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "pad", "k", "genome_len", "use_pallas"),
+    static_argnames=(
+        "params", "pad", "k", "genome_len", "use_pallas", "index_kind", "fm_n"
+    ),
 )
 def _map_batch_impl(
     codes: jax.Array,
     lengths: jax.Array,
     genome_pad: jax.Array,
-    sa: jax.Array,
-    sa_kmers: jax.Array,
-    pos_ok: jax.Array,
+    index_arrays: tuple,
     starts: jax.Array,
     *,
     params: MappingParams,
@@ -163,6 +190,8 @@ def _map_batch_impl(
     k: int,
     genome_len: int,
     use_pallas: bool = False,
+    index_kind: str = "sa",
+    fm_n: int = 0,
 ) -> MapBatchResult:
     B, L = codes.shape
     C = params.n_candidates
@@ -176,12 +205,23 @@ def _map_batch_impl(
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
 
     # ---- anchoring ----
-    at, aq, anh, avalid = find_anchors(
-        reads2, lens2, sa, sa_kmers, pos_ok,
-        k=k,
-        max_hits_per_pos=params.max_anchors_per_position,
-        max_anchors_per_read=params.max_anchors_per_read,
-    )
+    if index_kind == "fm":
+        bwt_rows, occ_bins, Cfm, ssa_mask, ssa_base, ssa_vals, pos_ok = index_arrays
+        at, aq, anh, avalid = find_anchors_fm(
+            reads2, lens2, bwt_rows, occ_bins, Cfm, ssa_mask, ssa_base,
+            ssa_vals, pos_ok,
+            k=k, n=fm_n,
+            max_hits_per_pos=params.max_anchors_per_position,
+            max_anchors_per_read=params.max_anchors_per_read,
+        )
+    else:
+        sa, sa_kmers, pos_ok = index_arrays
+        at, aq, anh, avalid = find_anchors(
+            reads2, lens2, sa, sa_kmers, pos_ok,
+            k=k,
+            max_hits_per_pos=params.max_anchors_per_position,
+            max_anchors_per_read=params.max_anchors_per_read,
+        )
 
     # ---- candidate windows ----
     aw = anchor_weights(anh, avalid, G, W, params.pval_type)
@@ -301,18 +341,20 @@ class Mapper:
 
     index: GenomeIndex
     params: MappingParams
+    fm: object = None  # optional FMIndex for the -bwt anchoring path
 
     def __post_init__(self):
-        self.device_index = make_device_index(self.index, self.params)
+        self.device_index = make_device_index(self.index, self.params, fm=self.fm)
 
     def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapBatchResult:
         di = self.device_index
         return _map_batch_impl(
             jnp.asarray(codes),
             jnp.asarray(lengths),
-            di.genome_pad, di.sa, di.sa_kmers, di.pos_ok, di.starts,
+            di.genome_pad, di.arrays, di.starts,
             params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
             use_pallas=default_use_pallas(),
+            index_kind=di.kind, fm_n=di.fm_n,
         )
 
     def qoff_for(self, read_len: int) -> np.ndarray:

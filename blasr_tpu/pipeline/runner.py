@@ -58,6 +58,7 @@ def run_mapping(
     index: GenomeIndex,
     reads: Sequence[Read],
     params: MappingParams,
+    fm=None,
 ) -> tuple[list[AlignmentRecord], list[str]]:
     """Map reads; returns (alignments, unmapped read names).
 
@@ -68,7 +69,7 @@ def run_mapping(
     """
     from collections import deque
 
-    mapper = Mapper(index, params)
+    mapper = Mapper(index, params, fm=fm)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
     if params.min_read_length > 0:

@@ -34,8 +34,9 @@ def test_sharded_matches_single_device():
 
     single = _map_batch_impl(
         codes, lengths,
-        di.genome_pad, di.sa, di.sa_kmers, di.pos_ok, di.starts,
+        di.genome_pad, di.arrays, di.starts,
         params=params, pad=di.pad, k=di.k, genome_len=di.genome_len,
+        index_kind=di.kind, fm_n=di.fm_n,
     )
     mesh = make_mesh(4)
     multi = sharded_map_batch(mesh, di, params, codes, lengths)
