@@ -1,0 +1,204 @@
+"""Contig-block sharded index: hg19-scale genomes across chips (§2.9).
+
+The reference replicates one in-RAM index per process and rejects genomes
+>= 4 Gb (SAWriter.cpp:176-181). Here the genome is split into N overlapping
+blocks, each block's index lives on its own chip, and every read batch is
+mapped against all blocks; records merge on the host. Design:
+
+  * ownership: shard s owns genome positions [lo, hi); its block extends
+    ``ovl`` bases on both sides so any candidate window seeded by an owned
+    anchor is fully contained in the block. The per-position seed-validity
+    mask (pos_ok) is false outside the owned range, so each anchor is found
+    by exactly one shard — no duplicate evidence, at most one extra
+    (clipped, lower-scoring) alignment when a read straddles a boundary,
+    which the best-n merge discards.
+  * coordinates: shards map into block-local segment databases; the merge
+    re-derives global contig coordinates from (shard offset + local pos)
+    against the true SeqDB.
+  * MAPQ: per-shard mapQV knows only local competitors; the merge combines
+    it with a cross-shard logsumexp over the merged record scores (the
+    all-gather of per-shard top-k the reference never needed because its
+    index was never sharded).
+  * placement: each shard's arrays live on ``devices[s % len(devices)]``;
+    dispatches to different devices run concurrently (async), which is the
+    multi-chip serving layout — on one chip the shards just serialize.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.index.suffix_array import build_suffix_array
+from blasr_tpu.core.encode import pack_kmers
+from blasr_tpu.io.batching import Read
+from blasr_tpu.io.seqdb import SeqDB
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.runner import AlignmentRecord, run_mapping
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardSpec:
+    lo: int         # first owned genome position
+    hi: int         # one past last owned position
+    block_lo: int   # block start (with left overlap)
+    block_hi: int   # block end (with right overlap)
+
+
+def make_shards(
+    genome_len: int, n_shards: int, overlap: int
+) -> list[ShardSpec]:
+    """Split [0, G) into n_shards owned ranges with symmetric overlap."""
+    size = math.ceil(genome_len / n_shards)
+    out = []
+    for s in range(n_shards):
+        lo = s * size
+        hi = min((s + 1) * size, genome_len)
+        if lo >= genome_len:
+            break
+        out.append(
+            ShardSpec(
+                lo=lo,
+                hi=hi,
+                block_lo=max(0, lo - overlap),
+                block_hi=min(genome_len, hi + overlap),
+            )
+        )
+    return out
+
+
+def build_shard_index(
+    genome: np.ndarray, seqdb: SeqDB, spec: ShardSpec, k: int
+) -> GenomeIndex:
+    """Index one genome block; seeds valid only inside the owned range and
+    never crossing a true contig boundary."""
+    block = genome[spec.block_lo : spec.block_hi]
+    # segment database: true contig boundaries clipped to the block
+    cuts = [spec.block_lo]
+    names = []
+    ci0 = int(seqdb.contig_of(spec.block_lo))
+    for ci in range(ci0, seqdb.num_contigs):
+        s = int(seqdb.starts[ci])
+        e = int(seqdb.starts[ci + 1])
+        if s >= spec.block_hi:
+            break
+        names.append(seqdb.names[ci])
+        cuts.append(min(e, spec.block_hi))
+    starts_local = np.asarray(cuts, dtype=np.int64) - spec.block_lo
+    seg_db = SeqDB(names, starts_local, ["0" * 32] * len(names))
+
+    proj = (block & 3).astype(np.uint8)
+    sa = build_suffix_array(proj)
+    keys, valid = pack_kmers(block, k)
+    sa_kmers = keys[sa].astype(np.int32)
+    pos_ok = valid.copy()
+    # ownership mask (anchor dedup across shards)
+    own_lo = spec.lo - spec.block_lo
+    own_hi = spec.hi - spec.block_lo
+    pos_ok[:own_lo] = False
+    pos_ok[own_hi:] = False
+    # no seed may span a contig boundary
+    for s in starts_local[1:-1]:
+        pos_ok[max(0, int(s) - (k - 1)) : int(s)] = False
+    if len(sa) < 2**31:
+        sa = sa.astype(np.int32)
+    return GenomeIndex(block.astype(np.uint8), sa, sa_kmers, pos_ok, k, seg_db)
+
+
+def _globalize(
+    rec: AlignmentRecord,
+    spec: ShardSpec,
+    shard_db: SeqDB,
+    seqdb: SeqDB,
+) -> Optional[AlignmentRecord]:
+    """Re-derive global contig coordinates for a shard-local record."""
+    p = rec.path
+    g_start = spec.block_lo + int(shard_db.starts[rec.contig_index]) + rec.tstart_fwd
+    g_end = g_start + (rec.tend_fwd - rec.tstart_fwd)
+    if g_end > seqdb.total_length:
+        return None
+    ci = int(seqdb.contig_of(g_start))
+    c_off = int(seqdb.starts[ci])
+    c_len = int(seqdb.starts[ci + 1]) - c_off
+    ts_f = g_start - c_off
+    te_f = g_end - c_off
+    n = rec.qlength
+    if rec.tstrand == 0:
+        qs, qe = p.q_start, p.q_end
+        ts, te = ts_f, te_f
+    else:
+        qs, qe = n - p.q_end, n - p.q_start
+        ts, te = c_len - te_f, c_len - ts_f
+    return dataclasses.replace(
+        rec,
+        tname=seqdb.names[ci],
+        qstart=qs,
+        qend=qe,
+        tstrand=rec.tstrand,
+        tstart=ts,
+        tend=te,
+        tlength=c_len,
+        contig_index=ci,
+        tstart_fwd=ts_f,
+        tend_fwd=te_f,
+    )
+
+
+def _merge_mapqv(records: list[AlignmentRecord]) -> None:
+    """Cross-shard MAPQ: per-shard mapQV capped by the logsumexp over the
+    merged record scores (Blasr.cpp:2875-2945 math, host-side)."""
+    if len(records) < 2:
+        return
+    ps = np.array([-r.score / 10.0 for r in records])  # log10 prob units
+    lse = ps.max() + np.log10(np.sum(np.power(10.0, ps - ps.max())))
+    best = int(np.argmax(ps))
+    one_minus = max(1.0 - 10.0 ** (ps[best] - lse), 1e-26)
+    cross = int(np.clip(-10.0 * np.log10(one_minus), 0, 254))
+    for i, r in enumerate(records):
+        r.mapqv = min(r.mapqv, cross) if i == best else min(r.mapqv, cross)
+
+
+def run_mapping_sharded(
+    genome: np.ndarray,
+    seqdb: SeqDB,
+    reads: Sequence[Read],
+    params: MappingParams,
+    n_shards: int,
+    k: int = 14,
+    devices: Optional[list] = None,
+) -> tuple[list[AlignmentRecord], list[str]]:
+    """Map reads against an n_shards-way sharded index; merge on host."""
+    import jax
+
+    overlap = params.max_read_len + params.target_pad
+    specs = make_shards(len(genome), n_shards, overlap)
+    devs = devices if devices is not None else jax.devices()
+
+    per_read: dict[str, list[AlignmentRecord]] = {}
+    all_names = [r.name for r in reads]
+    for s, spec in enumerate(specs):
+        idx = build_shard_index(genome, seqdb, spec, k)
+        dev = devs[s % len(devs)]
+        with jax.default_device(dev):
+            recs, _ = run_mapping(idx, reads, params)
+        for rec in recs:
+            g = _globalize(rec, spec, idx.seqdb, seqdb)
+            if g is not None:
+                per_read.setdefault(g.qname, []).append(g)
+
+    out: list[AlignmentRecord] = []
+    unmapped: list[str] = []
+    for name in all_names:
+        recs = per_read.get(name, [])
+        if not recs:
+            unmapped.append(name)
+            continue
+        recs.sort(key=lambda r: r.score)
+        keep = recs[: params.best_n]
+        _merge_mapqv(recs)
+        out.extend(keep)
+    return out, unmapped

@@ -1,0 +1,51 @@
+"""Sharded-index mapping must match the unsharded result (8-dev CPU mesh)."""
+
+import numpy as np
+import jax
+
+from blasr_tpu.index.artifacts import build_index_from_arrays
+from blasr_tpu.io.seqdb import SeqDB
+from blasr_tpu.params import MappingParams
+from blasr_tpu.parallel.sharded import make_shards, run_mapping_sharded
+from blasr_tpu.pipeline.runner import run_mapping
+from blasr_tpu.sim import simulate_genome, simulate_reads
+
+
+def test_make_shards_cover_and_overlap():
+    specs = make_shards(1000, 4, 100)
+    assert [s.lo for s in specs] == [0, 250, 500, 750]
+    assert [s.hi for s in specs] == [250, 500, 750, 1000]
+    assert specs[1].block_lo == 150 and specs[1].block_hi == 600
+    # ownership is a partition
+    assert all(a.hi == b.lo for a, b in zip(specs, specs[1:]))
+
+
+def test_sharded_matches_unsharded():
+    g = simulate_genome(120_000, seed=21, repeat_fraction=0.0)
+    seqdb = SeqDB(
+        ["cA", "cB"], np.array([0, 70_000, 120_000], np.int64), ["0" * 32] * 2
+    )
+    reads, truth = simulate_reads(g, 24, mean_len=600, seed=3)
+    params = MappingParams(
+        batch_size=32, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    index = build_index_from_arrays(g, seqdb, k=13)
+    ref_recs, ref_unm = run_mapping(index, reads, params)
+    sh_recs, sh_unm = run_mapping_sharded(
+        g, seqdb, reads, params, n_shards=4, k=13, devices=jax.devices()[:4]
+    )
+    assert sh_unm == ref_unm == []
+    ref_by = {r.qname: r for r in ref_recs}
+    sh_by = {r.qname: r for r in sh_recs}
+    assert set(ref_by) == set(sh_by)
+    n_same = 0
+    for name, a in ref_by.items():
+        b = sh_by[name]
+        assert a.tname == b.tname, name
+        assert a.tstrand == b.tstrand, name
+        # same locus; scores may differ slightly only for boundary reads
+        assert abs(a.tstart_fwd - b.tstart_fwd) < 100, name
+        if (a.tstart, a.tend, a.score) == (b.tstart, b.tend, b.score):
+            n_same += 1
+    assert n_same >= len(ref_by) - 2  # at most a couple of boundary reads
