@@ -79,6 +79,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # ---- presets ----
     p.add_argument("-nucmer", action="store_true",
                    help="nucmer emulation preset (SetEmulateNucmer)")
+    p.add_argument("-alignContigs", "-piecewise", dest="alignContigs",
+                   action="store_true",
+                   help="piecewise long-query mapping (multi-Mb contigs)")
     p.add_argument("-useSensitiveSearch", action="store_true",
                    help="sensitivity preset (SetForSensitivity)")
     # ---- TPU shape/batch knobs ----
@@ -131,6 +134,7 @@ def params_from_args(args) -> MappingParams:
         batch_size=args.batchSize,
         place_repeats_randomly=args.placeRepeatsRandomly,
         random_seed=args.randomSeed,
+        piecewise=args.alignContigs,
     )
 
 
@@ -179,7 +183,12 @@ def main(argv=None) -> int:
         reads = [r for r in reads if len(r) <= args.maxReadLength]
 
     t0 = time.time()
-    records, unmapped = run_mapping(index, reads, params, fm=fm)
+    if params.piecewise:
+        from blasr_tpu.pipeline.piecewise import run_mapping_piecewise
+
+        records, unmapped = run_mapping_piecewise(index, reads, params, fm=fm)
+    else:
+        records, unmapped = run_mapping(index, reads, params, fm=fm)
     t_map = time.time() - t0
 
     out = sys.stdout if args.out == "-" else open(args.out, "w")

@@ -54,6 +54,8 @@ class MappingParams:
     dispatch_ahead: int = 8           # batches in flight (async pipeline depth)
     # ---- misc ----
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
+    piecewise: bool = False           # -alignContigs/-piecewise long queries
+    piecewise_max_gap: int = 100_000  # stitch gap cap (ref Blasr.cpp:1612)
     nproc: int = 1                    # host worker threads for IO/traceback
     scale_map_qv_by_align_length: bool = False
 

@@ -1,0 +1,211 @@
+"""Piecewise long-query mapping (-alignContigs path).
+
+Role of reference ``common/algorithms/anchoring/PiecewiseMatch.h`` (:400,
+called from Blasr.cpp:2408-2420) + the ``-alignContigs`` preset
+(MappingParameters.h:453-478): multi-megabase queries are matched as
+strand-tagged segments, chains split at strand switches or large gaps, and
+each resulting piece reported as its own interval. The reference keeps the
+cost near-linear by only densely aligning inter-anchor gaps; here the
+long query is cut into fixed-size segments (the TPU's natural unit — each
+segment is one padded batch row), every segment maps through the standard
+device pipeline, and compatible neighboring segment alignments stitch into
+piecewise interval records on the host.
+
+This is the framework's sequence-axis decomposition: the long-context
+analogue where query segments are the shards and the stitcher plays the
+halo-exchange role (SURVEY.md §5 long-context note).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.io.batching import Read
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.runner import AlignmentRecord, run_mapping
+from blasr_tpu.pipeline.traceback import OP_D, OP_I, AlignmentPath
+
+SEG_SEP = "\x01seg\x01"
+
+
+def split_long_reads(
+    reads: Sequence[Read], seg_len: int
+) -> tuple[list[Read], dict[str, Read]]:
+    """Cut reads longer than seg_len into abutting segments.
+
+    Segment names encode (parent, index, offset); returns (mapping input,
+    parent lookup).
+    """
+    out: list[Read] = []
+    parents: dict[str, Read] = {}
+    for r in reads:
+        if len(r) <= seg_len:
+            out.append(r)
+            continue
+        parents[r.name] = r
+        n_seg = -(-len(r) // seg_len)
+        for si in range(n_seg):
+            ofs = si * seg_len
+            seg = r.codes[ofs : ofs + seg_len]
+            q = r.qual[ofs : ofs + seg_len] if r.qual is not None else None
+            out.append(
+                Read(f"{r.name}{SEG_SEP}{si}{SEG_SEP}{ofs}", seg, q, len(out))
+            )
+    return out, parents
+
+
+def _try_stitch(
+    a: AlignmentRecord, b: AlignmentRecord, max_gap: int, indel_rate: float
+) -> bool:
+    """Can segment-alignment b continue the piecewise run ending at a?"""
+    if a.tname != b.tname or a.tstrand != b.tstrand:
+        return False
+    # q-gap between consecutive segments in FORWARD read coords
+    q_gap = b.qstart - a.qend
+    if a.tstrand == 0:
+        t_gap = b.tstart_fwd - a.tend_fwd
+    else:
+        # reverse strand: later read segments hit earlier target coords
+        t_gap = a.tstart_fwd - b.tend_fwd
+    if t_gap < -64 or q_gap < -64:
+        return False
+    if t_gap > max_gap or q_gap > max_gap:
+        return False
+    drift = abs(t_gap - q_gap)
+    return drift <= max(64, int(indel_rate * max(q_gap, t_gap, 1)) + 64)
+
+
+def _merge_run(run: list[AlignmentRecord], parent: Read) -> AlignmentRecord:
+    """Fuse a chain of compatible segment alignments into one record.
+
+    Inter-segment gaps become unscored I/D ops (the reference's
+    refineBetweenAnchorsOnly would densely align them; planned refinement).
+    """
+    first, last = run[0], run[-1]
+    strand = first.tstrand
+    n = len(parent.codes)
+    ops_parts: list[np.ndarray] = []
+    score = 0
+    nm = nmm = ni = nd = 0
+    for i, rec in enumerate(run):
+        p = rec.path
+        score += rec.score
+        nm += p.n_match
+        nmm += p.n_mismatch
+        ni += p.n_ins
+        nd += p.n_del
+        if i > 0:
+            prev = run[i - 1]
+            q_gap = rec.qstart - prev.qend
+            t_gap = (
+                rec.tstart_fwd - prev.tend_fwd
+                if strand == 0
+                else prev.tstart_fwd - rec.tend_fwd
+            )
+            if q_gap > 0:
+                ops_parts.append(np.full(q_gap, OP_I, np.uint8))
+                ni += q_gap
+            if t_gap > 0:
+                ops_parts.append(np.full(t_gap, OP_D, np.uint8))
+                nd += t_gap
+        ops_parts.append(np.asarray(p.ops, np.uint8))
+    ops = np.concatenate(ops_parts)
+
+    qs = first.qstart
+    qe = last.qend
+    ts_f = min(first.tstart_fwd, last.tstart_fwd)
+    te_f = max(first.tend_fwd, last.tend_fwd)
+    c_len = first.tlength
+    if strand == 0:
+        ts, te = ts_f, te_f
+    else:
+        ts, te = c_len - te_f, c_len - ts_f
+    path = AlignmentPath(
+        q_start=qs if strand == 0 else n - qe,
+        q_end=qe if strand == 0 else n - qs,
+        t_start=0,
+        t_end=te_f - ts_f,
+        ops=ops,
+        score=score,
+        n_match=nm,
+        n_mismatch=nmm,
+        n_ins=ni,
+        n_del=nd,
+    )
+    return dataclasses.replace(
+        first,
+        score=score,
+        pct_similarity=round(path.pct_similarity, 4),
+        qstart=qs,
+        qend=qe,
+        qlength=n,
+        tstart=ts,
+        tend=te,
+        tstart_fwd=ts_f,
+        tend_fwd=te_f,
+        mapqv=min(r.mapqv for r in run),
+        path=path,
+    )
+
+
+def run_mapping_piecewise(
+    index: GenomeIndex,
+    reads: Sequence[Read],
+    params: MappingParams,
+    fm=None,
+) -> tuple[list[AlignmentRecord], list[str]]:
+    """Map with long-query segmentation + piecewise stitching."""
+    seg_reads, parents = split_long_reads(reads, params.max_read_len)
+    seg_params = dataclasses.replace(params, best_n=1)
+    recs, unmapped = run_mapping(index, seg_reads, seg_params, fm=fm)
+
+    by_parent: dict[str, list[tuple[int, int, AlignmentRecord]]] = {}
+    out: list[AlignmentRecord] = []
+    for rec in recs:
+        if SEG_SEP not in rec.qname:
+            out.append(rec)
+            continue
+        pname, si, ofs = rec.qname.split(SEG_SEP)
+        parent = parents[pname]
+        ofs = int(ofs)
+        # qstart/qend are forward-segment coords (blasr convention: qstrand
+        # always 0), so the parent-forward shift is +ofs for either strand
+        n_parent = len(parent.codes)
+        shifted = dataclasses.replace(
+            rec,
+            qname=pname,
+            qstart=rec.qstart + ofs,
+            qend=rec.qend + ofs,
+            qlength=n_parent,
+        )
+        by_parent.setdefault(pname, []).append((int(si), ofs, shifted))
+
+    max_gap = params.piecewise_max_gap
+    for pname, items in by_parent.items():
+        items.sort(key=lambda x: (x[0], x[2].score))
+        segs = [rec for _, _, rec in items]
+        # order by forward-read position of the segment
+        segs.sort(key=lambda r: r.qstart)
+        run: list[AlignmentRecord] = []
+        for rec in segs:
+            if run and _try_stitch(run[-1], rec, max_gap, params.indel_rate):
+                run.append(rec)
+            else:
+                if run:
+                    out.append(_merge_run(run, parents[pname]))
+                run = [rec]
+        if run:
+            out.append(_merge_run(run, parents[pname]))
+
+    mapped_parents = {r.qname for r in out}
+    unmapped = [u for u in unmapped if SEG_SEP not in u]
+    unmapped.extend(
+        p for p in parents if p not in mapped_parents and p not in unmapped
+    )
+    order = {r.name: i for i, r in enumerate(reads)}
+    out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
+    return out, unmapped

@@ -1,0 +1,79 @@
+"""Long-query piecewise mapping (-alignContigs path)."""
+
+import numpy as np
+
+from blasr_tpu.core.encode import revcomp_codes
+from blasr_tpu.index.artifacts import build_index_from_arrays
+from blasr_tpu.io.batching import Read
+from blasr_tpu.io.seqdb import SeqDB
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.piecewise import run_mapping_piecewise, split_long_reads
+from blasr_tpu.sim import simulate_genome
+
+
+def _setup():
+    g = simulate_genome(80_000, seed=31, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13, piecewise=True,
+    )
+    return g, index, params
+
+
+def test_split_long_reads():
+    r = Read("long", np.zeros(2500, np.uint8), None, 0)
+    segs, parents = split_long_reads([r], 1024)
+    assert len(segs) == 3 and "long" in parents
+    assert [len(s) for s in segs] == [1024, 1024, 452]
+
+
+def test_piecewise_contig_fwd():
+    g, index, params = _setup()
+    contig = g[10_000:30_000].copy()  # 20 kb query = 20 segments
+    reads = [Read("contig0", contig, None, 0)]
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert not unm
+    assert len(recs) == 1, [r.qstart for r in recs]
+    r = recs[0]
+    assert r.tstrand == 0
+    assert abs(r.tstart_fwd - 10_000) < 50 and abs(r.tend_fwd - 30_000) < 50
+    assert r.qstart < 50 and r.qend > 19_950
+    assert r.pct_similarity > 99.0
+
+
+def test_piecewise_contig_rc():
+    g, index, params = _setup()
+    contig = revcomp_codes(g[40_000:60_000].copy())
+    reads = [Read("contigrc", contig, None, 0)]
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert not unm
+    assert len(recs) == 1
+    r = recs[0]
+    assert r.tstrand == 1
+    assert abs(r.tstart_fwd - 40_000) < 50 and abs(r.tend_fwd - 60_000) < 50
+
+
+def test_piecewise_inversion_splits():
+    """An inverted middle block must split the chain into >= 2 pieces with
+    opposite strands (PiecewiseMatch's strand-switch behavior)."""
+    g, index, params = _setup()
+    a = g[10_000:18_000]
+    b = revcomp_codes(g[18_000:26_000].copy())
+    c = g[26_000:34_000]
+    contig = np.concatenate([a, b, c])
+    reads = [Read("inv", contig, None, 0)]
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert not unm
+    strands = sorted(r.tstrand for r in recs)
+    assert len(recs) >= 3
+    assert 0 in strands and 1 in strands
+
+
+def test_short_reads_pass_through():
+    g, index, params = _setup()
+    reads = [Read("short", g[5_000:5_700].copy(), None, 0)]
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert not unm and len(recs) == 1
+    assert abs(recs[0].tstart_fwd - 5_000) < 50
