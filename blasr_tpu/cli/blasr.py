@@ -93,6 +93,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-nproc", type=int, default=1,
                    help="(accepted; device batching replaces threads)")
     # ---- observability ----
+    p.add_argument("-anchors", default=None, metavar="FILE",
+                   help="dump per-read anchors (qpos tpos nhits strand)")
     p.add_argument("-metrics", default=None, metavar="FILE",
                    help="write per-stage timing/counter metrics JSON")
     p.add_argument("-V", "-v", dest="verbosity", type=int, default=0, nargs="?",
@@ -135,6 +137,7 @@ def params_from_args(args) -> MappingParams:
         place_repeats_randomly=args.placeRepeatsRandomly,
         random_seed=args.randomSeed,
         piecewise=args.alignContigs,
+        sensitive_retry=args.useSensitiveSearch,
     )
 
 
@@ -221,6 +224,12 @@ def main(argv=None) -> int:
                     f.write(f">{name}\n")
                     if rd is not None:
                         f.write(codes_to_seq(rd.codes) + "\n")
+
+    if args.anchors:
+        from blasr_tpu.pipeline.debug import dump_anchors
+
+        with open(args.anchors, "w") as f:
+            dump_anchors(index, reads, params, f)
 
     if args.titleTable:
         with open(args.titleTable, "w") as f:

@@ -217,6 +217,34 @@ def _cmd_wordcount(argv) -> int:
     return 0
 
 
+def _cmd_exhalign(argv) -> int:
+    """Brute-force optimal alignment of every read vs a genome region
+    (role of gold_standard/ExhaustiveAlign.cpp)."""
+    p = argparse.ArgumentParser(prog="tools exhalign")
+    p.add_argument("reads")
+    p.add_argument("genome")
+    p.add_argument("-tstart", type=int, default=0)
+    p.add_argument("-tend", type=int, default=0, help="0 = genome end")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import revcomp_codes
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.io.seqdb import load_genome
+    from blasr_tpu.oracle import local_affine_score
+    from blasr_tpu.ops.banded_align import AlignScores
+
+    genome, _ = load_genome(args.genome)
+    tend = args.tend or len(genome)
+    region = genome[args.tstart : tend]
+    sc = AlignScores()
+    for r in read_records(args.reads):
+        fwd = local_affine_score(r.codes, region, sc)
+        rev = local_affine_score(revcomp_codes(r.codes), region, sc)
+        strand = 0 if fwd <= rev else 1
+        print(f"{r.name} {min(fwd, rev)} {strand}")
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "samfilter": _cmd_samfilter,
@@ -224,6 +252,7 @@ COMMANDS = {
     "shredder": _cmd_shredder,
     "evolve": _cmd_evolve,
     "wordcount": _cmd_wordcount,
+    "exhalign": _cmd_exhalign,
 }
 
 

@@ -55,6 +55,7 @@ class MappingParams:
     # ---- misc ----
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     piecewise: bool = False           # -alignContigs/-piecewise long queries
+    sensitive_retry: bool = False     # -useSensitiveSearch second pass
     piecewise_max_gap: int = 100_000  # stitch gap cap (ref Blasr.cpp:1612)
     nproc: int = 1                    # host worker threads for IO/traceback
     scale_map_qv_by_align_length: bool = False

@@ -92,6 +92,41 @@ def run_mapping(
             drain_one()
     while inflight:
         drain_one()
+    if params.sensitive_retry:
+        # reference sensitive retry (Blasr.cpp:3498-3507): re-map reads that
+        # are unmapped or aligned below 80% similarity with wider search
+        # parameters (SetForSensitivity role: more candidates, more anchors)
+        best_pct: dict[str, float] = {}
+        for r in out:
+            best_pct[r.qname] = max(best_pct.get(r.qname, 0.0), r.pct_similarity)
+        retry_names = set(unmapped) | {
+            n for n, pct in best_pct.items() if pct < 80.0
+        }
+        retry_reads = [r for r in reads if r.name in retry_names]
+        if retry_reads:
+            sens = dataclasses.replace(
+                params,
+                sensitive_retry=False,
+                n_candidates=min(params.n_candidates * 2, 16),
+                max_anchors_per_read=params.max_anchors_per_read * 2,
+                max_anchors_per_position=params.max_anchors_per_position * 2,
+            )
+            r2, u2 = run_mapping(index, retry_reads, sens, fm=fm)
+            # keep whichever pass produced the better best-score per read
+            best2: dict[str, int] = {}
+            for r in r2:
+                best2[r.qname] = min(best2.get(r.qname, 0), r.score)
+            best1: dict[str, int] = {}
+            for r in out:
+                if r.qname in retry_names:
+                    best1[r.qname] = min(best1.get(r.qname, 0), r.score)
+            use_retry = {
+                n for n, s2 in best2.items() if s2 < best1.get(n, 0)
+            }
+            out = [
+                r for r in out if r.qname not in use_retry
+            ] + [r for r in r2 if r.qname in use_retry]
+            unmapped = [u for u in unmapped if u not in best2]
     order = {r.name: i for i, r in enumerate(reads)}
     if params.place_repeats_randomly:
         # -placeRepeatsRandomly (Blasr.cpp:3041-3086): tied-best alignments

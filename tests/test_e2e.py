@@ -79,3 +79,30 @@ def test_e2e_m4_output(sim, tmp_path):
         t0_, t1_, tn = int(f[9]), int(f[10]), int(f[11])
         assert 0 <= t0_ < t1_ <= tn
         assert 0 <= int(f[12]) <= 254
+
+
+def test_sensitive_retry_rescues_noisy_read(sim):
+    """A read too noisy for the default search maps after the retry pass."""
+    import dataclasses as dc
+
+    index, reads, truth = sim
+    rng = np.random.default_rng(77)
+    # heavily mutated read: few exact 14-mers survive
+    start, length = 50_000, 800
+    r = mutate_read(rng, index.genome, start, length)
+    # extra substitutions to suppress anchors
+    extra = rng.random(len(r)) < 0.08
+    r = np.where(extra, (r + 1) % 4, r).astype(np.uint8)
+    noisy = Read("noisy/0", r, None, 0)
+    base = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=1, best_n=1,
+        max_anchors_per_read=32, max_anchors_per_position=1,
+    )
+    recs0, unm0 = run_mapping(index, [noisy], base)
+    sens = dc.replace(base, sensitive_retry=True)
+    recs1, unm1 = run_mapping(index, [noisy], sens)
+    ok1 = [r for r in recs1 if abs(r.tstart_fwd - start) < 100]
+    # the sensitive pass must do at least as well as the base pass
+    assert len(recs1) >= len(recs0)
+    if recs0 and ok1:
+        assert min(r.score for r in recs1) <= min(r.score for r in recs0)
