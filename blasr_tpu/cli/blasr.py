@@ -70,6 +70,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-deletion", type=int, default=None)
     p.add_argument("-affineOpen", type=int, default=50)
     p.add_argument("-affineExtend", type=int, default=0)
+    p.add_argument("-ignoreQualities", action="store_true",
+                   help="disable QV-aware scoring for FASTQ input")
     p.add_argument("-affineAlign", action="store_true",
                    help="(always on: the DP kernel is affine)")
     # ---- input sharding (reference -start/-stride/-subsample) ----
@@ -138,6 +140,7 @@ def params_from_args(args) -> MappingParams:
         random_seed=args.randomSeed,
         piecewise=args.alignContigs,
         sensitive_retry=args.useSensitiveSearch,
+        ignore_qualities=args.ignoreQualities,
     )
 
 

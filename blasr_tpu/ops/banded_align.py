@@ -73,6 +73,18 @@ def make_qoff(L: int, T: int, W: int, diag: int) -> np.ndarray:
     return qoff
 
 
+def qv_scaled_costs(base: jax.Array, qual: jax.Array) -> jax.Array:
+    """QV-scaled penalty (role of QualityValueScoreFunction.h:65,80-84:
+    penalties proportional to the base's quality value — confident bases
+    are expensive to mismatch/insert, noisy bases cheap).
+
+    cost = max(1, base * clip(qual, 4, 30) / 15): qual 15 reproduces the
+    unscaled penalty, saturating at 2x for qual >= 30.
+    """
+    qv = jnp.clip(qual.astype(jnp.int32), 4, 30)
+    return jnp.maximum((base * qv + 7) // 15, 1)
+
+
 @functools.partial(jax.jit, static_argnames=("scores", "with_traceback", "band_width"))
 def banded_align(
     query: jax.Array,    # (I, L) uint8 codes 0..4
@@ -81,6 +93,7 @@ def banded_align(
     tlo: jax.Array,      # (I,) int32 valid target range start (local coords)
     thi: jax.Array,      # (I,) int32 valid target range end (local coords)
     qoff: jax.Array,     # (S,) int32 static band offsets (see make_qoff)
+    qual: jax.Array | None = None,  # (I, L) uint8 phred, or None
     *,
     scores: AlignScores = AlignScores(),
     with_traceback: bool = False,
@@ -94,6 +107,9 @@ def banded_align(
 
     inf = jnp.int32(INF)
     qext = jnp.pad(query, ((0, 0), (0, W)), constant_values=4).astype(jnp.int8)
+    quext = None
+    if qual is not None:
+        quext = jnp.pad(qual, ((0, 0), (0, W)), constant_values=15).astype(jnp.uint8)
     # reversed padded target: trev[:, j] = tpad[:, Tp-1-j]; see offset math below
     tpad = jnp.pad(target, ((0, 0), (W, W)), constant_values=5).astype(jnp.int8)
     trev = tpad[:, ::-1]
@@ -129,6 +145,13 @@ def banded_align(
         # t = a - qo - w  ->  trev index = (Tp - 1 - W) - (a - qo) + w
         tstart = (Tp - 1 - W) - (a - qo)
         twin = jax.lax.dynamic_slice_in_dim(trev, tstart, W, axis=1)
+        if quext is not None:
+            quwin = jax.lax.dynamic_slice_in_dim(quext, qo, W, axis=1)
+            x_cell = qv_scaled_costs(x_sc, quwin)
+            ins_cell = qv_scaled_costs(ins_sc, quwin)
+        else:
+            x_cell = x_sc
+            ins_cell = ins_sc
 
         q_pos = qo + w_ar                               # (1->I, W)
         t_pos = a - q_pos
@@ -136,7 +159,7 @@ def banded_align(
 
         eq = (qwin == twin) & (qwin < 4)
         anyn = (qwin >= 4) | (twin >= 4)
-        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_sc))
+        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
         H1_up = shift(H1, s1 - 1)
         H1_left = shift(H1, s1)
@@ -159,7 +182,7 @@ def banded_align(
         h = jnp.minimum(H2_diag, 0) + sub
         src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
         for val, code in (
-            (H1_up + ins_sc, SRC_UP),
+            (H1_up + ins_cell, SRC_UP),
             (H1_left + del_sc, SRC_LEFT),
             (E_new, SRC_E),
             (F_new, SRC_F),

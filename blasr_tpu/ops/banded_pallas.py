@@ -50,7 +50,8 @@ def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
 
 
 def _make_kernel(
-    scores: AlignScores, S: int, W: int, IT: int, Tp: int, with_traceback: bool
+    scores: AlignScores, S: int, W: int, IT: int, Tp: int,
+    with_traceback: bool, with_qual: bool,
 ):
     m_sc = np.int32(scores.match)
     x_sc = np.int32(scores.mismatch)
@@ -62,12 +63,15 @@ def _make_kernel(
 
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S,) int32
-        qext_ref,                          # (IT, L+W) uint8
-        trev_ref,                          # (IT, Tp) uint8
+        qext_ref,                          # (IT, Lq) int32
+        trev_ref,                          # (IT, Lt) int32
         qlen_ref, tlo_ref, thi_ref,        # (IT, 1) int32
-        # outputs
+        # with_qual: qual_ref (IT, Lq) int32 precedes outputs
         *refs,
     ):
+        if with_qual:
+            qual_ref = refs[0]
+            refs = refs[1:]
         if with_traceback:
             arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
             scratch = refs[4:]
@@ -111,9 +115,18 @@ def _make_kernel(
             & (t_pos >= 0)
         )
 
+        if with_qual:
+            quwin = pltpu.roll(qual_ref[:], shift=Lq - qo, axis=1)[:, :W]
+            qv = jnp.clip(quwin, 4, 30)
+            x_cell = jnp.maximum((x_sc * qv + 7) // 15, 1)
+            ins_cell = jnp.maximum((ins_sc * qv + 7) // 15, 1)
+        else:
+            x_cell = x_sc
+            ins_cell = ins_sc
+
         eq = (qwin == twin) & (qwin < 4)
         anyn = (qwin >= 4) | (twin >= 4)
-        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_sc))
+        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
         H1 = H1s[:]
         H2 = H2s[:]
@@ -137,7 +150,7 @@ def _make_kernel(
         h = jnp.minimum(H2_diag, 0) + sub
         src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
         for val, code in (
-            (H1_up + ins_sc, SRC_UP),
+            (H1_up + ins_cell, SRC_UP),
             (H1_left + del_sc, SRC_LEFT),
             (E_new, SRC_E),
             (F_new, SRC_F),
@@ -194,6 +207,7 @@ def banded_align_pallas(
     tlo: jax.Array,      # (I,) int32
     thi: jax.Array,      # (I,) int32
     qoff: jax.Array,     # (S,) int32
+    qual: jax.Array | None = None,  # (I, L) uint8 phred, or None
     *,
     scores: AlignScores = AlignScores(),
     with_traceback: bool = False,
@@ -214,6 +228,8 @@ def banded_align_pallas(
         qlen = jnp.pad(qlen, (0, pad_i))
         tlo = jnp.pad(tlo, (0, pad_i))
         thi = jnp.pad(thi, (0, pad_i))
+        if qual is not None:
+            qual = jnp.pad(qual, ((0, pad_i), (0, 0)), constant_values=15)
 
     def _pad128(n: int) -> int:
         return -(-n // 128) * 128
@@ -234,7 +250,13 @@ def banded_align_pallas(
     s1 = jnp.diff(qoff, prepend=qoff[:1])
     s2 = jnp.concatenate([jnp.zeros(1, jnp.int32), s1[:-1]])
 
-    kernel = _make_kernel(scores, S, W, IT, Tp, with_traceback)
+    with_qual = qual is not None
+    quext = None
+    if with_qual:
+        quext = jnp.pad(
+            qual.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=15
+        )
+    kernel = _make_kernel(scores, S, W, IT, Tp, with_traceback, with_qual)
 
     out_shapes = [
         jax.ShapeDtypeStruct((I, 1), jnp.int32),   # best
@@ -261,7 +283,10 @@ def banded_align_pallas(
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + (
+            [pl.BlockSpec((IT, Lq), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM)]
+            if with_qual else []
+        ),
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((IT, W), jnp.int32),  # H1
@@ -283,6 +308,7 @@ def banded_align_pallas(
         qlen.astype(jnp.int32)[:, None],
         tlo.astype(jnp.int32)[:, None],
         thi.astype(jnp.int32)[:, None],
+        *([quext] if with_qual else []),
     )
     if with_traceback:
         arrows, best, besta, bestw = outs

@@ -56,6 +56,7 @@ class MappingParams:
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     piecewise: bool = False           # -alignContigs/-piecewise long queries
     sensitive_retry: bool = False     # -useSensitiveSearch second pass
+    ignore_qualities: bool = False    # -ignoreQualities (QV-aware scoring off)
     piecewise_max_gap: int = 100_000  # stitch gap cap (ref Blasr.cpp:1612)
     nproc: int = 1                    # host worker threads for IO/traceback
     scale_map_qv_by_align_length: bool = False

@@ -184,6 +184,7 @@ def _map_batch_impl(
     genome_pad: jax.Array,
     index_arrays: tuple,
     starts: jax.Array,
+    qual: jax.Array | None = None,
     *,
     params: MappingParams,
     pad: int,
@@ -203,6 +204,13 @@ def _map_batch_impl(
     rc = _revcomp_rows(codes, lengths)
     reads2 = jnp.concatenate([codes, rc], axis=0)          # (2B, L)
     lens2 = jnp.concatenate([lengths, lengths], axis=0)
+    qual2 = None
+    if qual is not None:
+        # reverse (no complement) per-row, keeping left alignment
+        idxq = lens2[B:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+        qrc = jnp.take_along_axis(qual, jnp.clip(idxq, 0, L - 1), axis=1)
+        qrc = jnp.where(idxq >= 0, qrc, jnp.uint8(15))
+        qual2 = jnp.concatenate([qual, qrc], axis=0)
 
     # ---- anchoring ----
     if index_kind == "fm":
@@ -264,6 +272,7 @@ def _map_batch_impl(
     row = (dp_strand * B + b_ar).reshape(-1)                # (I,) strand row
     qitems = reads2[row]                                    # (I, L)
     qlens = lens2[row]
+    quitems = qual2[row] if qual2 is not None else None
 
     scores_cfg = AlignScores(
         match=params.match_score,
@@ -279,7 +288,7 @@ def _map_batch_impl(
     # tensor stays in HBM and the walk below reads only the winners' paths.
     align_fn = banded_align_pallas if use_pallas else banded_align
     res1 = align_fn(
-        qitems, qlens, tcodes, tlo, thi, qoff,
+        qitems, qlens, tcodes, tlo, thi, qoff, quitems,
         scores=scores_cfg, with_traceback=True, band_width=W,
     )
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
@@ -346,12 +355,21 @@ class Mapper:
     def __post_init__(self):
         self.device_index = make_device_index(self.index, self.params, fm=self.fm)
 
-    def map_batch(self, codes: np.ndarray, lengths: np.ndarray) -> MapBatchResult:
+    def map_batch(
+        self,
+        codes: np.ndarray,
+        lengths: np.ndarray,
+        qual: np.ndarray | None = None,
+    ) -> MapBatchResult:
         di = self.device_index
+        q = None
+        if qual is not None and not self.params.ignore_qualities:
+            q = jnp.asarray(qual)
         return _map_batch_impl(
             jnp.asarray(codes),
             jnp.asarray(lengths),
             di.genome_pad, di.arrays, di.starts,
+            q,
             params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
             use_pallas=default_use_pallas(),
             index_kind=di.kind, fm_n=di.fm_n,

@@ -87,7 +87,9 @@ def run_mapping(
         unmapped.extend(unm_b)
 
     for batch in batch_reads(reads, params.batch_size, params.max_read_len):
-        inflight.append((batch, mapper.map_batch(batch.codes, batch.lengths)))
+        inflight.append(
+            (batch, mapper.map_batch(batch.codes, batch.lengths, batch.qual))
+        )
         if len(inflight) > params.dispatch_ahead:
             drain_one()
     while inflight:
