@@ -97,6 +97,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     # ---- observability ----
     p.add_argument("-anchors", default=None, metavar="FILE",
                    help="dump per-read anchors (qpos tpos nhits strand)")
+    p.add_argument("-resume", action="store_true",
+                   help="resume an interrupted run: append to -out, batch-"
+                        "granular checkpoint manifest at <out>.resume.json")
     p.add_argument("-metrics", default=None, metavar="FILE",
                    help="write per-stage timing/counter metrics JSON")
     p.add_argument("-V", "-v", dest="verbosity", type=int, default=0, nargs="?",
@@ -144,6 +147,69 @@ def params_from_args(args) -> MappingParams:
     )
 
 
+def _run_resumable(args, params, index, reads, fm):
+    """Batch-granular checkpointed mapping (role of the §5 gap: the
+    reference has no mapping-run checkpointing — rerun with -start/-stride
+    is its only recovery story). The output file grows batch by batch; a
+    manifest records progress so a preempted run resumes at the last
+    flushed batch."""
+    import json as _json
+    import os
+
+    from blasr_tpu.output.m4 import format_m4
+    from blasr_tpu.output.sam_writer import format_sam_record, sam_header
+    from blasr_tpu.pipeline.runner import run_mapping as _run
+
+    manifest_path = args.out + ".resume.json"
+    key = {
+        "reads": os.path.abspath(args.reads),
+        "reads_bytes": os.path.getsize(args.reads),
+        "genome": os.path.abspath(args.genome),
+        "params": repr(params),
+        "sam": bool(args.sam),
+    }
+    skip = 0
+    if os.path.exists(manifest_path) and os.path.exists(args.out):
+        try:
+            with open(manifest_path) as f:
+                m = _json.load(f)
+            if m.get("key") == key:
+                skip = int(m.get("batches_done", 0))
+        except (OSError, ValueError):
+            pass
+    mode = "a" if skip else "w"
+    by_name = {r.name: r for r in reads}
+    out_f = open(args.out, mode)
+    if not skip and args.sam:
+        for line in sam_header(index.seqdb, " ".join(sys.argv)):
+            out_f.write(line + "\n")
+
+    state = {"done": skip}
+
+    def on_batch(bi, recs, unm):
+        for rec in recs:
+            if args.sam:
+                rd = by_name.get(rec.qname)
+                if rd is not None:
+                    out_f.write(format_sam_record(rec, rd, args.clipping) + "\n")
+            else:
+                out_f.write(format_m4(rec) + "\n")
+        out_f.flush()
+        state["done"] = max(state["done"], bi + 1)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump({"key": key, "batches_done": state["done"]}, f)
+        os.replace(tmp, manifest_path)
+
+    try:
+        records, unmapped = _run(
+            index, reads, params, fm=fm, on_batch=on_batch, skip_batches=skip
+        )
+    finally:
+        out_f.close()
+    return records, unmapped
+
+
 def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
     params = params_from_args(args)
@@ -189,30 +255,34 @@ def main(argv=None) -> int:
         reads = [r for r in reads if len(r) <= args.maxReadLength]
 
     t0 = time.time()
-    if params.piecewise:
-        from blasr_tpu.pipeline.piecewise import run_mapping_piecewise
-
-        records, unmapped = run_mapping_piecewise(index, reads, params, fm=fm)
+    if args.resume and args.out != "-" and not params.piecewise:
+        records, unmapped = _run_resumable(args, params, index, reads, fm)
+        t_map = time.time() - t0
     else:
-        records, unmapped = run_mapping(index, reads, params, fm=fm)
-    t_map = time.time() - t0
+        if params.piecewise:
+            from blasr_tpu.pipeline.piecewise import run_mapping_piecewise
 
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
-    try:
-        if args.sam:
-            write_sam(records, reads, index.seqdb, out,
-                      clipping=args.clipping,
-                      program_line=" ".join(sys.argv),
-                      unmapped=unmapped)
-        elif args.m == 4:
-            write_m4(records, out, header=args.header)
+            records, unmapped = run_mapping_piecewise(index, reads, params, fm=fm)
         else:
-            from blasr_tpu.output.verbose import write_verbose
+            records, unmapped = run_mapping(index, reads, params, fm=fm)
+        t_map = time.time() - t0
 
-            write_verbose(records, reads, index, out, fmt=args.m)
-    finally:
-        if out is not sys.stdout:
-            out.close()
+        out = sys.stdout if args.out == "-" else open(args.out, "w")
+        try:
+            if args.sam:
+                write_sam(records, reads, index.seqdb, out,
+                          clipping=args.clipping,
+                          program_line=" ".join(sys.argv),
+                          unmapped=unmapped)
+            elif args.m == 4:
+                write_m4(records, out, header=args.header)
+            else:
+                from blasr_tpu.output.verbose import write_verbose
+
+                write_verbose(records, reads, index, out, fmt=args.m)
+        finally:
+            if out is not sys.stdout:
+                out.close()
 
     if args.unaligned:
         by_name = {r.name: r for r in reads}

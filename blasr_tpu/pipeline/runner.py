@@ -59,13 +59,21 @@ def run_mapping(
     reads: Sequence[Read],
     params: MappingParams,
     fm=None,
+    on_batch=None,
+    skip_batches: int = 0,
 ) -> tuple[list[AlignmentRecord], list[str]]:
     """Map reads; returns (alignments, unmapped read names).
 
     Batches are dispatched ahead of host post-processing (JAX async
     dispatch), so device compute, host<->device transfers and host
     formatting overlap — the TPU analogue of the reference's
-    reader/worker/writer pipeline (Blasr.cpp:3131-3177,3066-3126).
+    reader/writer pipeline (Blasr.cpp:3131-3177,3066-3126).
+
+    ``on_batch(batch_idx, records, unmapped_names)`` fires after each batch
+    finalizes (deterministic order) — the hook behind batch-granular
+    output checkpointing; ``skip_batches`` resumes a checkpointed run by
+    skipping already-flushed batches (batching is deterministic for fixed
+    inputs + params).
     """
     from collections import deque
 
@@ -79,16 +87,24 @@ def run_mapping(
         unmapped.extend(r.name for r in short)
         reads = [r for r in reads if len(r) >= params.min_read_length]
     inflight: deque = deque()
+    drained = [0]
 
     def drain_one():
-        batch, res = inflight.popleft()
+        bi, batch, res = inflight.popleft()
         out_b, unm_b = _finalize_batch(mapper, batch, res)
         out.extend(out_b)
         unmapped.extend(unm_b)
+        if on_batch is not None:
+            on_batch(bi, out_b, unm_b)
+        drained[0] += 1
 
-    for batch in batch_reads(reads, params.batch_size, params.max_read_len):
+    for bi, batch in enumerate(
+        batch_reads(reads, params.batch_size, params.max_read_len)
+    ):
+        if bi < skip_batches:
+            continue
         inflight.append(
-            (batch, mapper.map_batch(batch.codes, batch.lengths, batch.qual))
+            (bi, batch, mapper.map_batch(batch.codes, batch.lengths, batch.qual))
         )
         if len(inflight) > params.dispatch_ahead:
             drain_one()
