@@ -34,6 +34,10 @@ INDEX_SUFFIX = ".btidx.npz"
 INDEX_VERSION = 1
 
 
+LUT_BITS = 16  # key-prefix lookup table width (role of the reference SA
+               # prefix lookup table, SuffixArray.h:193 BuildLookupTable)
+
+
 @dataclasses.dataclass
 class GenomeIndex:
     genome: np.ndarray     # uint8 [G]
@@ -42,6 +46,18 @@ class GenomeIndex:
     pos_ok: np.ndarray     # bool [G]
     k: int                 # k-mer length of sa_kmers
     seqdb: SeqDB
+
+    def lut(self) -> tuple[np.ndarray, int, int]:
+        """(lut, shift, max_steps): lut[p] = first SA row whose key prefix
+        >= p; shift maps keys to prefixes; max_steps bounds the remaining
+        in-bucket binary search (static for the device loop)."""
+        bits = min(LUT_BITS, 2 * self.k)
+        shift = 2 * self.k - bits
+        pref = (self.sa_kmers >> shift).astype(np.int64)
+        lut = np.searchsorted(pref, np.arange((1 << bits) + 1)).astype(np.int32)
+        biggest = int(np.max(np.diff(lut))) if len(lut) > 1 else len(pref)
+        max_steps = max(1, int(np.ceil(np.log2(biggest + 1))))
+        return lut, shift, max_steps
 
     @property
     def genome_length(self) -> int:

@@ -48,8 +48,29 @@ def pack_query_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
     return jnp.where(bad, jnp.int32(-1), acc)
 
 
+def _bounded_search(
+    arr: jax.Array, keys: jax.Array, lo0: jax.Array, hi0: jax.Array, steps: int
+) -> jax.Array:
+    """side='left' binary search of keys within per-query ranges [lo0, hi0).
+
+    The LUT jump-start (reference SuffixArray.h prefix lookup table role)
+    shrinks ranges to single prefix buckets, so ``steps`` (static, from the
+    largest bucket) replaces the full log2(G) bisection.
+    """
+    lo, hi = lo0, hi0
+    G = arr.shape[0]
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        v = arr[jnp.clip(mid, 0, G - 1)]
+        go_right = v < keys
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "max_hits_per_pos", "max_anchors_per_read")
+    jax.jit,
+    static_argnames=("k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta"),
 )
 def find_anchors(
     codes: jax.Array,        # (B, L) uint8
@@ -57,10 +78,12 @@ def find_anchors(
     sa: jax.Array,           # (G,) int32/int64 suffix array
     sa_kmers: jax.Array,     # (G,) int32 ascending packed k-mers in SA order
     pos_ok: jax.Array,       # (G,) bool
+    lut: jax.Array | None = None,  # (2^bits + 1,) int32 prefix ranges
     *,
     k: int,
     max_hits_per_pos: int = 8,
     max_anchors_per_read: int = 512,
+    lut_meta: tuple[int, int] | None = None,  # (shift, max_steps)
 ):
     """Find up to A anchors per read.
 
@@ -76,8 +99,16 @@ def find_anchors(
     A = max_anchors_per_read
 
     qk = pack_query_kmers(codes, lengths, k)                      # (B, L)
-    lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
-    hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
+    if lut is not None and lut_meta is not None:
+        shift, max_steps = lut_meta
+        pref = jnp.clip(qk >> shift, 0, lut.shape[0] - 2)
+        blo = lut[pref]
+        bhi = lut[pref + 1]
+        lo = _bounded_search(sa_kmers, qk, blo, bhi, max_steps)
+        hi = _bounded_search(sa_kmers, qk + 1, lo, bhi, max_steps)
+    else:
+        lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
+        hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
     nh = (hi - lo).astype(jnp.int32)                              # (B, L)
     pos_has = (qk >= 0) & (nh > 0) & (nh <= KH)
 

@@ -51,6 +51,7 @@ def replicate_index(mesh: Mesh, di: DeviceIndex) -> DeviceIndex:
         genome_len=di.genome_len,
         kind=di.kind,
         fm_n=di.fm_n,
+        lut_meta=di.lut_meta,
     )
 
 
@@ -72,5 +73,5 @@ def sharded_map_batch(
         c, l,
         dri.genome_pad, dri.arrays, dri.starts,
         params=params, pad=di.pad, k=di.k, genome_len=di.genome_len,
-        index_kind=di.kind, fm_n=di.fm_n,
+        index_kind=di.kind, fm_n=di.fm_n, lut_meta=di.lut_meta,
     )

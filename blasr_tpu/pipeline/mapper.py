@@ -54,6 +54,7 @@ class DeviceIndex(NamedTuple):
     genome_len: int
     kind: str = "sa"
     fm_n: int = 0           # FM total rows (G + 1) when kind == "fm"
+    lut_meta: tuple | None = None  # (shift, max_steps) for the SA prefix LUT
 
 
 def make_device_index(
@@ -73,13 +74,17 @@ def make_device_index(
             jnp.asarray(idx.pos_ok),
         )
         kind, fm_n = "fm", fm.n
+        lut_meta = None
     else:
+        lut, shift, max_steps = idx.lut()
         arrays = (
             jnp.asarray(idx.sa.astype(np.int32)),
             jnp.asarray(idx.sa_kmers),
             jnp.asarray(idx.pos_ok),
+            jnp.asarray(lut),
         )
         kind, fm_n = "sa", 0
+        lut_meta = (shift, max_steps)
     return DeviceIndex(
         genome_pad=jnp.asarray(gp),
         arrays=arrays,
@@ -89,6 +94,7 @@ def make_device_index(
         genome_len=idx.genome_length,
         kind=kind,
         fm_n=fm_n,
+        lut_meta=lut_meta,
     )
 
 
@@ -175,7 +181,8 @@ def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "params", "pad", "k", "genome_len", "use_pallas", "index_kind", "fm_n"
+        "params", "pad", "k", "genome_len", "use_pallas", "index_kind",
+        "fm_n", "lut_meta"
     ),
 )
 def _map_batch_impl(
@@ -193,6 +200,7 @@ def _map_batch_impl(
     use_pallas: bool = False,
     index_kind: str = "sa",
     fm_n: int = 0,
+    lut_meta: tuple | None = None,
 ) -> MapBatchResult:
     B, L = codes.shape
     C = params.n_candidates
@@ -223,12 +231,13 @@ def _map_batch_impl(
             max_anchors_per_read=params.max_anchors_per_read,
         )
     else:
-        sa, sa_kmers, pos_ok = index_arrays
+        sa, sa_kmers, pos_ok, lut = index_arrays
         at, aq, anh, avalid = find_anchors(
-            reads2, lens2, sa, sa_kmers, pos_ok,
+            reads2, lens2, sa, sa_kmers, pos_ok, lut,
             k=k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
+            lut_meta=lut_meta,
         )
 
     # ---- candidate windows ----
@@ -372,7 +381,7 @@ class Mapper:
             q,
             params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
             use_pallas=default_use_pallas(),
-            index_kind=di.kind, fm_n=di.fm_n,
+            index_kind=di.kind, fm_n=di.fm_n, lut_meta=di.lut_meta,
         )
 
     def qoff_for(self, read_len: int) -> np.ndarray:

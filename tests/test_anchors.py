@@ -97,3 +97,34 @@ def test_pack_query_kmers_matches_host(rng):
                 assert qk[b, i] == keys[i]
             else:
                 assert qk[b, i] == -1
+
+
+def test_lut_search_matches_plain(rng):
+    """Prefix-LUT-jumpstarted search must equal the full binary search."""
+    import jax.numpy as jnp
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+
+    g = rng.integers(0, 4, 30_000).astype(np.uint8)
+    seqdb = SeqDB(["r"], np.array([0, len(g)], np.int64), ["0" * 32])
+    idx = build_index_from_arrays(g, seqdb, k=12)
+    lut, shift, max_steps = idx.lut()
+    B, L = 4, 128
+    codes = np.zeros((B, L), np.uint8)
+    for b in range(B):
+        s = int(rng.integers(0, len(g) - L))
+        codes[b] = g[s : s + L]
+    lengths = np.full(B, L, np.int32)
+    args = (
+        jnp.asarray(codes), jnp.asarray(lengths),
+        jnp.asarray(idx.sa.astype(np.int32)), jnp.asarray(idx.sa_kmers),
+        jnp.asarray(idx.pos_ok),
+    )
+    plain = find_anchors(*args, k=12, max_hits_per_pos=8, max_anchors_per_read=256)
+    lutted = find_anchors(
+        *args, jnp.asarray(lut), k=12, max_hits_per_pos=8,
+        max_anchors_per_read=256, lut_meta=(shift, max_steps),
+    )
+    for a, b in zip(plain, lutted):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
