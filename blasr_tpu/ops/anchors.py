@@ -75,9 +75,11 @@ def _bounded_search(
 def find_anchors(
     codes: jax.Array,        # (B, L) uint8
     lengths: jax.Array,      # (B,) int32
-    sa: jax.Array,           # (G,) int32/int64 suffix array
+    sa: jax.Array,           # (G,) int32 suffix array; a negative value marks
+                             # a position whose seed window is invalid (the
+                             # pos_ok mask pre-folded at index build)
     sa_kmers: jax.Array,     # (G,) int32 ascending packed k-mers in SA order
-    pos_ok: jax.Array,       # (G,) bool
+    pos_ok: jax.Array | None = None,  # (G,) bool, or None if folded into sa
     lut: jax.Array | None = None,  # (2^bits + 1,) int32 prefix ranges
     *,
     k: int,
@@ -117,7 +119,11 @@ def find_anchors(
     hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None])
     idx = jnp.clip(idx, 0, G - 1)
     t = sa[idx].astype(jnp.int32)                                 # (B, L, KH)
-    hit_ok = hit_ok & pos_ok[jnp.clip(t, 0, G - 1)]
+    if pos_ok is not None:
+        hit_ok = hit_ok & pos_ok[jnp.clip(t, 0, G - 1)]
+    else:
+        hit_ok = hit_ok & (t >= 0)
+    t = jnp.clip(t, 0, G - 1)
 
     q = jnp.broadcast_to(
         jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, KH)

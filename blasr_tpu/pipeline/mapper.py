@@ -77,10 +77,13 @@ def make_device_index(
         lut_meta = None
     else:
         lut, shift, max_steps = idx.lut()
+        # fold the seed-validity mask into the SA values (-1 = invalid):
+        # halves the random gathers in the anchor hit expansion
+        sa32 = idx.sa.astype(np.int32)
+        sa_masked = np.where(idx.pos_ok[sa32], sa32, np.int32(-1))
         arrays = (
-            jnp.asarray(idx.sa.astype(np.int32)),
+            jnp.asarray(sa_masked),
             jnp.asarray(idx.sa_kmers),
-            jnp.asarray(idx.pos_ok),
             jnp.asarray(lut),
         )
         kind, fm_n = "sa", 0
@@ -231,9 +234,9 @@ def _map_batch_impl(
             max_anchors_per_read=params.max_anchors_per_read,
         )
     else:
-        sa, sa_kmers, pos_ok, lut = index_arrays
+        sa_masked, sa_kmers, lut = index_arrays
         at, aq, anh, avalid = find_anchors(
-            reads2, lens2, sa, sa_kmers, pos_ok, lut,
+            reads2, lens2, sa_masked, sa_kmers, None, lut,
             k=k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
