@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Golden-output comparison: blasr_tpu m4 vs reference blasrmc m4.
+
+Usage: python scripts/compare_golden.py ours.m4 reference.m4
+
+The reference appends /0_<len> subread suffixes to FASTA titles; names are
+normalized before matching. Agreement = same contig+strand and interval
+overlap >= 90% reciprocal.
+"""
+
+import sys
+
+
+def parse_m4(path, strip_subread):
+    out = {}
+    for line in open(path):
+        f = line.split()
+        if len(f) < 13:
+            continue
+        name = f[0]
+        if strip_subread and name.count("/") >= 1:
+            # reference title suffix: <name>/0_<len>
+            base, _, tail = name.rpartition("/")
+            if "_" in tail:
+                name = base
+        rec = {
+            "tname": f[1], "score": int(f[2]), "pct": float(f[3]),
+            "qstart": int(f[5]), "qend": int(f[6]),
+            "tstrand": int(f[8]), "tstart": int(f[9]), "tend": int(f[10]),
+            "tlen": int(f[11]), "mapqv": int(f[12]),
+        }
+        if name not in out or rec["score"] < out[name]["score"]:
+            out[name] = rec
+    return out
+
+
+def main():
+    ours = parse_m4(sys.argv[1], strip_subread=False)
+    ref = parse_m4(sys.argv[2], strip_subread=True)
+    common = set(ours) & set(ref)
+    only_ours = len(set(ours) - set(ref))
+    only_ref = len(set(ref) - set(ours))
+    agree = strand_bad = locus_bad = 0
+    score_deltas = []
+    for n in sorted(common):
+        a, b = ours[n], ref[n]
+        if a["tname"] != b["tname"] or a["tstrand"] != b["tstrand"]:
+            strand_bad += 1
+            continue
+        lo = max(a["tstart"], b["tstart"])
+        hi = min(a["tend"], b["tend"])
+        inter = max(0, hi - lo)
+        denom = max(a["tend"] - a["tstart"], b["tend"] - b["tstart"], 1)
+        if inter / denom >= 0.9:
+            agree += 1
+            score_deltas.append(a["score"] - b["score"])
+        else:
+            locus_bad += 1
+    n = len(common)
+    print(f"common reads: {n}  ours-only: {only_ours}  ref-only: {only_ref}")
+    print(f"locus+strand agreement: {agree}/{n} = {100.0 * agree / max(n,1):.2f}%")
+    print(f"strand/contig mismatch: {strand_bad}  locus mismatch: {locus_bad}")
+    if score_deltas:
+        import statistics
+
+        print(
+            f"score delta (ours - ref): mean {statistics.mean(score_deltas):.1f} "
+            f"median {statistics.median(score_deltas):.1f} "
+            f"(negative = ours better under min-score)"
+        )
+
+
+if __name__ == "__main__":
+    main()
