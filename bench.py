@@ -72,6 +72,8 @@ def main():
         if b.max_len not in seen_caps:
             seen_caps.add(b.max_len)
             warm.extend(reads[i] for i in b.indices[:4] if i >= 0)
+    # longest read too: its piecewise segment tails hit extra length buckets
+    warm.append(max(reads, key=len))
     _ = run_mapping(index, warm or reads[:32], params)
 
     t0 = time.time()

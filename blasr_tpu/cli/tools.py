@@ -245,6 +245,53 @@ def _cmd_exhalign(argv) -> int:
     return 0
 
 
+def _cmd_alchemy(argv) -> int:
+    """Simulate reads with a context-conditioned error model
+    (role of simulator/Alchemy.cpp)."""
+    p = argparse.ArgumentParser(prog="tools alchemy")
+    p.add_argument("genome")
+    p.add_argument("-model", default=None, help="ErrorModel JSON (default: PacBio-like)")
+    p.add_argument("-nReads", type=int, default=100)
+    p.add_argument("-out", default="-")
+    p.add_argument("-fastq", action="store_true")
+    p.add_argument("-seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.seqdb import load_genome
+    from blasr_tpu.sim import ErrorModel, simulate_reads_alchemy
+
+    genome, _ = load_genome(args.genome)
+    model = ErrorModel.load(args.model) if args.model else ErrorModel.default()
+    reads, _ = simulate_reads_alchemy(genome, model, args.nReads, seed=args.seed)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for r in reads:
+        if args.fastq:
+            out.write(f"@{r.name}\n{codes_to_seq(r.codes)}\n+\n")
+            out.write((np.asarray(r.qual) + 33).astype(np.uint8).tobytes().decode() + "\n")
+        else:
+            out.write(f">{r.name}\n{codes_to_seq(r.codes)}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def _cmd_build_error_model(argv) -> int:
+    """Estimate an ErrorModel from aligned reads (StoreQualityByContext
+    role)."""
+    p = argparse.ArgumentParser(prog="tools buildErrorModel")
+    p.add_argument("sam")
+    p.add_argument("-out", default="model.json")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.sim import build_model_from_sam
+
+    model = build_model_from_sam(args.sam)
+    model.save(args.out)
+    print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "samfilter": _cmd_samfilter,
@@ -253,6 +300,8 @@ COMMANDS = {
     "evolve": _cmd_evolve,
     "wordcount": _cmd_wordcount,
     "exhalign": _cmd_exhalign,
+    "alchemy": _cmd_alchemy,
+    "buildErrorModel": _cmd_build_error_model,
 }
 
 

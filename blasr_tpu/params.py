@@ -58,6 +58,11 @@ class MappingParams:
     sensitive_retry: bool = False     # -useSensitiveSearch second pass
     ignore_qualities: bool = False    # -ignoreQualities (QV-aware scoring off)
     piecewise_max_gap: int = 100_000  # stitch gap cap (ref Blasr.cpp:1612)
+    segment_length: int = 1024        # piecewise segment size; also bounds
+                                      # band-trackable indel drift (W/2 over
+                                      # the segment instead of the read)
+    auto_segment: bool = True         # route reads > 1.5x segment_length
+                                      # through the piecewise path
     nproc: int = 1                    # host worker threads for IO/traceback
     scale_map_qv_by_align_length: bool = False
 

@@ -314,9 +314,21 @@ def _map_batch_impl(
     sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
     sel_valid = (topv > -(2**30)).reshape(-1) & (topv.reshape(-1) > 0)
 
-    # ---- MAPQ over all candidates of each read ----
+    # ---- MAPQ over the candidates that compete with the winner ----
+    # Reference partitions candidates overlapping >= 75% on the READ
+    # (PartitionOverlappingAlignments, Blasr.cpp:2726,2875-2945); only the
+    # winner's partition enters the logsumexp.
     best_sc = -topv[:, 0]
-    mapq = map_qv(sc, sv & (sc < 0), best_sc)
+    cq_lo = cand.q_lo.reshape(-1)[cand_flat].reshape(B, CD)
+    cq_hi = cand.q_hi.reshape(-1)[cand_flat].reshape(B, CD)
+    b_lo = jnp.take_along_axis(cq_lo, topi[:, 0:1], axis=1)
+    b_hi = jnp.take_along_axis(cq_hi, topi[:, 0:1], axis=1)
+    inter = jnp.maximum(
+        jnp.minimum(cq_hi, b_hi) - jnp.maximum(cq_lo, b_lo), 0
+    )
+    shorter = jnp.maximum(jnp.minimum(cq_hi - cq_lo, b_hi - b_lo), 1)
+    competes = inter >= (3 * shorter) // 4
+    mapq = map_qv(sc, sv & (sc < 0) & competes, best_sc)
 
     # ---- on-device traceback walk of the winners' paths, in place over
     # the full-candidate arrow tensor (arrows never leave the chip) ----

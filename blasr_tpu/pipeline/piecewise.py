@@ -33,17 +33,19 @@ SEG_SEP = "\x01seg\x01"
 
 
 def split_long_reads(
-    reads: Sequence[Read], seg_len: int
+    reads: Sequence[Read], seg_len: int, split_if_longer: int | None = None
 ) -> tuple[list[Read], dict[str, Read]]:
-    """Cut reads longer than seg_len into abutting segments.
+    """Cut reads longer than split_if_longer (default: seg_len) into
+    abutting seg_len segments.
 
     Segment names encode (parent, index, offset); returns (mapping input,
     parent lookup).
     """
+    threshold = seg_len if split_if_longer is None else split_if_longer
     out: list[Read] = []
     parents: dict[str, Read] = {}
     for r in reads:
-        if len(r) <= seg_len:
+        if len(r) <= threshold:
             out.append(r)
             continue
         parents[r.name] = r
@@ -157,10 +159,17 @@ def run_mapping_piecewise(
     reads: Sequence[Read],
     params: MappingParams,
     fm=None,
+    split_if_longer: int | None = None,
 ) -> tuple[list[AlignmentRecord], list[str]]:
-    """Map with long-query segmentation + piecewise stitching."""
-    seg_reads, parents = split_long_reads(reads, params.max_read_len)
-    seg_params = dataclasses.replace(params, best_n=1)
+    """Map with long-query segmentation + piecewise stitching.
+
+    ``split_if_longer`` keeps mid-size reads whole (the auto-segment path
+    passes max_read_len so only reads beyond the pad bound segment);
+    explicit -alignContigs segments everything above segment_length.
+    """
+    seg_len = min(params.segment_length, params.max_read_len)
+    seg_reads, parents = split_long_reads(reads, seg_len, split_if_longer)
+    seg_params = dataclasses.replace(params, best_n=1, auto_segment=False)
     recs, unmapped = run_mapping(index, seg_reads, seg_params, fm=fm)
 
     by_parent: dict[str, list[tuple[int, int, AlignmentRecord]]] = {}

@@ -77,6 +77,25 @@ def run_mapping(
     """
     from collections import deque
 
+    if (
+        params.auto_segment
+        and on_batch is None
+        and skip_batches == 0
+        and reads
+        and max(len(r) for r in reads) > params.max_read_len
+    ):
+        # (checkpointed runs stream batch-level records; they keep the
+        # truncation behavior for over-length reads instead)
+        # Reads beyond the pad bound are piecewise-mapped instead of
+        # truncated: segmentation bounds per-DP indel drift (W/2 per
+        # segment) and the stitcher restores whole-read records.
+        from blasr_tpu.pipeline.piecewise import run_mapping_piecewise
+
+        return run_mapping_piecewise(
+            index, reads, params, fm=fm,
+            split_if_longer=params.max_read_len,
+        )
+
     mapper = Mapper(index, params, fm=fm)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []

@@ -137,3 +137,174 @@ def evolve_sequence(
         "n_ins": int(n_ins),
     }
     return seg, stats
+
+
+# ---- alchemy-style simulation (context-conditioned error model) ----------
+#
+# Role of reference ``simulator/Alchemy.cpp`` (read simulator driven by an
+# empirical length histogram + per-context error/quality samples) and
+# ``simulator/StoreQualityByContext.cpp`` (build that model from real
+# alignments). The model here conditions (sub, ins, del) rates and emitted
+# quality values on the preceding base context, and can be estimated from
+# any SAM file produced by this framework or the reference.
+
+import dataclasses as _dc
+import json as _json
+
+
+@_dc.dataclass
+class ErrorModel:
+    """Context-conditioned error model. Context = previous base (4) and
+    current base (4) -> 16 contexts."""
+
+    lengths: list          # histogram support (read lengths)
+    length_probs: list     # histogram probabilities
+    sub: list              # (16,) substitution rate per context
+    ins: list              # (16,) insertion rate per context
+    dele: list             # (16,) deletion rate per context
+    mean_qual: float = 15.0
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            _json.dump(_dc.asdict(self), f)
+
+    @staticmethod
+    def load(path: str) -> "ErrorModel":
+        with open(path) as f:
+            return ErrorModel(**_json.load(f))
+
+    @staticmethod
+    def default() -> "ErrorModel":
+        """PacBio-like defaults (12% ins, 2% del, 1% sub, 1-8 kb reads)."""
+        lengths = [500, 1000, 2000, 4000, 8000]
+        probs = [0.15, 0.35, 0.3, 0.15, 0.05]
+        return ErrorModel(
+            lengths=lengths,
+            length_probs=probs,
+            sub=[0.01] * 16,
+            ins=[0.10] * 16,
+            dele=[0.03] * 16,
+        )
+
+
+def build_model_from_sam(sam_path: str, bins: int = 8) -> ErrorModel:
+    """Estimate an ErrorModel from aligned reads (StoreQualityByContext
+    role): per-context rates from CIGAR op counts, length histogram from
+    read lengths."""
+    from blasr_tpu.io.sam import read_sam
+
+    sam = read_sam(sam_path)
+    ctx_ops = np.zeros((16, 3), np.int64)  # sub-proxy, ins, del per context
+    ctx_m = np.zeros(16, np.int64)
+    lengths = []
+    quals = []
+    for rec in sam.records:
+        if rec.is_unmapped or rec.seq == "*":
+            continue
+        codes = seq_to_codes_safe(rec.seq)
+        lengths.append(len(codes))
+        if rec.qual is not None:
+            quals.append(float(np.mean(rec.qual)))
+        qpos = 0
+        prev = 0
+        nm = int(rec.tags.get("NM", 0))
+        n_m = 0
+        for op, ln in rec.cigar_runs():
+            if op in "SH":
+                qpos += ln if op == "S" else 0
+                continue
+            if op in "M=X":
+                for j in range(ln):
+                    c = int(codes[min(qpos + j, len(codes) - 1)])
+                    ctx = (prev << 2) | (c & 3)
+                    ctx_m[ctx] += 1
+                    prev = c & 3
+                n_m += ln
+                qpos += ln
+            elif op == "I":
+                c = int(codes[min(qpos, len(codes) - 1)])
+                ctx = (prev << 2) | (c & 3)
+                ctx_ops[ctx, 1] += ln
+                qpos += ln
+            elif op in "DN":
+                ctx = prev << 2
+                ctx_ops[ctx, 2] += ln
+        # spread NM mismatches uniformly over contexts weighted by matches
+        if n_m:
+            frac = ctx_m / max(ctx_m.sum(), 1)
+            ctx_ops[:, 0] += (nm * frac).astype(np.int64)
+    tot = np.maximum(ctx_m + ctx_ops.sum(axis=1), 1)
+    hist, edges = np.histogram(lengths, bins=bins)
+    mids = ((edges[:-1] + edges[1:]) / 2).astype(int).tolist()
+    probs = (hist / max(hist.sum(), 1)).tolist()
+    return ErrorModel(
+        lengths=mids,
+        length_probs=probs,
+        sub=(ctx_ops[:, 0] / tot).tolist(),
+        ins=(ctx_ops[:, 1] / tot).tolist(),
+        dele=(ctx_ops[:, 2] / tot).tolist(),
+        mean_qual=float(np.mean(quals)) if quals else 15.0,
+    )
+
+
+def seq_to_codes_safe(seq: str) -> np.ndarray:
+    from blasr_tpu.core.encode import seq_to_codes
+
+    return seq_to_codes(seq.encode())
+
+
+def simulate_reads_alchemy(
+    genome: np.ndarray,
+    model: ErrorModel,
+    n_reads: int,
+    seed: int = 0,
+) -> tuple[list[Read], list[tuple[int, int, int]]]:
+    """Sample reads per the alchemy recipe: length from the histogram,
+    position uniform, context-conditioned errors, phred quals around the
+    model mean (low at error sites)."""
+    rng = np.random.default_rng(seed)
+    G = len(genome)
+    sub = np.asarray(model.sub)
+    ins = np.asarray(model.ins)
+    dele = np.asarray(model.dele)
+    probs = np.asarray(model.length_probs, float)
+    probs = probs / probs.sum()
+    reads: list[Read] = []
+    truth: list[tuple[int, int, int]] = []
+    for i in range(n_reads):
+        length = int(rng.choice(model.lengths, p=probs))
+        length = max(100, min(length, G - 1))
+        start = int(rng.integers(0, G - length))
+        seg = genome[start : start + length]
+        out = []
+        qual = []
+        prev = 0
+        for c in seg:
+            c = int(c)
+            ctx = (prev << 2) | (c & 3)
+            r = rng.random()
+            if r < dele[ctx]:
+                continue  # deletion
+            if r < dele[ctx] + sub[ctx]:
+                c2 = (c + int(rng.integers(1, 4))) % 4
+                out.append(c2)
+                qual.append(max(4, int(model.mean_qual) - 8))
+                prev = c2
+            else:
+                out.append(c)
+                qual.append(int(np.clip(rng.normal(model.mean_qual, 4), 4, 60)))
+                prev = c & 3
+            while rng.random() < ins[ctx]:
+                ci = int(rng.integers(0, 4))
+                out.append(ci)
+                qual.append(max(4, int(model.mean_qual) - 10))
+        strand = int(rng.integers(0, 2))
+        codes = np.asarray(out, np.uint8)
+        q = np.asarray(qual, np.uint8)
+        if strand:
+            codes = revcomp_codes(codes)
+            q = q[::-1].copy()
+        name = f"alchemy/{i}|ref|{start}|{start + length}|{strand}"
+        reads.append(Read(name, codes, q, i))
+        truth.append((start, start + length, strand))
+    return reads, truth

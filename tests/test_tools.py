@@ -108,3 +108,51 @@ def test_samtom4_and_filter(tmp_path, genome_fa, capsys):
         if not l.startswith("@")
     ]
     assert len(out2) == 8
+
+
+def test_alchemy_roundtrip(tmp_path, genome_fa):
+    """alchemy reads map back to their true loci; an error model estimated
+    from aligned output reproduces plausible rates."""
+    from blasr_tpu.index.artifacts import load_index
+    from blasr_tpu.output.sam_writer import write_sam
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import (
+        ErrorModel, build_model_from_sam, parse_truth, simulate_reads_alchemy,
+    )
+
+    genome, seqdb = load_genome(genome_fa)
+    model = ErrorModel.default()
+    reads, truth = simulate_reads_alchemy(genome, model, 12, seed=4)
+    assert all(r.qual is not None for r in reads)
+    index = load_index(genome_fa, k=13, cache=False)
+    # long noisy reads drift beyond the band; the pad bound routes them
+    # through auto-segmentation (1 kb segments + stitching)
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    recs, unm = run_mapping(index, reads, params)
+    best_by = {}
+    for r in recs:
+        if r.qname not in best_by or r.score < best_by[r.qname].score:
+            best_by[r.qname] = r
+    recs = list(best_by.values())
+    assert len(unm) <= 1
+    n_ok = 0
+    for r in recs:
+        start, end, strand = parse_truth(r.qname)  # genome-global coords
+        g_start = int(seqdb.starts[r.contig_index]) + r.tstart_fwd
+        if r.tstrand == strand and abs(g_start - start) < 100:
+            n_ok += 1
+    assert n_ok >= len(recs) - 1
+
+    sam_path = str(tmp_path / "alc.sam")
+    with open(sam_path, "w") as f:
+        write_sam(recs, reads, seqdb, f)
+    est = build_model_from_sam(sam_path)
+    # estimated insertion rate should be in the ballpark of the true 10%
+    import numpy as _np
+
+    assert 0.04 < float(_np.mean(est.ins)) < 0.2
+    assert sum(est.length_probs) > 0.99
