@@ -310,6 +310,8 @@ def main(argv=None) -> int:
                 f.write(name + "\n")
 
     if args.metrics:
+        from blasr_tpu.pipeline import runner as _runner
+
         m = {
             "nReads": len(reads),
             "nMapped": len(reads) - len(unmapped),
@@ -319,6 +321,7 @@ def main(argv=None) -> int:
             "mapSeconds": round(t_map, 3),
             "readsPerSecond": round(len(reads) / t_map, 2) if t_map > 0 else 0.0,
             "totalSeconds": round(time.time() - t_start, 3),
+            "stages": _runner.LAST_RUN_METRICS.to_dict(),
         }
         with open(args.metrics, "w") as f:
             json.dump(m, f, indent=2)

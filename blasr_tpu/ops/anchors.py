@@ -70,7 +70,10 @@ def _bounded_search(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta"),
+    static_argnames=(
+        "k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta",
+        "anchor_stride",
+    ),
 )
 def find_anchors(
     codes: jax.Array,        # (B, L) uint8
@@ -86,6 +89,7 @@ def find_anchors(
     max_hits_per_pos: int = 8,
     max_anchors_per_read: int = 512,
     lut_meta: tuple[int, int] | None = None,  # (shift, max_steps)
+    anchor_stride: int = 1,
 ):
     """Find up to A anchors per read.
 
@@ -101,6 +105,12 @@ def find_anchors(
     A = max_anchors_per_read
 
     qk = pack_query_kmers(codes, lengths, k)                      # (B, L)
+    ST = max(1, anchor_stride)
+    if ST > 1:
+        # anchor every ST-th read position (role of advanceExactMatches /
+        # the reference's speed-sensitivity frontier, README.md:53-58)
+        qk = qk[:, ::ST]
+        L = qk.shape[1]
     if lut is not None and lut_meta is not None:
         shift, max_steps = lut_meta
         pref = jnp.clip(qk >> shift, 0, lut.shape[0] - 2)
@@ -126,7 +136,7 @@ def find_anchors(
     t = jnp.clip(t, 0, G - 1)
 
     q = jnp.broadcast_to(
-        jnp.arange(L, dtype=jnp.int32)[None, :, None], (B, L, KH)
+        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
     )
     # Priority: valid first; unique (low-frequency) anchors preferred;
     # a stride bonus guarantees anchors spread across the whole read even

@@ -23,6 +23,8 @@ class MappingParams:
     # ---- seeding / anchoring (reference: AnchorParameters) ----
     min_match_length: int = 14        # -minMatch (ref default 14)
     max_anchors_per_position: int = 8  # -maxAnchorsPerPosition (shape bound)
+    anchor_stride: int = 1            # seed every Nth read position
+                                      # (advanceExactMatches-style speedup)
     # ---- candidate interval selection ----
     n_candidates: int = 6             # -nCandidates (ref default 10)
     pval_type: int = 0                # -pvaltype: 0/1 log-pvalue, 2 size,

@@ -241,6 +241,7 @@ def _map_batch_impl(
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
             lut_meta=lut_meta,
+            anchor_stride=params.anchor_stride,
         )
 
     # ---- candidate windows ----

@@ -29,6 +29,32 @@ from blasr_tpu.pipeline.traceback import AlignmentPath
 
 
 @dataclasses.dataclass
+class MappingMetrics:
+    """Per-run counters and stage timers (role of reference
+    MappingMetrics/MappingClocks, datastructures/mapping/MappingMetrics.h:
+    per-stage tick/tock + counters, merged across workers at join)."""
+
+    n_reads: int = 0
+    n_batches: int = 0
+    n_records: int = 0
+    n_unmapped: int = 0
+    total_aligned_bases: int = 0
+    total_dp_cells: int = 0
+    dispatch_seconds: float = 0.0   # host time enqueueing device work
+    finalize_seconds: float = 0.0   # host time draining + formatting
+    wall_seconds: float = 0.0
+
+    def to_dict(self) -> dict:
+        d = dataclasses.asdict(self)
+        if self.wall_seconds > 0:
+            d["readsPerSecond"] = round(self.n_reads / self.wall_seconds, 2)
+        return d
+
+
+LAST_RUN_METRICS = MappingMetrics()
+
+
+@dataclasses.dataclass
 class AlignmentRecord:
     """One reported alignment (all coordinates ready for m4/SAM printing)."""
 
@@ -96,6 +122,11 @@ def run_mapping(
             split_if_longer=params.max_read_len,
         )
 
+    import time as _time
+
+    global LAST_RUN_METRICS
+    met = MappingMetrics()
+    t_run0 = _time.time()
     mapper = Mapper(index, params, fm=fm)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
@@ -109,6 +140,7 @@ def run_mapping(
     drained = [0]
 
     def drain_one():
+        t0 = _time.time()
         bi, batch, res = inflight.popleft()
         out_b, unm_b = _finalize_batch(mapper, batch, res)
         out.extend(out_b)
@@ -116,14 +148,29 @@ def run_mapping(
         if on_batch is not None:
             on_batch(bi, out_b, unm_b)
         drained[0] += 1
+        met.finalize_seconds += _time.time() - t0
+        met.n_batches += 1
+        met.n_records += len(out_b)
+        for r in out_b:
+            if r.path is not None:
+                met.total_aligned_bases += r.path.n_aligned
 
+    S = params.max_read_len + params.target_len - 1
     for bi, batch in enumerate(
         batch_reads(reads, params.batch_size, params.max_read_len)
     ):
         if bi < skip_batches:
             continue
+        t0 = _time.time()
         inflight.append(
             (bi, batch, mapper.map_batch(batch.codes, batch.lengths, batch.qual))
+        )
+        met.dispatch_seconds += _time.time() - t0
+        met.total_dp_cells += (
+            (2 * batch.max_len + params.target_pad - 1)
+            * params.band_width
+            * params.dp_candidates
+            * batch.batch_size
         )
         if len(inflight) > params.dispatch_ahead:
             drain_one()
@@ -173,6 +220,10 @@ def run_mapping(
         out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score, tie[id(a)]))
     else:
         out.sort(key=lambda a: (order.get(a.qname, 1 << 30), a.score))
+    met.n_reads = len(reads)
+    met.n_unmapped = len(unmapped)
+    met.wall_seconds = _time.time() - t_run0
+    LAST_RUN_METRICS = met
     return out, unmapped
 
 
