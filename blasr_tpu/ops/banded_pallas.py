@@ -10,8 +10,14 @@ stream straight to HBM one (IT, W) tile per step.
 Role of reference KBandAlign.h / GuidedAlign.h / AffineKBandAlign.h inner
 loops (row-sequential, pointer-chasing) — re-derived as a vector program:
 per step everything is elementwise on (IT, W) int32 registers; the only
-non-elementwise ops are two dynamic window slices and three lane shifts
-(selected among static shifts because the band offset moves by 0/1).
+non-elementwise ops are the dynamic window rotations (Mosaic supports a
+traced lane rotate but not unaligned dynamic vector loads) and three
+lane shifts (selected among static shifts because the band offset moves
+by 0/1).
+
+U anti-diagonals advance per grid iteration: the band offset moves at
+most one lane per step, so one rotation serves U sub-steps via static
+sub-slices — rotation cost and grid overhead amortize U-fold.
 """
 
 from __future__ import annotations
@@ -38,6 +44,7 @@ from blasr_tpu.ops.banded_align import (
 )
 
 ITEM_TILE = 32  # items per grid row (sublane-dim batching)
+UNROLL = 2      # anti-diagonals per grid iteration
 
 
 def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
@@ -47,6 +54,11 @@ def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
     x0 = xp[:, 1 : W + 1]
     xp1 = xp[:, 2 : W + 2]
     return jnp.where(dlt == -1, xm, jnp.where(dlt == 0, x0, xp1))
+
+
+def _subwin(rolled: jax.Array, off: jax.Array, W: int) -> jax.Array:
+    """rolled[:, off : off + W] for traced off in {0, 1} (static slices)."""
+    return jnp.where(off == 0, rolled[:, 0:W], rolled[:, 1 : W + 1])
 
 
 def _make_kernel(
@@ -60,9 +72,10 @@ def _make_kernel(
     del_sc = np.int32(scores.deletion)
     go = np.int32(scores.affine_open)
     ge = np.int32(scores.affine_extend)
+    U = UNROLL
 
     def kernel(
-        qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S,) int32
+        qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
         qext_ref,                          # (IT, Lq) int32
         trev_ref,                          # (IT, Lt) int32
         qlen_ref, tlo_ref, thi_ref,        # (IT, 1) int32
@@ -80,9 +93,9 @@ def _make_kernel(
             scratch = refs[3:]
         H1s, H2s, E1s, F1s, bests = scratch
 
-        s = pl.program_id(1)
+        it = pl.program_id(1)
 
-        @pl.when(s == 0)
+        @pl.when(it == 0)
         def _init():
             H1s[:] = jnp.full((IT, W), INF, jnp.int32)
             H2s[:] = jnp.full((IT, W), INF, jnp.int32)
@@ -90,109 +103,136 @@ def _make_kernel(
             F1s[:] = jnp.full((IT, W), INF, jnp.int32)
             bests[:] = jnp.zeros((IT, 3), jnp.int32)
 
-        qo = qoff_ref[s]
-        s1 = s1_ref[s]
-        s2 = s2_ref[s]
-        a = s
-
-        # Dynamic lane-window extraction via lane rotation (Mosaic supports
-        # dynamic rotate but not unaligned dynamic vector loads):
-        # roll(x, shift=n) is a RIGHT rotate, so left-rotating by `ofs` is
-        # shift = rowlen - ofs; the window is then the first W lanes.
+        a0 = it * U
+        qo0 = qoff_ref[a0]
         Lq = qext_ref.shape[1]
-        qwin = pltpu.roll(qext_ref[:], shift=Lq - qo, axis=1)[:, :W]
-        tstart = (Tp - 1 - W) - (a - qo)
         Lt = trev_ref.shape[1]
-        twin = pltpu.roll(trev_ref[:], shift=Lt - tstart, axis=1)[:, :W]
-
-        w_ar = jax.lax.broadcasted_iota(jnp.int32, (IT, W), 1)
-        q_pos = qo + w_ar
-        t_pos = a - q_pos
-        valid = (
-            (q_pos < qlen_ref[:])
-            & (t_pos >= tlo_ref[:])
-            & (t_pos < thi_ref[:])
-            & (t_pos >= 0)
-        )
-
+        # one rotation serves all U sub-steps (band offset moves <= 1/step)
+        qroll = pltpu.roll(qext_ref[:], shift=Lq - qo0, axis=1)
+        tstart0 = (Tp - 1 - W) - (a0 - qo0)
+        troll = pltpu.roll(trev_ref[:], shift=Lt - (tstart0 - 1), axis=1)
+        quroll = None
         if with_qual:
-            quwin = pltpu.roll(qual_ref[:], shift=Lq - qo, axis=1)[:, :W]
-            qv = jnp.clip(quwin, 4, 30)
-            x_cell = jnp.maximum((x_sc * qv + 7) // 15, 1)
-            ins_cell = jnp.maximum((ins_sc * qv + 7) // 15, 1)
-        else:
-            x_cell = x_sc
-            ins_cell = ins_sc
-
-        eq = (qwin == twin) & (qwin < 4)
-        anyn = (qwin >= 4) | (twin >= 4)
-        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
+            quroll = pltpu.roll(qual_ref[:], shift=Lq - qo0, axis=1)
 
         H1 = H1s[:]
         H2 = H2s[:]
         E1 = E1s[:]
         F1 = F1s[:]
+        best = bests[:, 0:1]
+        besta = bests[:, 1:2]
+        bestw = bests[:, 2:3]
 
-        H1_up = _shift(H1, s1 - 1, IT, W)
-        H1_left = _shift(H1, s1, IT, W)
-        E1_left = _shift(E1, s1, IT, W)
-        F1_up = _shift(F1, s1 - 1, IT, W)
-        H2_diag = _shift(H2, s1 + s2 - 1, IT, W)
-
-        e_open = H1_left + go
-        E_new = jnp.minimum(E1_left, e_open) + ge
-        ebit = (E1_left <= e_open).astype(jnp.int32)
-        f_open = H1_up + go
-        F_new = jnp.minimum(F1_up, f_open) + ge
-        fbit = (F1_up <= f_open).astype(jnp.int32)
-
-        diag_fresh = H2_diag > 0
-        h = jnp.minimum(H2_diag, 0) + sub
-        src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
-        for val, code in (
-            (H1_up + ins_cell, SRC_UP),
-            (H1_left + del_sc, SRC_LEFT),
-            (E_new, SRC_E),
-            (F_new, SRC_F),
-        ):
-            take = val < h
-            h = jnp.minimum(h, val)
-            src = jnp.where(take, code, src)
-        take_stop = h >= 0
-        h = jnp.minimum(h, 0)
-        src = jnp.where(take_stop, SRC_STOP, src)
-
+        w_ar = jax.lax.broadcasted_iota(jnp.int32, (IT, W), 1)
         inf = jnp.int32(INF)
-        H_new = jnp.where(valid, h, inf)
-        E_out = jnp.where(valid, E_new, inf)
-        F_out = jnp.where(valid, F_new, inf)
-        src = jnp.where(valid, src, SRC_STOP)
+        qlen_c = qlen_ref[:]
+        tlo_c = tlo_ref[:]
+        thi_c = thi_ref[:]
 
-        if with_traceback:
-            arrows_ref[0] = (src | (ebit << 3) | (fbit << 4)).astype(jnp.uint8)
+        qd = jnp.int32(0)  # qo(a) - qo0, in {0..U-1}
+        for u in range(U):
+            a = a0 + u
+            s1 = s1_ref[a]
+            s2 = s2_ref[a]
+            if u > 0:
+                qd = qd + s1
+            qo = qo0 + qd
+            qwin = _subwin(qroll, qd, W)
+            # tstart(a) - (tstart0 - 1) = 1 + (qd - u), in {0, 1}
+            toff = 1 + qd - u
+            twin = _subwin(troll, toff, W)
 
-        row_min = jnp.min(H_new, axis=1, keepdims=True)           # (IT, 1)
-        # first-index argmin (Mosaic lacks integer argmin)
-        row_arg = jnp.min(
-            jnp.where(H_new == row_min, w_ar, jnp.int32(W)), axis=1, keepdims=True
-        )
-        prev = bests[:]
-        better = row_min < prev[:, 0:1]
-        bests[:, 0:1] = jnp.minimum(prev[:, 0:1], row_min)
-        bests[:, 1:2] = jnp.where(better, a, prev[:, 1:2])
-        bests[:, 2:3] = jnp.where(better, row_arg, prev[:, 2:3])
+            q_pos = qo + w_ar
+            t_pos = a - q_pos
+            valid = (
+                (q_pos < qlen_c)
+                & (t_pos >= tlo_c)
+                & (t_pos < thi_c)
+                & (t_pos >= 0)
+                & (a < S)
+            )
 
-        H1s[:] = H_new
-        H2s[:] = H1
-        E1s[:] = E_out
-        F1s[:] = F_out
+            if with_qual:
+                quwin = _subwin(quroll, qd, W)
+                qv = jnp.clip(quwin, 4, 30)
+                x_cell = jnp.maximum((x_sc * qv + 7) // 15, 1)
+                ins_cell = jnp.maximum((ins_sc * qv + 7) // 15, 1)
+            else:
+                x_cell = x_sc
+                ins_cell = ins_sc
 
-        @pl.when(s == S - 1)
+            eq = (qwin == twin) & (qwin < 4)
+            anyn = (qwin >= 4) | (twin >= 4)
+            sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
+
+            H1_up = _shift(H1, s1 - 1, IT, W)
+            H1_left = _shift(H1, s1, IT, W)
+            E1_left = _shift(E1, s1, IT, W)
+            F1_up = _shift(F1, s1 - 1, IT, W)
+            H2_diag = _shift(H2, s1 + s2 - 1, IT, W)
+
+            e_open = H1_left + go
+            E_new = jnp.minimum(E1_left, e_open) + ge
+            ebit = (E1_left <= e_open).astype(jnp.int32)
+            f_open = H1_up + go
+            F_new = jnp.minimum(F1_up, f_open) + ge
+            fbit = (F1_up <= f_open).astype(jnp.int32)
+
+            diag_fresh = H2_diag > 0
+            h = jnp.minimum(H2_diag, 0) + sub
+            src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
+            for val, code in (
+                (H1_up + ins_cell, SRC_UP),
+                (H1_left + del_sc, SRC_LEFT),
+                (E_new, SRC_E),
+                (F_new, SRC_F),
+            ):
+                take = val < h
+                h = jnp.minimum(h, val)
+                src = jnp.where(take, code, src)
+            take_stop = h >= 0
+            h = jnp.minimum(h, 0)
+            src = jnp.where(take_stop, SRC_STOP, src)
+
+            H_new = jnp.where(valid, h, inf)
+            E_out = jnp.where(valid, E_new, inf)
+            F_out = jnp.where(valid, F_new, inf)
+            src = jnp.where(valid, src, SRC_STOP)
+
+            if with_traceback:
+                arrows_ref[u] = (src | (ebit << 3) | (fbit << 4)).astype(
+                    jnp.uint8
+                )
+
+            row_min = jnp.min(H_new, axis=1, keepdims=True)       # (IT, 1)
+            # first-index argmin (Mosaic lacks integer argmin)
+            row_arg = jnp.min(
+                jnp.where(H_new == row_min, w_ar, jnp.int32(W)),
+                axis=1, keepdims=True,
+            )
+            better = row_min < best
+            best = jnp.minimum(best, row_min)
+            besta = jnp.where(better, a, besta)
+            bestw = jnp.where(better, row_arg, bestw)
+
+            H2 = H1
+            H1 = H_new
+            E1 = E_out
+            F1 = F_out
+
+        H1s[:] = H1
+        H2s[:] = H2
+        E1s[:] = E1
+        F1s[:] = F1
+        bests[:, 0:1] = best
+        bests[:, 1:2] = besta
+        bests[:, 2:3] = bestw
+
+        @pl.when(it == pl.num_programs(1) - 1)
         def _finish():
-            b = bests[:]
-            best_ref[:] = b[:, 0:1]
-            besta_ref[:] = b[:, 1:2]
-            bestw_ref[:] = b[:, 2:3]
+            best_ref[:] = best
+            besta_ref[:] = besta
+            bestw_ref[:] = bestw
 
     return kernel
 
@@ -235,9 +275,9 @@ def banded_align_pallas(
         return -(-n // 128) * 128
 
     # int32 rows padded to lane multiples (Mosaic dynamic rotate + i32 only)
-    Lq = _pad128(L + W)
+    Lq = _pad128(L + W + UNROLL)
     Tp = T + 2 * W
-    Lt = _pad128(Tp)
+    Lt = _pad128(Tp + UNROLL)
     qext = jnp.pad(
         query.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=4
     )
@@ -246,9 +286,16 @@ def banded_align_pallas(
     ]
     trev = jnp.pad(trev, ((0, 0), (0, Lt - Tp)), constant_values=5)
 
+    # steps grouped UNROLL per grid iteration; pad the step arrays
+    NIT = -(-S // UNROLL)
+    S2p = NIT * UNROLL
     qoff = qoff.astype(jnp.int32)
     s1 = jnp.diff(qoff, prepend=qoff[:1])
     s2 = jnp.concatenate([jnp.zeros(1, jnp.int32), s1[:-1]])
+    pad_s = S2p - S
+    qoff_p = jnp.pad(qoff, (0, pad_s), mode="edge")
+    s1_p = jnp.pad(s1, (0, pad_s))
+    s2_p = jnp.pad(s2, (0, pad_s))
 
     with_qual = qual is not None
     quext = None
@@ -269,14 +316,17 @@ def banded_align_pallas(
         pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
     ]
     if with_traceback:
-        out_shapes = [jax.ShapeDtypeStruct((S, I, W), jnp.uint8)] + out_shapes
+        out_shapes = [jax.ShapeDtypeStruct((S2p, I, W), jnp.uint8)] + out_shapes
         out_specs = [
-            pl.BlockSpec((1, IT, W), lambda i, s, *_: (s, i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (UNROLL, IT, W), lambda i, s, *_: (s, i, 0),
+                memory_space=pltpu.VMEM,
+            )
         ] + out_specs
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(I // IT, S),
+        grid=(I // IT, NIT),
         in_specs=[
             pl.BlockSpec((IT, Lq), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((IT, Lt), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
@@ -303,7 +353,7 @@ def banded_align_pallas(
         grid_spec=grid_spec,
         interpret=interpret,
     )(
-        qoff, s1, s2,
+        qoff_p, s1_p, s2_p,
         qext, trev,
         qlen.astype(jnp.int32)[:, None],
         tlo.astype(jnp.int32)[:, None],
@@ -312,7 +362,10 @@ def banded_align_pallas(
     )
     if with_traceback:
         arrows, best, besta, bestw = outs
-        arrows = arrows[:, :I0] if I != I0 else arrows
+        if S2p != S:
+            arrows = arrows[:S]
+        if I != I0:
+            arrows = arrows[:, :I0]
     else:
         best, besta, bestw = outs
         arrows = None
