@@ -56,9 +56,13 @@ def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
     return jnp.where(dlt == -1, xm, jnp.where(dlt == 0, x0, xp1))
 
 
-def _subwin(rolled: jax.Array, off: jax.Array, W: int) -> jax.Array:
-    """rolled[:, off : off + W] for traced off in {0, 1} (static slices)."""
-    return jnp.where(off == 0, rolled[:, 0:W], rolled[:, 1 : W + 1])
+def _subwin(rolled: jax.Array, off: jax.Array, W: int, max_off: int) -> jax.Array:
+    """rolled[:, off : off + W] for traced off in {0..max_off} (selected
+    among static slices)."""
+    out = rolled[:, 0:W]
+    for o in range(1, max_off + 1):
+        out = jnp.where(off == o, rolled[:, o : o + W], out)
+    return out
 
 
 def _make_kernel(
@@ -110,7 +114,8 @@ def _make_kernel(
         # one rotation serves all U sub-steps (band offset moves <= 1/step)
         qroll = pltpu.roll(qext_ref[:], shift=Lq - qo0, axis=1)
         tstart0 = (Tp - 1 - W) - (a0 - qo0)
-        troll = pltpu.roll(trev_ref[:], shift=Lt - (tstart0 - 1), axis=1)
+        tbase = tstart0 - (U - 1)
+        troll = pltpu.roll(trev_ref[:], shift=Lt - tbase, axis=1)
         quroll = None
         if with_qual:
             quroll = pltpu.roll(qual_ref[:], shift=Lq - qo0, axis=1)
@@ -137,10 +142,10 @@ def _make_kernel(
             if u > 0:
                 qd = qd + s1
             qo = qo0 + qd
-            qwin = _subwin(qroll, qd, W)
-            # tstart(a) - (tstart0 - 1) = 1 + (qd - u), in {0, 1}
-            toff = 1 + qd - u
-            twin = _subwin(troll, toff, W)
+            qwin = _subwin(qroll, qd, W, U - 1)
+            # tstart(a) - tbase = (U - 1) + (qd - u), in {0..U-1}
+            toff = (U - 1) + qd - u
+            twin = _subwin(troll, toff, W, U - 1)
 
             q_pos = qo + w_ar
             t_pos = a - q_pos
@@ -153,7 +158,7 @@ def _make_kernel(
             )
 
             if with_qual:
-                quwin = _subwin(quroll, qd, W)
+                quwin = _subwin(quroll, qd, W, U - 1)
                 qv = jnp.clip(quwin, 4, 30)
                 x_cell = jnp.maximum((x_sc * qv + 7) // 15, 1)
                 ins_cell = jnp.maximum((ins_sc * qv + 7) // 15, 1)
