@@ -63,11 +63,16 @@ def format_m1(rec: AlignmentRecord) -> str:
 
 
 def format_m5(rec: AlignmentRecord, read: Read, index: GenomeIndex) -> str:
+    """m5 strand convention (CompareSequencesAlignmentPrinter /
+    PrintCompareSequencesAlignmentStats): strands are +/- characters and
+    reverse-strand target coordinates are reported in FORWARD contig
+    coordinates (unlike m4's RC convention)."""
     p = rec.path
     qstr, mstr, tstr = alignment_strings(rec, read, index)
     return (
-        f"{rec.qname} {rec.qlength} {rec.qstart} {rec.qend} {rec.qstrand} "
-        f"{rec.tname} {rec.tlength} {rec.tstart} {rec.tend} {rec.tstrand} "
+        f"{rec.qname} {rec.qlength} {rec.qstart} {rec.qend} + "
+        f"{rec.tname} {rec.tlength} {rec.tstart_fwd} {rec.tend_fwd} "
+        f"{'+-'[rec.tstrand]} "
         f"{rec.score} {p.n_match} {p.n_mismatch} {p.n_ins} {p.n_del} "
         f"{rec.mapqv} {qstr} {mstr} {tstr}"
     )
