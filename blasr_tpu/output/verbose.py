@@ -23,8 +23,14 @@ from blasr_tpu.pipeline.runner import AlignmentRecord
 from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M
 
 
-def alignment_strings(rec: AlignmentRecord, read: Read, index: GenomeIndex):
-    """Reconstruct (query_str, match_pattern, target_str) with gap dashes."""
+def alignment_strings(
+    rec: AlignmentRecord, read: Read, index: GenomeIndex, gap_char: str = "*"
+):
+    """Reconstruct (query_str, match_pattern, target_str) with gap dashes.
+
+    gap_char: the match-pattern character over indels — '*' for m5/m1
+    (reference turns spaces into '*' for parsing), ' ' for the m0 stick.
+    """
     p = rec.path
     assert p is not None
     q = read.codes if rec.tstrand == 0 else revcomp_codes(read.codes)
@@ -43,12 +49,12 @@ def alignment_strings(rec: AlignmentRecord, read: Read, index: GenomeIndex):
         elif op == OP_I:
             qs.append(int(q[qi]))
             ts.append(-1)
-            ms.append("*")
+            ms.append(gap_char)
             qi += 1
         else:
             qs.append(-1)
             ts.append(int(t[ti]))
-            ms.append("*")
+            ms.append(gap_char)
             ti += 1
     to_str = lambda cs: "".join("-" if c < 0 else codes_to_seq(np.array([c], np.uint8)) for c in cs)
     return to_str(qs), "".join(ms), to_str(ts)
@@ -79,20 +85,39 @@ def format_m5(rec: AlignmentRecord, read: Read, index: GenomeIndex) -> str:
 
 
 def format_m0(rec: AlignmentRecord, read: Read, index: GenomeIndex, width: int = 50) -> str:
-    qstr, mstr, tstr = alignment_strings(rec, read, index)
+    """-m 0 human-readable block (field-for-field the reference's
+    StickAlignmentPrinter + PrintAlignmentStats layout)."""
+    p = rec.path
+    qstr, mstr, tstr = alignment_strings(rec, read, index, gap_char=" ")
     lines = [
-        f"qName: {rec.qname}",
-        f"tName: {rec.tname}",
-        f"qRange: {rec.qstart} -> {rec.qend} of {rec.qlength}",
-        f"tRange: {rec.tstart} -> {rec.tend} of {rec.tlength}",
-        f"qStrand/tStrand: {rec.qstrand}/{rec.tstrand}",
-        f"score: {rec.score}  pctSimilarity: {rec.pct_similarity:.2f}  mapQV: {rec.mapqv}",
+        f"    nMatch: {p.n_match}",
+        f" nMisMatch: {p.n_mismatch}",
+        f"      nIns: {p.n_ins}",
+        f"      nDel: {p.n_del}",
+        f"      %sim: {rec.pct_similarity:.4f}",
+        f"     Score: {rec.score}",
+        f"         Query: {rec.qname}",
+        f"        Target: {rec.tname}",
+        "         Model: a hybrid of global/local non-affine alignment",
+        f"     Raw score: {rec.score}",
+        f"        Map QV: {rec.mapqv}",
+        f"  Query strand: {rec.qstrand}",
+        f" Target strand: {rec.tstrand}",
+        f"   QueryRange: {rec.qstart} -> {rec.qend} of {rec.qlength}",
+        f"  TargetRange: {rec.tstart} -> {rec.tend} of {rec.tlength}",
     ]
+    qpos = p.q_start if rec.tstrand == 0 else rec.qlength - p.q_end
+    tpos = rec.tstart
     for ofs in range(0, len(qstr), width):
-        lines.append(f"  q: {qstr[ofs:ofs + width]}")
-        lines.append(f"     {mstr[ofs:ofs + width]}")
-        lines.append(f"  t: {tstr[ofs:ofs + width]}")
+        qseg = qstr[ofs : ofs + width]
+        mseg = mstr[ofs : ofs + width]
+        tseg = tstr[ofs : ofs + width]
+        lines.append(f"q: {qpos:4d}  {qseg}")
+        lines.append(f"         {mseg}")
+        lines.append(f"t: {tpos:4d}  {tseg}")
         lines.append("")
+        qpos += sum(1 for c in qseg if c != "-")
+        tpos += sum(1 for c in tseg if c != "-")
     return "\n".join(lines)
 
 
