@@ -75,11 +75,6 @@ def select_candidates(
     )                                                  # (B, A)
     win_w = jnp.where(ds < BIG, win_w, -1.0)
 
-    # cumulative sums for weighted-mean diagonal and member q-extent
-    wd_csum0 = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(ws * ds.astype(jnp.float32), axis=1)],
-        axis=1,
-    )
     cnt_csum0 = jnp.concatenate(
         [jnp.zeros((B, 1), jnp.int32), jnp.cumsum((ds < BIG).astype(jnp.int32), axis=1)],
         axis=1,
@@ -94,18 +89,25 @@ def select_candidates(
         hi_i = jnp.take_along_axis(hi_idx, bi, axis=1)[:, 0]
         wsum = jnp.take_along_axis(score, bi, axis=1)[:, 0]
         ok = wsum > 0.0
-        # weighted mean diagonal over members [lo_i, hi_i)
-        wd = (
-            jnp.take_along_axis(wd_csum0, hi_i[:, None], axis=1)
-            - jnp.take_along_axis(wd_csum0, lo_i[:, None], axis=1)
-        )[:, 0]
         nmem = (
             jnp.take_along_axis(cnt_csum0, hi_i[:, None], axis=1)
             - jnp.take_along_axis(cnt_csum0, lo_i[:, None], axis=1)
         )[:, 0]
-        d0 = jnp.where(ok, (wd / jnp.maximum(wsum, 1e-9)).astype(jnp.int32), 0)
-        # member q extent (masked min/max — O(A) per candidate)
+        # member q extent + weighted-mean diagonal (masked, O(A) per cand).
+        # The mean is computed on WINDOW-RELATIVE diagonals (<= win) so it
+        # stays exact in float32 for genome-scale absolute diagonals — a
+        # global-coordinate fp32 mean drifts by hundreds of bases at
+        # hundreds of Mb and pushes the window off the band.
         member = (ar >= lo_i[:, None]) & (ar < hi_i[:, None]) & (ds < BIG)
+        dstar_c = jnp.take_along_axis(ds, bi, axis=1)[:, 0]
+        rel = jnp.where(
+            member, ws * (ds - dstar_c[:, None]).astype(jnp.float32), 0.0
+        ).sum(axis=1)
+        d0 = jnp.where(
+            ok,
+            dstar_c + (rel / jnp.maximum(wsum, 1e-9)).astype(jnp.int32),
+            0,
+        )
         qlo = jnp.min(jnp.where(member, qs, BIG), axis=1)
         qhi = jnp.max(jnp.where(member, qs + k, -1), axis=1)
         d0s.append(d0)

@@ -119,4 +119,4 @@ def test_m5_m1_m0_formats(mapped):
         m1 = format_m1(rec).split()
         assert len(m1) == 13
         m0 = format_m0(rec, rd, index)
-        assert "qName:" in m0 and "q: " in m0
+        assert "nMatch:" in m0 and "QueryRange:" in m0 and "q: " in m0
