@@ -222,24 +222,40 @@ def main(argv=None) -> int:
     from blasr_tpu.pipeline.runner import run_mapping
 
     t_start = time.time()
-    index = load_index(args.genome, k=params.min_match_length)
     fm = None
     if args.bwt is not None:
+        # low-memory path: skip the SA bundle entirely; the mapper's FM
+        # branch needs only genome codes + seed-validity + contig db
         import os
 
+        import numpy as np
+
         from blasr_tpu.cli.bwtutils import FM_SUFFIX
+        from blasr_tpu.core.encode import pack_kmers
+        from blasr_tpu.index.artifacts import GenomeIndex
         from blasr_tpu.index.fm import FMIndex, build_fm_index
         from blasr_tpu.index.suffix_array import build_suffix_array
+        from blasr_tpu.io.seqdb import load_genome
 
+        genome, seqdb = load_genome(args.genome)
+        k = params.min_match_length
+        _, pos_ok = pack_kmers(genome, k)
+        pos_ok = pos_ok.copy()
+        for s_ in seqdb.starts[1:-1]:
+            pos_ok[max(0, int(s_) - (k - 1)) : int(s_)] = False
+        empty = np.zeros(0, np.int32)
+        index = GenomeIndex(genome, empty, empty, pos_ok, k, seqdb)
         fm_path = args.bwt or (args.genome + FM_SUFFIX)
         if os.path.exists(fm_path):
             fm = FMIndex.load(fm_path)
         else:
-            fm = build_fm_index(index.genome, build_suffix_array(index.genome))
+            fm = build_fm_index(genome, build_suffix_array(genome))
             try:
                 fm.save(fm_path)
             except OSError:
                 pass
+    else:
+        index = load_index(args.genome, k=params.min_match_length)
     t_index = time.time() - t_start
     reads = read_records(args.reads)
     if args.start or args.stride > 1 or args.subsample < 1.0:

@@ -89,6 +89,10 @@ class GenomeIndex:
 
 def build_index_from_arrays(genome: np.ndarray, seqdb: SeqDB, k: int) -> GenomeIndex:
     """Build the index from an in-memory concatenated genome."""
+    if not (1 <= k <= 15):
+        # packed keys must fit int32 (2k <= 30 bits); silently wrapped keys
+        # would corrupt the sorted sa_kmers invariant
+        raise ValueError(f"k={k}: anchor k-mer length must be in [1, 15]")
     g = int(len(genome))
     # SA over the N->A projection so that 2-bit packed keys are SA-ordered.
     proj = (genome & 3).astype(np.uint8)

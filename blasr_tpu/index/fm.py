@@ -121,8 +121,11 @@ def build_fm_index(genome: np.ndarray, sa: np.ndarray) -> FMIndex:
 # ---- host-side reference queries (the oracle for the device kernels) ----
 
 def occ_host(fm: FMIndex, c: int, i: int) -> int:
-    """# occurrences of char c in bwt[0:i)."""
+    """# occurrences of char c in bwt[0:i); i == n clamps to the last row
+    with a whole-row residual (padding value 6 never matches)."""
     b, r = divmod(i, ROW)
+    if b >= fm.bwt_rows.shape[0]:
+        b, r = fm.bwt_rows.shape[0] - 1, ROW
     return int(fm.occ_bins[b, c]) + int(np.sum(fm.bwt_rows[b, :r] == c))
 
 

@@ -131,7 +131,12 @@ def batch_reads(
             lengths = np.zeros(batch_size, dtype=np.int32)
             indices = np.full(batch_size, -1, dtype=np.int32)
             names = [""] * batch_size
-            qual = np.zeros((batch_size, cap), dtype=np.uint8) if has_qual else None
+            # neutral phred 15 (= unscaled penalties) for rows/reads
+            # without quality values in a mixed batch
+            qual = (
+                np.full((batch_size, cap), 15, dtype=np.uint8)
+                if has_qual else None
+            )
             for j, r in enumerate(chunk):
                 n = min(len(r), cap)
                 codes[j, :n] = r.codes[:n]

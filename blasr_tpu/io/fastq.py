@@ -17,13 +17,17 @@ def read_fastq(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
         lines = f.read().split(b"\n")
     i = 0
     n = len(lines)
-    while i + 3 < n or (i < n and lines[i].strip()):
+    while i < n:
         title = lines[i].strip()
         if not title:
             i += 1
             continue
         if not title.startswith(b"@"):
             raise ValueError(f"{path}: malformed FASTQ title at line {i + 1}")
+        if i + 3 >= n:
+            raise ValueError(
+                f"{path}: truncated FASTQ record at line {i + 1}"
+            )
         name = title[1:].split()[0].decode("ascii")
         seq = lines[i + 1].strip()
         qual_line = lines[i + 3].strip()

@@ -29,16 +29,22 @@ from blasr_tpu.index.fm import ROW, SAMPLE_D, SENTINEL
 def fm_occ(bwt_rows: jax.Array, occ_bins: jax.Array, c: jax.Array, i: jax.Array):
     """occ(c, i) = # of char c in bwt[0:i), vectorized over queries.
 
-    c, i: any matching shape; returns same shape int32.
+    c, i: any matching shape; returns same shape int32. i may equal n
+    (interval end): when n is a multiple of ROW that lands one row past
+    the table, so the row index clamps and the residual covers the whole
+    final row (its padding value 6 never matches a real char).
     """
+    NB = bwt_rows.shape[0]
     b = i // ROW
     r = i % ROW
-    rows = bwt_rows[b]                                   # (..., ROW)
+    bc = jnp.minimum(b, NB - 1)
+    r = r + (b - bc) * ROW                               # ROW when clamped
+    rows = bwt_rows[bc]                                  # (..., ROW)
     lane = jnp.arange(ROW, dtype=jnp.int32)
     within = jnp.sum(
         (rows == c[..., None]) & (lane < r[..., None]), axis=-1, dtype=jnp.int32
     )
-    return occ_bins[b, c] + within
+    return occ_bins[bc, c] + within
 
 
 def fm_count_kmers(

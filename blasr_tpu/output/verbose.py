@@ -210,17 +210,20 @@ def format_m3(rec: AlignmentRecord) -> str:
         else:
             t, q = gaps[-1]
             gaps[-1] = (t, q + ln)
-    # merge consecutive M runs produced by dropped leading gaps
+    # fold simultaneous ins+del into the preceding M run: min(t, q) base
+    # pairs align (possibly mismatching), the remainder is one-sided.
+    # (The reference's cGap=abs(t-q) arithmetic drops bases when both gaps
+    # are nonzero; we emit the consistent encoding instead.)
     out: list[str] = []
     for b in range(len(blocks) - 1):
         t_gap, q_gap = gaps[b]
-        c_gap = abs(t_gap - q_gap) if (t_gap > 0 and q_gap > 0) else 0
+        c_gap = min(t_gap, q_gap)
         t_gap -= c_gap
         q_gap -= c_gap
         out.append(f" M {blocks[b] + c_gap}")
         if t_gap > 0:
             out.append(f" D {t_gap}")
-        else:
+        elif q_gap > 0:
             out.append(f" I {q_gap}")
     out.append(f" M {blocks[-1]}")
     return "".join(out)

@@ -158,8 +158,8 @@ def _merge_mapqv(records: list[AlignmentRecord]) -> None:
     best = int(np.argmax(ps))
     one_minus = max(1.0 - 10.0 ** (ps[best] - lse), 1e-26)
     cross = int(np.clip(-10.0 * np.log10(one_minus), 0, 254))
-    for i, r in enumerate(records):
-        r.mapqv = min(r.mapqv, cross) if i == best else min(r.mapqv, cross)
+    for r in records:
+        r.mapqv = min(r.mapqv, cross)
 
 
 def run_mapping_sharded(

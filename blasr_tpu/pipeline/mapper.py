@@ -322,6 +322,14 @@ def _map_batch_impl(
     best_sc = -topv[:, 0]
     cq_lo = cand.q_lo.reshape(-1)[cand_flat].reshape(B, CD)
     cq_hi = cand.q_hi.reshape(-1)[cand_flat].reshape(B, CD)
+    # RC-strand candidates carry RC-read coordinates; map them to forward
+    # read coordinates so cross-strand competitors overlap correctly
+    rlen = lengths[:, None].astype(jnp.int32)
+    is_rc = dp_strand == 1
+    cq_lo, cq_hi = (
+        jnp.where(is_rc, rlen - cq_hi, cq_lo),
+        jnp.where(is_rc, rlen - cq_lo, cq_hi),
+    )
     b_lo = jnp.take_along_axis(cq_lo, topi[:, 0:1], axis=1)
     b_hi = jnp.take_along_axis(cq_hi, topi[:, 0:1], axis=1)
     inter = jnp.maximum(

@@ -81,40 +81,78 @@ def _try_stitch(
     return drift <= max(64, int(indel_rate * max(q_gap, t_gap, 1)) + 64)
 
 
+def _trim_leading(ops: np.ndarray, q_trim: int, t_trim: int):
+    """Drop leading ops until >= q_trim query and >= t_trim target bases are
+    consumed (resolves small overlaps between stitched segments). Returns
+    (ops, q_dropped, t_dropped, m_dropped)."""
+    qd = td = md = 0
+    i = 0
+    n = len(ops)
+    while i < n and (qd < q_trim or td < t_trim):
+        op = ops[i]
+        if op == OP_I:
+            qd += 1
+        elif op == OP_D:
+            td += 1
+        else:
+            qd += 1
+            td += 1
+            md += 1
+        i += 1
+    return ops[i:], qd, td, md
+
+
 def _merge_run(run: list[AlignmentRecord], parent: Read) -> AlignmentRecord:
     """Fuse a chain of compatible segment alignments into one record.
 
+    Ops concatenate in PATH order — target-ascending — which for
+    reverse-strand hits is the reverse of the forward-read segment order.
     Inter-segment gaps become unscored I/D ops (the reference's
-    refineBetweenAnchorsOnly would densely align them; planned refinement).
+    refineBetweenAnchorsOnly would densely align them; planned
+    refinement); small segment overlaps are trimmed from the later
+    segment's leading ops.
     """
     first, last = run[0], run[-1]
     strand = first.tstrand
     n = len(parent.codes)
+    # path (target-ascending) order: forward order for +, reversed for -
+    path_order = run if strand == 0 else run[::-1]
     ops_parts: list[np.ndarray] = []
     score = 0
     nm = nmm = ni = nd = 0
-    for i, rec in enumerate(run):
+    for i, rec in enumerate(path_order):
         p = rec.path
+        seg_ops = np.asarray(p.ops, np.uint8)
         score += rec.score
         nm += p.n_match
         nmm += p.n_mismatch
         ni += p.n_ins
         nd += p.n_del
         if i > 0:
-            prev = run[i - 1]
-            q_gap = rec.qstart - prev.qend
-            t_gap = (
-                rec.tstart_fwd - prev.tend_fwd
-                if strand == 0
-                else prev.tstart_fwd - rec.tend_fwd
-            )
+            prev = path_order[i - 1]
+            # gaps in path coords: query gap is the unaligned read span
+            # between the two segments, target gap the genome span
+            if strand == 0:
+                q_gap = rec.qstart - prev.qend
+            else:
+                q_gap = prev.qstart - rec.qend
+            t_gap = rec.tstart_fwd - prev.tend_fwd
+            if q_gap < 0 or t_gap < 0:
+                seg_ops, qd, td, md = _trim_leading(
+                    seg_ops, max(-q_gap, 0), max(-t_gap, 0)
+                )
+                q_gap += qd
+                t_gap += td
+                nm -= md          # approximation: trimmed M ops as matches
+                ni -= max(qd - md, 0)
+                nd -= max(td - md, 0)
             if q_gap > 0:
                 ops_parts.append(np.full(q_gap, OP_I, np.uint8))
                 ni += q_gap
             if t_gap > 0:
                 ops_parts.append(np.full(t_gap, OP_D, np.uint8))
                 nd += t_gap
-        ops_parts.append(np.asarray(p.ops, np.uint8))
+        ops_parts.append(seg_ops)
     ops = np.concatenate(ops_parts)
 
     qs = first.qstart

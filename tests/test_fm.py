@@ -145,3 +145,29 @@ def test_e2e_mapping_with_fm_matches_sa(tmp_path):
         assert (a.qname, a.tstart, a.tend, a.tstrand, a.score) == (
             b.qname, b.tstart, b.tend, b.tstrand, b.score
         )
+
+
+def test_fm_row_boundary_genome():
+    """(G+1) % 128 == 0 regression: occ at interval end == n must count the
+    full final row."""
+    rng = np.random.default_rng(99)
+    g = rng.integers(0, 4, 255).astype(np.uint8)   # n = 256 = 2 rows
+    sa = build_suffix_array(g)
+    fm = build_fm_index(g, sa)
+    for _ in range(40):
+        k = int(rng.integers(2, 9))
+        s = int(rng.integers(0, len(g) - k))
+        p = g[s : s + k].copy()
+        lo, hi = count_host(fm, p)
+        locs = brute_locs(g, p)
+        assert hi - lo == len(locs)
+    # device path too
+    codes = g[:64][None, :]
+    lo, hi = fm_count_kmers(
+        jnp.asarray(fm.bwt_rows), jnp.asarray(fm.occ_bins), jnp.asarray(fm.C),
+        jnp.asarray(codes), jnp.asarray(np.array([64], np.int32)), 6, fm.n,
+    )
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    for p_ in range(0, 58, 5):
+        want = count_host(fm, codes[0, p_ : p_ + 6])
+        assert (lo[0, p_], hi[0, p_]) == want, p_

@@ -77,3 +77,40 @@ def test_short_reads_pass_through():
     recs, unm = run_mapping_piecewise(index, reads, params)
     assert not unm and len(recs) == 1
     assert abs(recs[0].tstart_fwd - 5_000) < 50
+
+
+def test_piecewise_rc_path_consistent():
+    """RC piecewise merge: replayed path must match the sequences exactly
+    (regression: ops were concatenated in forward-read order, which is
+    reversed for RC hits)."""
+    g, index, params = _setup()
+    # forward target slice with one 40 bp deletion in the read
+    seg = np.concatenate([g[30_000:31_480], g[31_520:33_000]])
+    read = revcomp_codes(seg.copy())
+    reads = [Read("rcdel", read, None, 0)]
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert not unm
+    best = min(recs, key=lambda r: r.score)
+    assert best.tstrand == 1
+    p = best.path
+    # replay: count real matches along the path against the sequences
+    q = revcomp_codes(read)  # RC of read = target-forward orientation
+    t = g[30_000 + 0 : 30_000 + 3_000]
+    qi = p.q_start
+    ti = best.tstart_fwd - 30_000
+    n_match = 0
+    n_mm = 0
+    for op in p.ops:
+        if op == 1:
+            if q[qi] == t[ti]:
+                n_match += 1
+            else:
+                n_mm += 1
+            qi += 1
+            ti += 1
+        elif op == 2:
+            qi += 1
+        else:
+            ti += 1
+    assert n_mm <= 2, f"path inconsistent: {n_mm} mismatches on error-free read"
+    assert n_match >= 2_900
