@@ -106,3 +106,33 @@ def test_sensitive_retry_rescues_noisy_read(sim):
     assert len(recs1) >= len(recs0)
     if recs0 and ok1:
         assert min(r.score for r in recs1) <= min(r.score for r in recs0)
+
+
+def test_inverted_repeat_mapqv_low():
+    """A read present both forward and reverse-complemented in the genome
+    must get a LOW mapQV (regression: RC competitors' q-spans were compared
+    in RC coordinates and never overlapped the winner)."""
+    from blasr_tpu.core.encode import revcomp_codes
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+
+    rng = np.random.default_rng(123)
+    unit = rng.integers(0, 4, 800).astype(np.uint8)
+    genome = np.concatenate([
+        rng.integers(0, 4, 5000).astype(np.uint8),
+        unit,
+        rng.integers(0, 4, 5000).astype(np.uint8),
+        revcomp_codes(unit),
+        rng.integers(0, 4, 5000).astype(np.uint8),
+    ])
+    seqdb = SeqDB(["r"], np.array([0, len(genome)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(genome, seqdb, k=12)
+    read = unit.copy()
+    params = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=4, best_n=1,
+        min_match_length=12,
+    )
+    recs, unm = run_mapping(index, [Read("invrep", read, None, 0)], params)
+    assert recs, "read must map"
+    best = min(recs, key=lambda r: r.score)
+    assert best.mapqv <= 3, f"ambiguous placement must have low mapQV, got {best.mapqv}"
