@@ -1,6 +1,8 @@
 #!/usr/bin/env python
 """200 Mb genome smoke test: index build + mapping accuracy at scale."""
-import sys, time, os; sys.path.insert(0, "/root/repo"); os.chdir("/root/repo")
+import os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from blasr_tpu.index.artifacts import build_index_from_arrays, GenomeIndex
 from blasr_tpu.io.seqdb import SeqDB
@@ -13,11 +15,7 @@ rng = np.random.default_rng(3)
 genome = rng.integers(0, 4, G).astype(np.uint8)
 starts = np.linspace(0, G, 11).astype(np.int64)
 seqdb = SeqDB([f"chr{i}" for i in range(10)], starts, ["0"*32]*10)
-if False:
-    index = GenomeIndex.load("/tmp/big_idx.npz")
-else:
-    index = build_index_from_arrays(genome, seqdb, k=15)
-    pass
+index = build_index_from_arrays(genome, seqdb, k=15)
 print("index ready", flush=True)
 for mean_len in (500, 1000):
     reads, truth = simulate_reads(genome, 256, mean_len=mean_len, seed=5)
