@@ -55,6 +55,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="skip reads longer than this (0 = no limit)")
     p.add_argument("-placeRepeatsRandomly", action="store_true")
     p.add_argument("-randomSeed", type=int, default=0)
+    p.add_argument("-readIndex", type=int, default=None,
+                   help="map only the read at this stream index (repro aid, "
+                        "Blasr.cpp:4619)")
+    p.add_argument("-readIndices", default=None, metavar="I,J,...",
+                   help="map only these stream indices")
     # ---- anchoring ----
     p.add_argument("-bwt", nargs="?", const="", default=None, metavar="FILE",
                    help="anchor via the FM-index (low-memory path); optional "
@@ -269,6 +274,13 @@ def main(argv=None) -> int:
         ]
     if args.maxReadLength:
         reads = [r for r in reads if len(r) <= args.maxReadLength]
+    if args.readIndex is not None or args.readIndices:
+        want = set()
+        if args.readIndex is not None:
+            want.add(args.readIndex)
+        if args.readIndices:
+            want.update(int(x) for x in args.readIndices.split(","))
+        reads = [r for r in reads if r.index in want]
 
     t0 = time.time()
     if args.resume and args.out != "-" and not params.piecewise:

@@ -292,6 +292,27 @@ def _cmd_build_error_model(argv) -> int:
     return 0
 
 
+def _cmd_condense(argv) -> int:
+    """Homopolymer-condense a FASTA (role of sequtils/Condense.cpp)."""
+    p = argparse.ArgumentParser(prog="tools condense")
+    p.add_argument("fasta")
+    p.add_argument("-out", default="-")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.condense import condense
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import read_fasta
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    for name, codes in read_fasta(args.fasta):
+        cond, lengths, _ = condense(codes)
+        out.write(f">{name} condensed={len(cond)} original={len(codes)}\n")
+        out.write(codes_to_seq(cond) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "samfilter": _cmd_samfilter,
@@ -302,6 +323,7 @@ COMMANDS = {
     "exhalign": _cmd_exhalign,
     "alchemy": _cmd_alchemy,
     "buildErrorModel": _cmd_build_error_model,
+    "condense": _cmd_condense,
 }
 
 
