@@ -313,6 +313,32 @@ def _cmd_condense(argv) -> int:
     return 0
 
 
+def _cmd_dotplot(argv) -> int:
+    """Anchor dot plot data (role of alignment/DotPlot.cpp blDotPlot):
+    per-read anchor (qpos, tpos, strand) triples, gnuplot/TSV-ready."""
+    p = argparse.ArgumentParser(prog="tools dotplot")
+    p.add_argument("reads")
+    p.add_argument("genome")
+    p.add_argument("-out", default="-")
+    p.add_argument("-minMatch", type=int, default=14)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.index.artifacts import load_index
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.debug import dump_anchors
+
+    index = load_index(args.genome, k=args.minMatch)
+    reads = read_records(args.reads)
+    params = MappingParams(min_match_length=args.minMatch)
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    out.write("# read strand qpos tpos nhits\n")
+    dump_anchors(index, reads, params, out)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "samfilter": _cmd_samfilter,
@@ -324,6 +350,7 @@ COMMANDS = {
     "alchemy": _cmd_alchemy,
     "buildErrorModel": _cmd_build_error_model,
     "condense": _cmd_condense,
+    "dotplot": _cmd_dotplot,
 }
 
 
