@@ -49,14 +49,18 @@ class GenomeIndex:
 
     def lut(self) -> tuple[np.ndarray, int, int]:
         """(lut, shift, max_steps): lut[p] = first SA row whose key prefix
-        >= p; shift maps keys to prefixes; max_steps bounds the remaining
-        in-bucket binary search (static for the device loop)."""
-        bits = min(LUT_BITS, 2 * self.k)
-        shift = 2 * self.k - bits
-        pref = (self.sa_kmers >> shift).astype(np.int64)
+        >= p; shift maps DEVICE keys to prefixes (for wide keys the device
+        holds the top-30-bit half, so the shift is within that half);
+        max_steps bounds the remaining in-bucket binary search."""
+        wide = 2 * self.k > 31
+        hi_bits = 30 if wide else 2 * self.k
+        bits = min(LUT_BITS, hi_bits)
+        host_shift = 2 * self.k - bits
+        pref = (self.sa_kmers.astype(np.int64) >> host_shift)
         lut = np.searchsorted(pref, np.arange((1 << bits) + 1)).astype(np.int32)
         biggest = int(np.max(np.diff(lut))) if len(lut) > 1 else len(pref)
         max_steps = max(1, int(np.ceil(np.log2(biggest + 1))))
+        shift = hi_bits - bits   # applied to the device-side (hi) keys
         return lut, shift, max_steps
 
     @property
@@ -89,16 +93,16 @@ class GenomeIndex:
 
 def build_index_from_arrays(genome: np.ndarray, seqdb: SeqDB, k: int) -> GenomeIndex:
     """Build the index from an in-memory concatenated genome."""
-    if not (1 <= k <= 15):
-        # packed keys must fit int32 (2k <= 30 bits); silently wrapped keys
-        # would corrupt the sorted sa_kmers invariant
-        raise ValueError(f"k={k}: anchor k-mer length must be in [1, 15]")
+    if not (1 <= k <= 30):
+        # keys pack 2 bits/base: int32 up to k=15, int64 (split hi/lo on
+        # device) up to k=30
+        raise ValueError(f"k={k}: anchor k-mer length must be in [1, 30]")
     g = int(len(genome))
     # SA over the N->A projection so that 2-bit packed keys are SA-ordered.
     proj = (genome & 3).astype(np.uint8)
     sa = build_suffix_array(proj)
     keys, valid = pack_kmers(genome, k)  # valid == no-N window fully inside
-    sa_kmers = keys[sa].astype(np.int32)
+    sa_kmers = keys[sa].astype(np.int32 if 2 * k <= 31 else np.int64)
     # contig-boundary crossing: window [t, t+k) must stay inside one contig
     pos_ok = valid.copy()
     for s in seqdb.starts[1:-1]:

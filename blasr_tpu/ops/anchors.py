@@ -156,3 +156,115 @@ def find_anchors(
     )
     avalid = vals > 0  # vals==-1 marks invalid; any real anchor has prio > 0
     return at, aq, jnp.maximum(anh, 1), avalid
+
+
+def _bounded_search_wide(
+    hi_arr: jax.Array, lo_arr: jax.Array,
+    khi: jax.Array, klo: jax.Array,
+    lo0: jax.Array, hi0: jax.Array, steps: int,
+) -> jax.Array:
+    """side='left' binary search for compound keys (hi, lo) — the int64
+    k-mer split into top-30-bit / bottom-bit int32 halves for large k."""
+    lo, hi = lo0, hi0
+    G = hi_arr.shape[0]
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        mc = jnp.clip(mid, 0, G - 1)
+        vh = hi_arr[mc]
+        vl = lo_arr[mc]
+        go_right = (vh < khi) | ((vh == khi) & (vl < klo))
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta",
+        "anchor_stride",
+    ),
+)
+def find_anchors_wide(
+    codes: jax.Array,        # (B, L) uint8
+    lengths: jax.Array,      # (B,) int32
+    sa: jax.Array,           # (G,) int32, negative = invalid seed (folded mask)
+    kmer_hi: jax.Array,      # (G,) int32: top 30 bits (first 15 bases)
+    kmer_lo: jax.Array,      # (G,) int32: bottom 2(k-15) bits
+    lut: jax.Array,          # prefix LUT over kmer_hi
+    *,
+    k: int,                  # 16..30
+    max_hits_per_pos: int = 8,
+    max_anchors_per_read: int = 512,
+    lut_meta: tuple[int, int] | None = None,  # (shift within hi, max_steps)
+    anchor_stride: int = 1,
+):
+    """find_anchors for k > 15 (large genomes need longer seeds for
+    specificity; the reference gets this via LCP extension of unique
+    matches, MapBySuffixArray.h:132-170 — here the seed itself is longer).
+
+    Same output contract as find_anchors.
+    """
+    assert 16 <= k <= 30
+    B, L = codes.shape
+    G = sa.shape[0]
+    KH = max_hits_per_pos
+    A = max_anchors_per_read
+
+    qk_hi = pack_query_kmers(codes, lengths, 15)                # (B, L)
+    klo_full = pack_query_kmers(codes, lengths, k - 15)
+    # low half lives k-15 bases later; out-of-range -> invalid
+    qk_lo = jnp.pad(
+        klo_full, ((0, 0), (0, 15)), constant_values=-1
+    )[:, 15 : 15 + L]
+    bad = (qk_hi < 0) | (qk_lo < 0)
+    qk_hi = jnp.where(bad, jnp.int32(-1), qk_hi)
+    qk_lo = jnp.where(bad, jnp.int32(0), qk_lo)
+
+    ST = max(1, anchor_stride)
+    if ST > 1:
+        qk_hi = qk_hi[:, ::ST]
+        qk_lo = qk_lo[:, ::ST]
+        L = qk_hi.shape[1]
+
+    shift, max_steps = lut_meta if lut_meta is not None else (0, 31)
+    # LUT over the HI half jump-starts the compound search; within a hi
+    # bucket another log2(bucket) rounds resolve the LO half
+    pref = jnp.clip(qk_hi >> shift, 0, lut.shape[0] - 2)
+    blo = jnp.where(qk_hi >= 0, lut[pref], 0)
+    bhi = jnp.where(qk_hi >= 0, lut[pref + 1], 0)
+    lo = _bounded_search_wide(kmer_hi, kmer_lo, qk_hi, qk_lo, blo, bhi, max_steps)
+    # key + 1 (with carry) for the right bound
+    LO_MASK = (1 << (2 * (k - 15))) - 1
+    carry = (qk_lo == LO_MASK).astype(jnp.int32)
+    khi2 = qk_hi + carry
+    klo2 = jnp.where(carry == 1, 0, qk_lo + 1)
+    hi = _bounded_search_wide(kmer_hi, kmer_lo, khi2, klo2, lo, bhi, max_steps)
+
+    nh = (hi - lo).astype(jnp.int32)
+    pos_has = (qk_hi >= 0) & (nh > 0) & (nh <= KH)
+
+    offs = jnp.arange(KH, dtype=jnp.int32)
+    idx = jnp.clip(lo[..., None] + offs[None, None, :], 0, G - 1)
+    t = sa[idx].astype(jnp.int32)
+    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None]) & (t >= 0)
+    t = jnp.clip(t, 0, G - 1)
+
+    q = jnp.broadcast_to(
+        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
+    )
+    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
+    base = jnp.int32(1 << 20)
+    prio = base - nh[..., None] * 16
+    prio = prio + jnp.where(q % stride == 0, base // 2, 0)
+    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
+
+    flat_prio = prio.reshape(B, L * KH)
+    vals, sel = jax.lax.top_k(flat_prio, A)
+    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
+    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
+    anh = jnp.take_along_axis(
+        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
+    )
+    avalid = vals > 0
+    return at, aq, jnp.maximum(anh, 1), avalid

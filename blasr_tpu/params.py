@@ -89,9 +89,9 @@ class MappingParams:
     def validate(self) -> None:
         if self.band_width % 128 != 0:
             raise ValueError("band_width must be a multiple of 128 (TPU lanes)")
-        if not (1 <= self.min_match_length <= 15):
-            # packed k-mer codes must fit in int32 (2k <= 30 bits)
-            raise ValueError("min_match_length must be in [1, 15]")
+        if not (1 <= self.min_match_length <= 30):
+            # 2 bits/base: int32 keys to k=15, split int64 keys to k=30
+            raise ValueError("min_match_length must be in [1, 30]")
         if self.best_n > self.n_candidates:
             raise ValueError("best_n must be <= n_candidates")
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from blasr_tpu.index.artifacts import GenomeIndex
-from blasr_tpu.ops.anchors import find_anchors
+from blasr_tpu.ops.anchors import find_anchors, find_anchors_wide
 from blasr_tpu.ops.fm_search import find_anchors_fm
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
@@ -81,11 +81,24 @@ def make_device_index(
         # halves the random gathers in the anchor hit expansion
         sa32 = idx.sa.astype(np.int32)
         sa_masked = np.where(idx.pos_ok[sa32], sa32, np.int32(-1))
-        arrays = (
-            jnp.asarray(sa_masked),
-            jnp.asarray(idx.sa_kmers),
-            jnp.asarray(lut),
-        )
+        if 2 * idx.k > 31:
+            # wide keys (k 16..30): top 30 bits / bottom bits as int32 pair
+            full = idx.sa_kmers.astype(np.int64)
+            lo_bits = 2 * idx.k - 30
+            kmer_hi = (full >> lo_bits).astype(np.int32)
+            kmer_lo = (full & ((1 << lo_bits) - 1)).astype(np.int32)
+            arrays = (
+                jnp.asarray(sa_masked),
+                jnp.asarray(kmer_hi),
+                jnp.asarray(kmer_lo),
+                jnp.asarray(lut),
+            )
+        else:
+            arrays = (
+                jnp.asarray(sa_masked),
+                jnp.asarray(idx.sa_kmers),
+                jnp.asarray(lut),
+            )
         kind, fm_n = "sa", 0
         lut_meta = (shift, max_steps)
     return DeviceIndex(
@@ -232,6 +245,16 @@ def _map_batch_impl(
             k=k, n=fm_n,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
+        )
+    elif k > 15:
+        sa_masked, kmer_hi, kmer_lo, lut = index_arrays
+        at, aq, anh, avalid = find_anchors_wide(
+            reads2, lens2, sa_masked, kmer_hi, kmer_lo, lut,
+            k=k,
+            max_hits_per_pos=params.max_anchors_per_position,
+            max_anchors_per_read=params.max_anchors_per_read,
+            lut_meta=lut_meta,
+            anchor_stride=params.anchor_stride,
         )
     else:
         sa_masked, sa_kmers, lut = index_arrays

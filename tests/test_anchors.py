@@ -128,3 +128,54 @@ def test_lut_search_matches_plain(rng):
     )
     for a, b in zip(plain, lutted):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wide_key_anchors_match_bruteforce(rng):
+    """k=18 (int64 keys split hi/lo on device) vs a brute-force scan."""
+    import jax.numpy as jnp
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.ops.anchors import find_anchors_wide
+
+    k = 18
+    g = rng.integers(0, 4, 6000).astype(np.uint8)
+    # plant a duplicated block so some k-mers have multiple hits
+    g[3000:3300] = g[1000:1300]
+    seqdb = SeqDB(["r"], np.array([0, len(g)], np.int64), ["0" * 32])
+    idx = build_index_from_arrays(g, seqdb, k=k)
+    assert idx.sa_kmers.dtype == np.int64
+    lut, shift, max_steps = idx.lut()
+
+    B, L = 2, 96
+    codes = np.zeros((B, L), np.uint8)
+    for b in range(B):
+        s = int(rng.integers(1000, 1300 - L))
+        codes[b] = g[s : s + L]
+    lengths = np.full(B, L, np.int32)
+
+    sa32 = idx.sa.astype(np.int32)
+    sa_masked = np.where(idx.pos_ok[sa32], sa32, np.int32(-1))
+    full = idx.sa_kmers.astype(np.int64)
+    lo_bits = 2 * k - 30
+    t, q, nh, valid = find_anchors_wide(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(sa_masked),
+        jnp.asarray((full >> lo_bits).astype(np.int32)),
+        jnp.asarray((full & ((1 << lo_bits) - 1)).astype(np.int32)),
+        jnp.asarray(lut),
+        k=k, max_hits_per_pos=8, max_anchors_per_read=256,
+        lut_meta=(shift, max_steps),
+    )
+    t, q, nh, valid = (np.asarray(x) for x in (t, q, nh, valid))
+    for b in range(B):
+        got = {(int(tt), int(qq)) for tt, qq, v in zip(t[b], q[b], valid[b]) if v}
+        want = set()
+        for p in range(L - k + 1):
+            kmer = codes[b, p : p + k]
+            hits = [
+                i for i in range(len(g) - k + 1)
+                if np.array_equal(g[i : i + k], kmer)
+            ]
+            if 0 < len(hits) <= 8:
+                want.update((h, p) for h in hits)
+        assert got == want, f"read {b}: {len(got)} vs {len(want)} anchors"

@@ -136,3 +136,31 @@ def test_inverted_repeat_mapqv_low():
     assert recs, "read must map"
     best = min(recs, key=lambda r: r.score)
     assert best.mapqv <= 3, f"ambiguous placement must have low mapQV, got {best.mapqv}"
+
+
+def test_e2e_wide_keys_k18(sim):
+    """Full pipeline with k=18 wide keys maps to the same loci as k=14."""
+    index14, reads, truth = sim
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+
+    index18 = build_index_from_arrays(
+        index14.genome, index14.seqdb, k=18
+    )
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=4, best_n=1,
+        min_match_length=18,
+    )
+    records, unmapped = run_mapping(index18, reads, params)
+    assert len(unmapped) <= 1
+    by = {}
+    for r in records:
+        if r.qname not in by or r.score < by[r.qname].score:
+            by[r.qname] = r
+    n_ok = 0
+    for i, (start, end, strand) in enumerate(truth):
+        rec = by.get(reads[i].name)
+        if rec is None:
+            continue
+        if rec.tstrand == strand and abs(rec.tstart_fwd - start) < 50:
+            n_ok += 1
+    assert n_ok >= 37, f"only {n_ok}/40 at true locus with k=18"
