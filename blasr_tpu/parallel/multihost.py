@@ -1,0 +1,99 @@
+"""Multi-host (DCN) mapping: deterministic input sharding + ordered merge.
+
+Role of reference §2.9 "process-level sharding" (-start/-stride let
+independent processes split an input file, ReaderAgglomerate.h:81-95) made
+first-class: each host maps a deterministic stride-slice of the read
+stream on its local chip(s) and writes a part file; a final merge restores
+global read order. Between hosts nothing moves over ICI — read
+distribution and output collection are pure DCN/filesystem concerns, which
+is exactly the reference's independent-process model (its only multi-node
+story) with the bookkeeping automated.
+
+`init_distributed` wires `jax.distributed` for true multi-host pods
+(coordinator + process ids); on a single host every function degenerates
+to the identity so the same driver script runs anywhere.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional, Sequence
+
+from blasr_tpu.index.artifacts import GenomeIndex
+from blasr_tpu.io.batching import Read
+from blasr_tpu.params import MappingParams
+from blasr_tpu.pipeline.runner import AlignmentRecord, run_mapping
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> tuple[int, int]:
+    """Initialize jax.distributed when multi-host env/args are present.
+
+    Returns (process_id, num_processes); (0, 1) on a single host.
+    """
+    import jax
+
+    if coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return jax.process_index(), jax.process_count()
+    return 0, 1
+
+
+def host_shard(
+    reads: Sequence[Read], process_id: int, num_processes: int
+) -> list[Read]:
+    """Deterministic stride slice of the read stream for this host
+    (the reference's -start/-stride contract)."""
+    return [r for i, r in enumerate(reads) if i % num_processes == process_id]
+
+
+def part_path(out_prefix: str, process_id: int) -> str:
+    return f"{out_prefix}.part{process_id:04d}"
+
+
+def run_mapping_host_part(
+    index: GenomeIndex,
+    reads: Sequence[Read],
+    params: MappingParams,
+    out_prefix: str,
+    process_id: int = 0,
+    num_processes: int = 1,
+    fm=None,
+) -> tuple[list[AlignmentRecord], list[str]]:
+    """Map this host's shard and write its m4 part file (read_index-tagged
+    so the merge can restore global order)."""
+    from blasr_tpu.output.m4 import format_m4
+
+    mine = host_shard(reads, process_id, num_processes)
+    # keep the GLOBAL stream index on each read for the ordered merge
+    recs, unmapped = run_mapping(index, mine, params, fm=fm)
+    order = {r.name: r.index for r in mine}
+    with open(part_path(out_prefix, process_id), "w") as f:
+        for rec in recs:
+            gi = order.get(rec.qname, -1)
+            f.write(f"{gi}\t{format_m4(rec)}\n")
+    return recs, unmapped
+
+
+def merge_host_parts(out_prefix: str, out_path: str) -> int:
+    """Merge all part files into one m4 in global read order; returns the
+    record count. (The ordered-SAM gather role for multi-host runs.)"""
+    rows: list[tuple[int, str]] = []
+    for p in sorted(glob.glob(f"{out_prefix}.part*")):
+        with open(p) as f:
+            for line in f:
+                gi, _, rest = line.partition("\t")
+                rows.append((int(gi), rest.rstrip("\n")))
+    rows.sort(key=lambda x: x[0])
+    with open(out_path, "w") as f:
+        for _, rest in rows:
+            f.write(rest + "\n")
+    return len(rows)

@@ -49,3 +49,40 @@ def test_sharded_matches_unsharded():
         if (a.tstart, a.tend, a.score) == (b.tstart, b.tend, b.score):
             n_same += 1
     assert n_same >= len(ref_by) - 2  # at most a couple of boundary reads
+
+
+def test_multihost_parts_merge_to_single_host_output(tmp_path):
+    """2 simulated hosts' part files merge to the 1-host m4 (order + content)."""
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.output.m4 import format_m4
+    from blasr_tpu.parallel.multihost import (
+        host_shard, init_distributed, merge_host_parts, run_mapping_host_part,
+    )
+
+    pid, n = init_distributed()
+    assert (pid, n) == (0, 1)
+
+    g = simulate_genome(60_000, seed=61, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 20, mean_len=400, seed=62)
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    # simulate two hosts in-process
+    prefix = str(tmp_path / "mh")
+    for pid_ in range(2):
+        run_mapping_host_part(index, reads, params, prefix, pid_, 2)
+    merged = str(tmp_path / "merged.m4")
+    n_rec = merge_host_parts(prefix, merged)
+
+    ref_recs, _ = run_mapping(index, reads, params)
+    ref_lines = [format_m4(r) for r in ref_recs]
+    got_lines = open(merged).read().strip().split("\n")
+    assert n_rec == len(ref_lines)
+    assert got_lines == ref_lines  # identical records in identical order
+    # shards are a partition
+    s0 = {r.name for r in host_shard(reads, 0, 2)}
+    s1 = {r.name for r in host_shard(reads, 1, 2)}
+    assert not (s0 & s1) and len(s0 | s1) == len(reads)
