@@ -34,7 +34,10 @@ def _cigar_string(rec: AlignmentRecord, read_len: int, clipping: str) -> str:
     assert path is not None
     pre = path.q_start
     post = read_len - path.q_end
-    clip_op = "S" if clipping == "soft" else "H"
+    # "subread" clips to the subread region (SAMPrinter.h:81-84); without
+    # region tables (HDF5-only) the subread IS the whole read, so it
+    # behaves as soft clipping here
+    clip_op = "S" if clipping in ("soft", "subread") else "H"
     parts = []
     if pre and clipping != "none":
         parts.append(f"{pre}{clip_op}")
