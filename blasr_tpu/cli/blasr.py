@@ -236,18 +236,14 @@ def main(argv=None) -> int:
         import numpy as np
 
         from blasr_tpu.cli.bwtutils import FM_SUFFIX
-        from blasr_tpu.core.encode import pack_kmers
-        from blasr_tpu.index.artifacts import GenomeIndex
+        from blasr_tpu.index.artifacts import GenomeIndex, build_pos_ok
         from blasr_tpu.index.fm import FMIndex, build_fm_index
         from blasr_tpu.index.suffix_array import build_suffix_array
         from blasr_tpu.io.seqdb import load_genome
 
         genome, seqdb = load_genome(args.genome)
         k = params.min_match_length
-        _, pos_ok = pack_kmers(genome, k)
-        pos_ok = pos_ok.copy()
-        for s_ in seqdb.starts[1:-1]:
-            pos_ok[max(0, int(s_) - (k - 1)) : int(s_)] = False
+        pos_ok = build_pos_ok(genome, seqdb, k)
         empty = np.zeros(0, np.int32)
         index = GenomeIndex(genome, empty, empty, pos_ok, k, seqdb)
         fm_path = args.bwt or (args.genome + FM_SUFFIX)
@@ -330,7 +326,7 @@ def main(argv=None) -> int:
         from blasr_tpu.pipeline.debug import dump_anchors
 
         with open(args.anchors, "w") as f:
-            dump_anchors(index, reads, params, f)
+            dump_anchors(index, reads, params, f, fm=fm)
 
     if args.titleTable:
         with open(args.titleTable, "w") as f:

@@ -91,6 +91,18 @@ class GenomeIndex:
         return GenomeIndex(z["genome"], sa, z["sa_kmers"], z["pos_ok"], int(z["k"]), seqdb)
 
 
+def build_pos_ok(genome: np.ndarray, seqdb: SeqDB, k: int) -> np.ndarray:
+    """Seed-validity mask: window [t, t+k) has no N and stays inside one
+    contig (shared by the SA and FM index builds)."""
+    from blasr_tpu.core.encode import pack_kmers as _pk
+
+    _, valid = _pk(genome, k)
+    pos_ok = valid.copy()
+    for s in seqdb.starts[1:-1]:
+        pos_ok[max(0, int(s) - (k - 1)) : int(s)] = False
+    return pos_ok
+
+
 def build_index_from_arrays(genome: np.ndarray, seqdb: SeqDB, k: int) -> GenomeIndex:
     """Build the index from an in-memory concatenated genome."""
     if not (1 <= k <= 30):
@@ -103,11 +115,7 @@ def build_index_from_arrays(genome: np.ndarray, seqdb: SeqDB, k: int) -> GenomeI
     sa = build_suffix_array(proj)
     keys, valid = pack_kmers(genome, k)  # valid == no-N window fully inside
     sa_kmers = keys[sa].astype(np.int32 if 2 * k <= 31 else np.int64)
-    # contig-boundary crossing: window [t, t+k) must stay inside one contig
-    pos_ok = valid.copy()
-    for s in seqdb.starts[1:-1]:
-        lo = max(0, int(s) - (k - 1))
-        pos_ok[lo : int(s)] = False
+    pos_ok = build_pos_ok(genome, seqdb, k)
     if len(sa) < 2**31:
         sa = sa.astype(np.int32)
     return GenomeIndex(genome.astype(np.uint8), sa, sa_kmers, pos_ok, k, seqdb)

@@ -68,6 +68,45 @@ def _bounded_search(
     return lo
 
 
+
+
+def _expand_and_select(
+    sa: jax.Array, lo: jax.Array, nh: jax.Array, has_key: jax.Array,
+    B: int, L: int, KH: int, A: int, ST: int,
+):
+    """Shared hit expansion + priority compaction for the SA-backed anchor
+    searches (narrow and wide keys): gather up to KH hits per position from
+    the mask-folded SA, prefer unique anchors, guarantee read-wide spread
+    via a stride bonus, keep the top A per read."""
+    G = sa.shape[0]
+    pos_has = has_key & (nh > 0) & (nh <= KH)
+    offs = jnp.arange(KH, dtype=jnp.int32)
+    idx = jnp.clip(lo[..., None].astype(jnp.int32) + offs[None, None, :], 0, G - 1)
+    t = sa[idx].astype(jnp.int32)
+    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None]) & (t >= 0)
+    t = jnp.clip(t, 0, G - 1)
+
+    q = jnp.broadcast_to(
+        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
+    )
+    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
+    base = jnp.int32(1 << 20)
+    prio = base - nh[..., None] * 16
+    # spread bonus on SAMPLED positions (q is already a multiple of ST)
+    prio = prio + jnp.where((q // ST) % stride == 0, base // 2, 0)
+    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
+
+    flat_prio = prio.reshape(B, L * KH)
+    vals, sel = jax.lax.top_k(flat_prio, A)
+    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
+    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
+    anh = jnp.take_along_axis(
+        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
+    )
+    avalid = vals > 0
+    return at, aq, jnp.maximum(anh, 1), avalid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -122,40 +161,10 @@ def find_anchors(
         lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
         hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
     nh = (hi - lo).astype(jnp.int32)                              # (B, L)
-    pos_has = (qk >= 0) & (nh > 0) & (nh <= KH)
-
-    offs = jnp.arange(KH, dtype=jnp.int32)
-    idx = lo[..., None].astype(jnp.int32) + offs[None, None, :]   # (B, L, KH)
-    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None])
-    idx = jnp.clip(idx, 0, G - 1)
-    t = sa[idx].astype(jnp.int32)                                 # (B, L, KH)
     if pos_ok is not None:
-        hit_ok = hit_ok & pos_ok[jnp.clip(t, 0, G - 1)]
-    else:
-        hit_ok = hit_ok & (t >= 0)
-    t = jnp.clip(t, 0, G - 1)
-
-    q = jnp.broadcast_to(
-        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
-    )
-    # Priority: valid first; unique (low-frequency) anchors preferred;
-    # a stride bonus guarantees anchors spread across the whole read even
-    # when there are more unique anchors than slots.
-    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
-    base = jnp.int32(1 << 20)
-    prio = base - nh[..., None] * 16
-    prio = prio + jnp.where(q % stride == 0, base // 2, 0)
-    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
-
-    flat_prio = prio.reshape(B, L * KH)
-    vals, sel = jax.lax.top_k(flat_prio, A)                       # (B, A)
-    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
-    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
-    anh = jnp.take_along_axis(
-        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
-    )
-    avalid = vals > 0  # vals==-1 marks invalid; any real anchor has prio > 0
-    return at, aq, jnp.maximum(anh, 1), avalid
+        # legacy call shape (tests): fold the validity mask into sa here
+        sa = jnp.where(pos_ok[jnp.clip(sa, 0, G - 1)] & (sa >= 0), sa, -1)
+    return _expand_and_select(sa, lo, nh, qk >= 0, B, L, KH, A, ST)
 
 
 def _bounded_search_wide(
@@ -242,29 +251,4 @@ def find_anchors_wide(
     hi = _bounded_search_wide(kmer_hi, kmer_lo, khi2, klo2, lo, bhi, max_steps)
 
     nh = (hi - lo).astype(jnp.int32)
-    pos_has = (qk_hi >= 0) & (nh > 0) & (nh <= KH)
-
-    offs = jnp.arange(KH, dtype=jnp.int32)
-    idx = jnp.clip(lo[..., None] + offs[None, None, :], 0, G - 1)
-    t = sa[idx].astype(jnp.int32)
-    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None]) & (t >= 0)
-    t = jnp.clip(t, 0, G - 1)
-
-    q = jnp.broadcast_to(
-        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
-    )
-    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
-    base = jnp.int32(1 << 20)
-    prio = base - nh[..., None] * 16
-    prio = prio + jnp.where(q % stride == 0, base // 2, 0)
-    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
-
-    flat_prio = prio.reshape(B, L * KH)
-    vals, sel = jax.lax.top_k(flat_prio, A)
-    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
-    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
-    anh = jnp.take_along_axis(
-        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
-    )
-    avalid = vals > 0
-    return at, aq, jnp.maximum(anh, 1), avalid
+    return _expand_and_select(sa, lo, nh, qk_hi >= 0, B, L, KH, A, ST)

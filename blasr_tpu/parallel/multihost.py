@@ -73,21 +73,31 @@ def run_mapping_host_part(
     from blasr_tpu.output.m4 import format_m4
 
     mine = host_shard(reads, process_id, num_processes)
-    # keep the GLOBAL stream index on each read for the ordered merge
     recs, unmapped = run_mapping(index, mine, params, fm=fm)
-    order = {r.name: r.index for r in mine}
     with open(part_path(out_prefix, process_id), "w") as f:
         for rec in recs:
-            gi = order.get(rec.qname, -1)
-            f.write(f"{gi}\t{format_m4(rec)}\n")
+            # read_index is the GLOBAL stream index (Read.index survives
+            # batching), so duplicate read names stay correctly ordered
+            f.write(f"{rec.read_index}\t{format_m4(rec)}\n")
     return recs, unmapped
 
 
-def merge_host_parts(out_prefix: str, out_path: str) -> int:
-    """Merge all part files into one m4 in global read order; returns the
-    record count. (The ordered-SAM gather role for multi-host runs.)"""
+def merge_host_parts(
+    out_prefix: str, out_path: str, num_processes: Optional[int] = None
+) -> int:
+    """Merge part files into one m4 in global read order; returns the
+    record count. Pass ``num_processes`` to read exactly that many parts
+    (guards against stale part files from a previous differently-sized
+    run); None globs whatever exists."""
+    if num_processes is not None:
+        paths = [part_path(out_prefix, i) for i in range(num_processes)]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(f"missing part files: {missing}")
+    else:
+        paths = sorted(glob.glob(f"{out_prefix}.part*"))
     rows: list[tuple[int, str]] = []
-    for p in sorted(glob.glob(f"{out_prefix}.part*")):
+    for p in paths:
         with open(p) as f:
             for line in f:
                 gi, _, rest = line.partition("\t")

@@ -189,6 +189,7 @@ def _merge_run(run: list[AlignmentRecord], parent: Read) -> AlignmentRecord:
         tend_fwd=te_f,
         mapqv=min(r.mapqv for r in run),
         path=path,
+        read_index=parent.index,
     )
 
 
@@ -207,8 +208,16 @@ def run_mapping_piecewise(
     """
     seg_len = min(params.segment_length, params.max_read_len)
     seg_reads, parents = split_long_reads(reads, seg_len, split_if_longer)
-    seg_params = dataclasses.replace(params, best_n=1, auto_segment=False)
-    recs, unmapped = run_mapping(index, seg_reads, seg_params, fm=fm)
+    pass_through = [r for r in seg_reads if SEG_SEP not in r.name]
+    segments = [r for r in seg_reads if SEG_SEP in r.name]
+    # pass-through reads keep the caller's best_n; only segments collapse
+    # to best_n=1 (one placement per segment before stitching)
+    base_params = dataclasses.replace(params, auto_segment=False)
+    seg_params = dataclasses.replace(base_params, best_n=1)
+    recs, unmapped = run_mapping(index, pass_through, base_params, fm=fm)
+    recs2, unm2 = run_mapping(index, segments, seg_params, fm=fm)
+    recs = list(recs) + list(recs2)
+    unmapped = list(unmapped) + list(unm2)
 
     by_parent: dict[str, list[tuple[int, int, AlignmentRecord]]] = {}
     out: list[AlignmentRecord] = []

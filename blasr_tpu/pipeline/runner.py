@@ -155,7 +155,6 @@ def run_mapping(
             if r.path is not None:
                 met.total_aligned_bases += r.path.n_aligned
 
-    S = params.max_read_len + params.target_len - 1
     for bi, batch in enumerate(
         batch_reads(reads, params.batch_size, params.max_read_len)
     ):
