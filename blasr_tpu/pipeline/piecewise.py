@@ -208,16 +208,20 @@ def run_mapping_piecewise(
     """
     seg_len = min(params.segment_length, params.max_read_len)
     seg_reads, parents = split_long_reads(reads, seg_len, split_if_longer)
-    pass_through = [r for r in seg_reads if SEG_SEP not in r.name]
-    segments = [r for r in seg_reads if SEG_SEP in r.name]
-    # pass-through reads keep the caller's best_n; only segments collapse
-    # to best_n=1 (one placement per segment before stitching)
     base_params = dataclasses.replace(params, auto_segment=False)
-    seg_params = dataclasses.replace(base_params, best_n=1)
-    recs, unmapped = run_mapping(index, pass_through, base_params, fm=fm)
-    recs2, unm2 = run_mapping(index, segments, seg_params, fm=fm)
-    recs = list(recs) + list(recs2)
-    unmapped = list(unmapped) + list(unm2)
+    if params.best_n == 1:
+        # single pipeline run: segments and pass-through reads share it
+        recs, unmapped = run_mapping(index, seg_reads, base_params, fm=fm)
+    else:
+        # pass-through reads keep the caller's best_n; segments collapse
+        # to best_n=1 (one placement per segment before stitching)
+        pass_through = [r for r in seg_reads if SEG_SEP not in r.name]
+        segments = [r for r in seg_reads if SEG_SEP in r.name]
+        seg_params = dataclasses.replace(base_params, best_n=1)
+        recs, unmapped = run_mapping(index, pass_through, base_params, fm=fm)
+        recs2, unm2 = run_mapping(index, segments, seg_params, fm=fm)
+        recs = list(recs) + list(recs2)
+        unmapped = list(unmapped) + list(unm2)
 
     by_parent: dict[str, list[tuple[int, int, AlignmentRecord]]] = {}
     out: list[AlignmentRecord] = []
