@@ -99,6 +99,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="(accepted; subread splitting applies to region-annotated input)")
     p.add_argument("-nproc", type=int, default=1,
                    help="(accepted; device batching replaces threads)")
+    p.add_argument("-ndevices", type=int, default=1,
+                   help="chips for the serving path: 1=default device, "
+                        "0=all visible, N=first N (batch sharded over a "
+                        "dp mesh, index replicated)")
     # ---- observability ----
     p.add_argument("-anchors", default=None, metavar="FILE",
                    help="dump per-read anchors (qpos tpos nhits strand)")
@@ -148,6 +152,7 @@ def params_from_args(args) -> MappingParams:
         random_seed=args.randomSeed,
         piecewise=args.alignContigs,
         sensitive_retry=args.useSensitiveSearch,
+        ndevices=args.ndevices,
         ignore_qualities=args.ignoreQualities,
     )
 
@@ -184,9 +189,12 @@ def _run_resumable(args, params, index, reads, fm):
             pass
     mode = "a" if skip else "w"
     by_name = {r.name: r for r in reads}
+    from blasr_tpu.output.sam_writer import read_group_id
+
+    rgid = read_group_id(args.reads)
     out_f = open(args.out, mode)
     if not skip and args.sam:
-        for line in sam_header(index.seqdb, " ".join(sys.argv)):
+        for line in sam_header(index.seqdb, " ".join(sys.argv), [args.reads]):
             out_f.write(line + "\n")
 
     state = {"done": skip}
@@ -194,9 +202,22 @@ def _run_resumable(args, params, index, reads, fm):
     def on_batch(bi, recs, unm):
         for rec in recs:
             if args.sam:
-                rd = by_name.get(rec.qname)
+                # key by read index (duplicate names are legal in FASTA)
+                rd = (
+                    reads[rec.read_index]
+                    if 0 <= rec.read_index < len(reads)
+                    else by_name.get(rec.qname)
+                )
                 if rd is not None:
-                    out_f.write(format_sam_record(rec, rd, args.clipping) + "\n")
+                    out_f.write(
+                        format_sam_record(
+                            rec, rd, args.clipping, rgid=rgid,
+                            genome=index.genome,
+                            genome_start=int(index.seqdb.starts[rec.contig_index])
+                            if rec.contig_index >= 0 else 0,
+                        )
+                        + "\n"
+                    )
             else:
                 out_f.write(format_m4(rec) + "\n")
         out_f.flush()
@@ -297,7 +318,9 @@ def main(argv=None) -> int:
                 write_sam(records, reads, index.seqdb, out,
                           clipping=args.clipping,
                           program_line=" ".join(sys.argv),
-                          unmapped=unmapped)
+                          unmapped=unmapped,
+                          movie_name=args.reads,
+                          genome=index.genome)
             elif args.m == 4:
                 write_m4(records, out, header=args.header)
             else:

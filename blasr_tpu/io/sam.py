@@ -150,5 +150,11 @@ def sam_records_to_reads(sam: SAMFile):
         if rec.is_reverse:
             codes = revcomp_codes(codes)
             qual = qual[::-1].copy() if qual is not None else None
-        out.append(Read(rec.qname, codes, qual, len(out)))
+        # strip a whole-read /0_<len> suffix (the reference's SMRTSequence
+        # naming, re-appended on output) so round-trips are stable
+        name = rec.qname
+        base, _, tail = name.rpartition("/")
+        if base and tail.startswith("0_") and tail[2:].isdigit() and int(tail[2:]) == len(codes):
+            name = base
+        out.append(Read(name, codes, qual, len(out)))
     return out

@@ -66,6 +66,13 @@ def _load():
         lib.bn_moves_to_cigar.restype = ctypes.c_int64
         lib.bn_unpack_moves.argtypes = [u8p, ctypes.c_int64, u8p]
         lib.bn_unpack_moves.restype = None
+        lib.bn_global_align.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+            u8p, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.bn_global_align.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -120,3 +127,27 @@ def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray | None:
     out = np.empty(max(nops, 1), np.uint8)
     lib.bn_unpack_moves(packed_row, nops, out)
     return out[:nops]
+
+
+def global_align(
+    q: np.ndarray, t: np.ndarray,
+    match: int, mismatch: int, nscore: int, ins: int, dele: int,
+    max_cells: int = 1 << 26,
+):
+    """Dense global DP with traceback (host gap filler). Returns
+    (ops uint8 START->END, score) or None if the lib is unavailable or the
+    matrix exceeds max_cells."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, dtype=np.uint8)
+    t = np.ascontiguousarray(t, dtype=np.uint8)
+    ops = np.empty(len(q) + len(t) + 1, np.uint8)
+    score = ctypes.c_int32(0)
+    n = lib.bn_global_align(
+        q, len(q), t, len(t), match, mismatch, nscore, ins, dele,
+        max_cells, ops, ctypes.byref(score),
+    )
+    if n < 0:
+        return None
+    return ops[:n].copy(), int(score.value)

@@ -19,9 +19,22 @@ HEADER = (
 )
 
 
+def ref_qname(name: str, qlength: int) -> str:
+    """Reference qname convention: whole reads print as <title>/0_<len>
+    (SMRTSequence subread naming; observed on every blasrmc output format).
+    Names that already carry a /qs_qe subread suffix pass through."""
+    base, _, tail = name.rpartition("/")
+    if base and "_" in tail:
+        a, _, b = tail.partition("_")
+        if a.isdigit() and b.isdigit():
+            return name
+    return f"{name}/0_{qlength}"
+
+
 def format_m4(rec: AlignmentRecord) -> str:
     return (
-        f"{rec.qname} {rec.tname} {rec.score} {rec.pct_similarity:.4f} "
+        f"{ref_qname(rec.qname, rec.qlength)} {rec.tname} {rec.score} "
+        f"{rec.pct_similarity:.4f} "
         f"{rec.qstrand} {rec.qstart} {rec.qend} {rec.qlength} "
         f"{rec.tstrand} {rec.tstart} {rec.tend} {rec.tlength} {rec.mapqv}"
     )

@@ -54,6 +54,10 @@ class MappingParams:
     diag_bucket_log2: int = 8         # diagonal bin width = 256
     batch_size: int = 64              # reads per device batch
     dispatch_ahead: int = 8           # batches in flight (async pipeline depth)
+    fetch_threads: int = 4            # concurrent d2h fetches (the tunnel link
+                                      # pays ~30 ms latency per RPC; overlapping
+                                      # fetches hides it, role of the
+                                      # reference's writer-semaphore pipeline)
     # ---- misc ----
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     piecewise: bool = False           # -alignContigs/-piecewise long queries
@@ -66,6 +70,10 @@ class MappingParams:
     auto_segment: bool = True         # route reads > 1.5x segment_length
                                       # through the piecewise path
     nproc: int = 1                    # host worker threads for IO/traceback
+    ndevices: int = 1                 # chips used by the serving path:
+                                      # 1 = default device, 0 = all visible,
+                                      # N = first N (batch sharded over a 1-D
+                                      # dp mesh, index replicated — §2.9)
     scale_map_qv_by_align_length: bool = False
 
     @property

@@ -32,7 +32,7 @@ from blasr_tpu.ops.fm_search import find_anchors_fm
 from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, select_candidates
-from blasr_tpu.ops.mapqv import map_qv
+from blasr_tpu.ops.mapqv import map_qv_reference
 from blasr_tpu.ops.traceback_device import walk_arrows_device
 from blasr_tpu.params import MappingParams
 
@@ -118,7 +118,7 @@ def make_device_index(
 SEL_FIELDS = (
     "sel_score", "sel_t0", "sel_strand", "sel_valid", "nops",
     "q_start", "q_end", "t_start", "t_end",
-    "n_match", "n_mismatch", "n_ins", "n_del",
+    "n_match", "n_mismatch", "n_ins", "n_del", "mapqv",
 )
 
 
@@ -134,7 +134,23 @@ class MapBatchResult(NamedTuple):
 
     sel_ints: jax.Array      # (len(SEL_FIELDS), I2) int32, rows = SEL_FIELDS
     moves_packed: jax.Array  # (I2, P) uint8 packed ops, END->START order
-    read_ints: jax.Array     # (B, 1 + 4*C) int32: mapqv | cand_scores | cand_valid
+    read_ints: jax.Array     # (B, 2*CD) int32: cand_scores | cand_valid
+
+
+class WireResult(NamedTuple):
+    """Single-buffer device result (one d2h RPC per batch).
+
+    The axon host link pays ~30 ms latency PER TRANSFER regardless of size
+    (CLAUDE.md), so the three MapBatchResult arrays are bitcast to uint8 and
+    concatenated on device; the host fetches ONE buffer and slices views.
+    Static dims travel host-side (not through jit).
+    """
+
+    wire: jax.Array   # (N,) uint8: sel_ints | moves_packed | read_ints
+    i2: int           # B * best_n
+    p: int            # packed move-string width
+    b: int            # batch rows
+    rcols: int        # read_ints columns = 1 + 2 * dp_candidates
 
 
 class HostBatchResult(NamedTuple):
@@ -153,24 +169,33 @@ class HostBatchResult(NamedTuple):
     n_mismatch: np.ndarray
     n_ins: np.ndarray
     n_del: np.ndarray
+    mapqv: np.ndarray        # per selected alignment (I2,)
     moves_packed: np.ndarray
-    mapqv: np.ndarray
     cand_scores: np.ndarray
     cand_valid: np.ndarray
 
 
-def unpack_result(res: MapBatchResult, dp_candidates: int) -> HostBatchResult:
-    sel = np.asarray(res.sel_ints)
-    moves = np.asarray(res.moves_packed)
-    rints = np.asarray(res.read_ints)
+def unpack_result(
+    res: "MapBatchResult | WireResult", dp_candidates: int
+) -> HostBatchResult:
+    if isinstance(res, WireResult):
+        wire = res.wire if isinstance(res.wire, np.ndarray) else np.asarray(res.wire)
+        nsel = len(SEL_FIELDS) * res.i2 * 4
+        nmov = res.i2 * res.p
+        sel = wire[:nsel].view(np.int32).reshape(len(SEL_FIELDS), res.i2)
+        moves = wire[nsel : nsel + nmov].reshape(res.i2, res.p)
+        rints = wire[nsel + nmov :].view(np.int32).reshape(res.b, res.rcols)
+    else:
+        sel = np.asarray(res.sel_ints)
+        moves = np.asarray(res.moves_packed)
+        rints = np.asarray(res.read_ints)
     CD = dp_candidates
     fields = {name: sel[i] for i, name in enumerate(SEL_FIELDS)}
     fields["sel_valid"] = fields["sel_valid"].astype(bool)
     return HostBatchResult(
         moves_packed=moves,
-        mapqv=rints[:, 0],
-        cand_scores=rints[:, 1 : 1 + CD],
-        cand_valid=rints[:, 1 + CD : 1 + 2 * CD].astype(bool),
+        cand_scores=rints[:, :CD],
+        cand_valid=rints[:, CD : 2 * CD].astype(bool),
         **fields,
     )
 
@@ -338,71 +363,92 @@ def _map_batch_impl(
     sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
     sel_valid = (topv > -(2**30)).reshape(-1) & (topv.reshape(-1) > 0)
 
-    # ---- MAPQ over the candidates that compete with the winner ----
-    # Reference partitions candidates overlapping >= 75% on the READ
-    # (PartitionOverlappingAlignments, Blasr.cpp:2726,2875-2945); only the
-    # winner's partition enters the logsumexp.
-    best_sc = -topv[:, 0]
-    cq_lo = cand.q_lo.reshape(-1)[cand_flat].reshape(B, CD)
-    cq_hi = cand.q_hi.reshape(-1)[cand_flat].reshape(B, CD)
-    # RC-strand candidates carry RC-read coordinates; map them to forward
-    # read coordinates so cross-strand competitors overlap correctly
-    rlen = lengths[:, None].astype(jnp.int32)
-    is_rc = dp_strand == 1
-    cq_lo, cq_hi = (
-        jnp.where(is_rc, rlen - cq_hi, cq_lo),
-        jnp.where(is_rc, rlen - cq_lo, cq_hi),
-    )
-    b_lo = jnp.take_along_axis(cq_lo, topi[:, 0:1], axis=1)
-    b_hi = jnp.take_along_axis(cq_hi, topi[:, 0:1], axis=1)
-    inter = jnp.maximum(
-        jnp.minimum(cq_hi, b_hi) - jnp.maximum(cq_lo, b_lo), 0
-    )
-    shorter = jnp.maximum(jnp.minimum(cq_hi - cq_lo, b_hi - b_lo), 1)
-    competes = inter >= (3 * shorter) // 4
-    mapq = map_qv(sc, sv & (sc < 0) & competes, best_sc)
-
-    # ---- on-device traceback walk of the winners' paths, in place over
-    # the full-candidate arrow tensor (arrows never leave the chip) ----
-    q2 = qitems[sel_item]
-    t2 = tcodes[sel_item]
-    sel_score = res1.score[sel_item]
+    # ---- on-device traceback walk over ALL candidates, in place over the
+    # arrow tensor (arrows never leave the chip). Walking every candidate
+    # instead of just the winners costs ~nothing (the walk is bound by
+    # iteration count, not item count) and yields the per-candidate
+    # match/indel stats the reference MAPQ rescore needs
+    # (SMRTLogProbMatrix replay, Blasr.cpp:2780-2785).
+    walk_score = jnp.where(cvalid, res1.score, 0)
     tb = walk_arrows_device(
-        res1.arrows, qoff, res1.best_a[sel_item], res1.best_w[sel_item],
-        sel_score, q2, t2, item_idx=sel_item,
+        res1.arrows, qoff, res1.best_a, res1.best_w,
+        walk_score, qitems, tcodes,
     )
 
+    # ---- MAPQ over all candidates, reference algorithm (ops/mapqv.py) ----
+    # forward-read aligned intervals per candidate: RC-strand walks carry
+    # RC-read coordinates; flip so cross-strand competitors overlap correctly
+    rlen = lengths[:, None].astype(jnp.int32)
+    wq_lo = tb.q_start.reshape(B, CD)
+    wq_hi = tb.q_end.reshape(B, CD)
+    is_rc = dp_strand == 1
+    wq_lo, wq_hi = (
+        jnp.where(is_rc, rlen - wq_hi, wq_lo),
+        jnp.where(is_rc, rlen - wq_lo, wq_hi),
+    )
+    mapq_all = map_qv_reference(
+        sc, sv & (sc < 0),
+        wq_lo, wq_hi,
+        tb.n_match.reshape(B, CD), tb.n_mismatch.reshape(B, CD),
+        tb.n_ins.reshape(B, CD), tb.n_del.reshape(B, CD),
+        ins_cost=params.insertion_score, del_cost=params.deletion_score,
+    )                                                        # (B, CD)
+    sel_mapq = jnp.take_along_axis(mapq_all, topi, axis=1).reshape(-1)
+
+    sel_score = res1.score[sel_item]
     sel_ints = jnp.stack(
         [
             sel_score,
             t0f[sel_item],
             sel_strand.reshape(-1),
             sel_valid.astype(jnp.int32),
-            tb.nops,
-            tb.q_start,
-            tb.q_end,
-            tb.t_start,
-            tb.t_end,
-            tb.n_match,
-            tb.n_mismatch,
-            tb.n_ins,
-            tb.n_del,
+            tb.nops[sel_item],
+            tb.q_start[sel_item],
+            tb.q_end[sel_item],
+            tb.t_start[sel_item],
+            tb.t_end[sel_item],
+            tb.n_match[sel_item],
+            tb.n_mismatch[sel_item],
+            tb.n_ins[sel_item],
+            tb.n_del[sel_item],
+            sel_mapq,
         ]
     ).astype(jnp.int32)
     read_ints = jnp.concatenate(
-        [mapq[:, None], sc, sv.astype(jnp.int32)], axis=1
+        [sc, sv.astype(jnp.int32)], axis=1
     ).astype(jnp.int32)
 
     return MapBatchResult(
         sel_ints=sel_ints,
-        moves_packed=tb.moves_packed,
+        moves_packed=tb.moves_packed[sel_item],
         read_ints=read_ints,
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "params", "pad", "k", "genome_len", "use_pallas", "index_kind",
+        "fm_n", "lut_meta"
+    ),
+)
+def _map_batch_wire(codes, lengths, genome_pad, index_arrays, starts, qual=None, **kw):
+    """_map_batch_impl + on-device flattening to one uint8 wire buffer."""
+    res = _map_batch_impl(codes, lengths, genome_pad, index_arrays, starts, qual, **kw)
+    sel8 = jax.lax.bitcast_convert_type(res.sel_ints, jnp.uint8).reshape(-1)
+    rd8 = jax.lax.bitcast_convert_type(res.read_ints, jnp.uint8).reshape(-1)
+    return jnp.concatenate([sel8, res.moves_packed.reshape(-1), rd8])
+
+
 @dataclasses.dataclass
 class Mapper:
-    """Holds the device index and dispatches jitted map steps per bucket."""
+    """Holds the device index and dispatches jitted map steps per bucket.
+
+    With params.ndevices != 1 the batch axis is sharded over a 1-D ``dp``
+    mesh and the index is replicated (reference §2.9 data parallelism:
+    N pthreads over a shared index, Blasr.cpp:4794-4849) — XLA runs the
+    same program SPMD; outputs gather on fetch.
+    """
 
     index: GenomeIndex
     params: MappingParams
@@ -410,25 +456,63 @@ class Mapper:
 
     def __post_init__(self):
         self.device_index = make_device_index(self.index, self.params, fm=self.fm)
+        self.mesh = None
+        nd = self.params.ndevices
+        if nd != 1:
+            import jax as _jax
+
+            from blasr_tpu.parallel.mesh import make_mesh, replicate_index
+
+            avail = len(_jax.devices())
+            nd = avail if nd == 0 else min(nd, avail)
+            if nd > 1 and self.params.batch_size % nd == 0:
+                self.mesh = make_mesh(nd)
+                self.device_index = replicate_index(self.mesh, self.device_index)
 
     def map_batch(
         self,
         codes: np.ndarray,
         lengths: np.ndarray,
         qual: np.ndarray | None = None,
-    ) -> MapBatchResult:
+    ) -> WireResult:
         di = self.device_index
-        q = None
-        if qual is not None and not self.params.ignore_qualities:
-            q = jnp.asarray(qual)
-        return _map_batch_impl(
-            jnp.asarray(codes),
-            jnp.asarray(lengths),
+        p = self.params
+        if self.mesh is not None:
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp2 = NamedSharding(self.mesh, P("dp", None))
+            dp1 = NamedSharding(self.mesh, P("dp"))
+            codes_d = _jax.device_put(codes, dp2)
+            lengths_d = _jax.device_put(lengths, dp1)
+            q = None
+            if qual is not None and not p.ignore_qualities:
+                q = _jax.device_put(qual, dp2)
+        else:
+            codes_d = jnp.asarray(codes)
+            lengths_d = jnp.asarray(lengths)
+            q = None
+            if qual is not None and not p.ignore_qualities:
+                q = jnp.asarray(qual)
+        wire = _map_batch_wire(
+            codes_d,
+            lengths_d,
             di.genome_pad, di.arrays, di.starts,
             q,
-            params=self.params, pad=di.pad, k=di.k, genome_len=di.genome_len,
+            params=p, pad=di.pad, k=di.k, genome_len=di.genome_len,
             use_pallas=default_use_pallas(),
             index_kind=di.kind, fm_n=di.fm_n, lut_meta=di.lut_meta,
+        )
+        from blasr_tpu.ops.traceback_device import packed_width
+
+        B, L = codes.shape
+        S = L + p.target_pad + L - 1
+        return WireResult(
+            wire=wire,
+            i2=B * p.best_n,
+            p=packed_width(S),
+            b=B,
+            rcols=2 * p.dp_candidates,
         )
 
     def qoff_for(self, read_len: int) -> np.ndarray:

@@ -27,7 +27,7 @@ from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.io.batching import Read
 from blasr_tpu.params import MappingParams
 from blasr_tpu.pipeline.runner import AlignmentRecord, run_mapping
-from blasr_tpu.pipeline.traceback import OP_D, OP_I, AlignmentPath
+from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M, AlignmentPath
 
 SEG_SEP = "\x01seg\x01"
 
@@ -102,19 +102,57 @@ def _trim_leading(ops: np.ndarray, q_trim: int, t_trim: int):
     return ops[i:], qd, td, md
 
 
-def _merge_run(run: list[AlignmentRecord], parent: Read) -> AlignmentRecord:
+def _gap_stats(ops: np.ndarray, q: np.ndarray, t: np.ndarray):
+    """(n_match, n_mismatch, n_ins, n_del) of an op string over q/t."""
+    qstep = (ops != OP_D).astype(np.int64)
+    tstep = (ops != OP_I).astype(np.int64)
+    qpos = np.cumsum(qstep) - qstep
+    tpos = np.cumsum(tstep) - tstep
+    ism = ops == OP_M
+    if ism.any():
+        qc = q[qpos[ism]]
+        tc = t[tpos[ism]]
+        nm = int(np.count_nonzero((qc == tc) & (qc < 4)))
+    else:
+        nm = 0
+    nmop = int(np.count_nonzero(ism))
+    return (
+        nm,
+        nmop - nm,
+        int(np.count_nonzero(ops == OP_I)),
+        int(np.count_nonzero(ops == OP_D)),
+    )
+
+
+def _merge_run(
+    run: list[AlignmentRecord], parent: Read, index: GenomeIndex,
+    params: MappingParams,
+) -> AlignmentRecord:
     """Fuse a chain of compatible segment alignments into one record.
 
     Ops concatenate in PATH order — target-ascending — which for
     reverse-strand hits is the reverse of the forward-read segment order.
-    Inter-segment gaps become unscored I/D ops (the reference's
-    refineBetweenAnchorsOnly would densely align them; planned
-    refinement); small segment overlaps are trimmed from the later
-    segment's leading ops.
+    Inter-segment gaps <= piecewise_max_gap are DENSELY ALIGNED with the
+    host SDP/global filler (ops/sdp.py), matching the reference's
+    refineBetweenAnchorsOnly inter-anchor fills (Blasr.cpp:1578-1634);
+    small segment overlaps are trimmed from the later segment's leading ops.
     """
+    from blasr_tpu.core.encode import revcomp_codes
+    from blasr_tpu.ops.banded_align import AlignScores
+    from blasr_tpu.ops.sdp import sdp_align
+
+    scores_cfg = AlignScores(
+        match=params.match_score,
+        mismatch=params.mismatch_score,
+        insertion=params.insertion_score,
+        deletion=params.deletion_score,
+        affine_open=params.affine_open,
+        affine_extend=params.affine_extend,
+    )
     first, last = run[0], run[-1]
     strand = first.tstrand
     n = len(parent.codes)
+    c_off = int(index.seqdb.starts[first.contig_index]) if first.contig_index >= 0 else 0
     # path (target-ascending) order: forward order for +, reversed for -
     path_order = run if strand == 0 else run[::-1]
     ops_parts: list[np.ndarray] = []
@@ -146,12 +184,33 @@ def _merge_run(run: list[AlignmentRecord], parent: Read) -> AlignmentRecord:
                 nm -= md          # approximation: trimmed M ops as matches
                 ni -= max(qd - md, 0)
                 nd -= max(td - md, 0)
-            if q_gap > 0:
+            if q_gap > 0 and t_gap > 0:
+                # dense/SDP fill of the inter-segment gap
+                if strand == 0:
+                    gq = parent.codes[prev.qend : prev.qend + q_gap]
+                else:
+                    gq = revcomp_codes(
+                        parent.codes[rec.qend : rec.qend + q_gap]
+                    )
+                gt = index.genome[
+                    c_off + prev.tend_fwd : c_off + prev.tend_fwd + t_gap
+                ]
+                g_ops, g_score = sdp_align(gq, gt, scores_cfg)
+                gm, gmm, gi, gd = _gap_stats(g_ops, gq, gt)
+                nm += gm
+                nmm += gmm
+                ni += gi
+                nd += gd
+                score += g_score
+                ops_parts.append(g_ops)
+            elif q_gap > 0:
                 ops_parts.append(np.full(q_gap, OP_I, np.uint8))
                 ni += q_gap
-            if t_gap > 0:
+                score += q_gap * params.insertion_score
+            elif t_gap > 0:
                 ops_parts.append(np.full(t_gap, OP_D, np.uint8))
                 nd += t_gap
+                score += t_gap * params.deletion_score
         ops_parts.append(seg_ops)
     ops = np.concatenate(ops_parts)
 
@@ -256,10 +315,10 @@ def run_mapping_piecewise(
                 run.append(rec)
             else:
                 if run:
-                    out.append(_merge_run(run, parents[pname]))
+                    out.append(_merge_run(run, parents[pname], index, params))
                 run = [rec]
         if run:
-            out.append(_merge_run(run, parents[pname]))
+            out.append(_merge_run(run, parents[pname], index, params))
 
     mapped_parents = {r.qname for r in out}
     unmapped = [u for u in unmapped if SEG_SEP not in u]

@@ -136,13 +136,27 @@ def run_mapping(
         short = [r for r in reads if len(r) < params.min_read_length]
         unmapped.extend(r.name for r in short)
         reads = [r for r in reads if len(r) >= params.min_read_length]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from blasr_tpu.pipeline.mapper import WireResult
+
+    # concurrent d2h fetches: each wire buffer costs ~30 ms of RPC latency
+    # on the tunnel link regardless of size; overlapping params.fetch_threads
+    # fetches hides most of it behind device compute
+    fetch_pool = ThreadPoolExecutor(max_workers=max(1, params.fetch_threads))
+
+    def _fetch(res):
+        if isinstance(res, WireResult):
+            return res._replace(wire=np.asarray(res.wire))
+        return res
+
     inflight: deque = deque()
     drained = [0]
 
     def drain_one():
         t0 = _time.time()
-        bi, batch, res = inflight.popleft()
-        out_b, unm_b = _finalize_batch(mapper, batch, res)
+        bi, batch, fut = inflight.popleft()
+        out_b, unm_b = _finalize_batch(mapper, batch, fut.result())
         out.extend(out_b)
         unmapped.extend(unm_b)
         if on_batch is not None:
@@ -161,9 +175,8 @@ def run_mapping(
         if bi < skip_batches:
             continue
         t0 = _time.time()
-        inflight.append(
-            (bi, batch, mapper.map_batch(batch.codes, batch.lengths, batch.qual))
-        )
+        res = mapper.map_batch(batch.codes, batch.lengths, batch.qual)
+        inflight.append((bi, batch, fetch_pool.submit(_fetch, res)))
         met.dispatch_seconds += _time.time() - t0
         met.total_dp_cells += (
             (2 * batch.max_len + params.target_pad - 1)
@@ -175,6 +188,7 @@ def run_mapping(
             drain_one()
     while inflight:
         drain_one()
+    fetch_pool.shutdown(wait=False)
     if params.sensitive_retry:
         # reference sensitive retry (Blasr.cpp:3498-3507): re-map reads that
         # are unmapped or aligned below 80% similarity with wider search
@@ -318,7 +332,7 @@ def _finalize_batch(
                 tstart=ts,
                 tend=te,
                 tlength=c_len,
-                mapqv=int(mapqv[b]),
+                mapqv=int(mapqv[i2]),
                 contig_index=ci,
                 tstart_fwd=ts_f,
                 tend_fwd=te_f,

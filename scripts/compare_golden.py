@@ -35,7 +35,8 @@ def parse_m4(path, strip_subread):
 
 
 def main():
-    ours = parse_m4(sys.argv[1], strip_subread=False)
+    # both sides now emit the reference /0_<len> whole-read suffix
+    ours = parse_m4(sys.argv[1], strip_subread=True)
     ref = parse_m4(sys.argv[2], strip_subread=True)
     common = set(ours) & set(ref)
     only_ours = len(set(ours) - set(ref))

@@ -1,0 +1,207 @@
+"""Profile the mapping pipeline on the real TPU: device compute vs tunnel RPC.
+
+Measures, at the bench configuration (B=64, L=1024 bucket):
+  1. steady-state DEVICE throughput: dispatch N batches back-to-back, fetch
+     one byte at the end -> per-batch device time with zero host overhead
+  2. per-transfer d2h cost of each MapBatchResult field (the host loop pays
+     these per batch)
+  3. h2d cost of the per-batch inputs
+  4. e2e runner throughput for comparison
+
+Run: python scripts/profile_stages.py [n_batches]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    n_batches = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+
+    import jax
+    import jax.numpy as jnp
+
+    from blasr_tpu.index.artifacts import load_index
+    from blasr_tpu.io.batching import batch_reads, read_records
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.mapper import Mapper
+
+    bench_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "benchdata")
+    genome_fa = os.path.join(bench_dir, "genome.fasta")
+    reads_fa = os.path.join(bench_dir, "reads.fasta")
+    if not os.path.exists(genome_fa):
+        print("run bench.py once to build the corpus", file=sys.stderr)
+        sys.exit(1)
+
+    t0 = time.time()
+    index = load_index(genome_fa, k=14)
+    reads = read_records(reads_fa)
+    params = MappingParams(batch_size=64, max_read_len=3072, n_candidates=4, best_n=1)
+    print(f"load: {time.time()-t0:.1f}s  backend={jax.default_backend()}")
+
+    batches = [
+        b for b in batch_reads(reads, params.batch_size, params.max_read_len)
+    ]
+    # use only the most common bucket
+    from collections import Counter
+
+    caps = Counter(b.max_len for b in batches)
+    cap = caps.most_common(1)[0][0]
+    batches = [b for b in batches if b.max_len == cap][: n_batches + 2]
+    print(f"bucket cap={cap}, using {len(batches)} batches of B=64")
+
+    mapper = Mapper(index, params)
+
+    def force(x):
+        return np.asarray(x)
+
+    # ---- warmup / compile ----
+    t0 = time.time()
+    r = mapper.map_batch(batches[0].codes, batches[0].lengths, batches[0].qual)
+    force(r.wire[:1])
+    print(f"compile+first: {time.time()-t0:.1f}s")
+
+    # ---- 1. device-only throughput: dispatch all, fetch 1 byte at end ----
+    t0 = time.time()
+    results = []
+    for b in batches:
+        results.append(mapper.map_batch(b.codes, b.lengths, b.qual))
+    t_disp = time.time() - t0
+    force(results[-1].wire[:1])
+    t_all = time.time() - t0
+    per_batch_dev = t_all / len(batches)
+    print(
+        f"[device-only] dispatch {t_disp*1e3:.0f} ms, total {t_all*1e3:.0f} ms"
+        f" -> {per_batch_dev*1e3:.1f} ms/batch = {64/per_batch_dev:.0f} reads/s"
+    )
+
+    # ---- 2. d2h per-field cost (results already computed above) ----
+    # fetch each field of a few fresh results; each np.asarray = 1 RPC
+    ts = []
+    for r in results[:6]:
+        t0 = time.time()
+        force(r.wire)
+        ts.append(time.time() - t0)
+    a = np.asarray(results[0].wire)
+    print(
+        f"[d2h] wire shape={a.shape} {a.nbytes/1024:.0f} KiB:"
+        f" min {min(ts)*1e3:.1f} ms  med {sorted(ts)[len(ts)//2]*1e3:.1f} ms"
+    )
+
+    # ---- 3. h2d cost ----
+    ts = []
+    for b in batches[:6]:
+        t0 = time.time()
+        x = jnp.asarray(b.codes)
+        y = jnp.asarray(b.lengths)
+        # force the transfer to complete by reading back one element
+        force(x[:1, :1]); force(y[:1])
+        ts.append(time.time() - t0)
+    print(
+        f"[h2d] codes+lengths ({batches[0].codes.nbytes/1024:.0f} KiB):"
+        f" min {min(ts)*1e3:.1f} ms  med {sorted(ts)[len(ts)//2]*1e3:.1f} ms"
+    )
+
+    # ---- 4. e2e with full host drain (like the runner) ----
+    from blasr_tpu.pipeline.runner import _finalize_batch
+
+    t0 = time.time()
+    from collections import deque
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=params.fetch_threads)
+    inflight = deque()
+    nrec = 0
+    for b in batches:
+        rr = mapper.map_batch(b.codes, b.lengths, b.qual)
+        inflight.append((b, pool.submit(lambda r: r._replace(wire=np.asarray(r.wire)), rr)))
+        if len(inflight) > params.dispatch_ahead:
+            bb, fut = inflight.popleft()
+            recs, _ = _finalize_batch(mapper, bb, fut.result())
+            nrec += len(recs)
+    while inflight:
+        bb, fut = inflight.popleft()
+        recs, _ = _finalize_batch(mapper, bb, fut.result())
+        nrec += len(recs)
+    t_e2e = time.time() - t0
+    per_batch = t_e2e / len(batches)
+    print(
+        f"[e2e] {t_e2e*1e3:.0f} ms total -> {per_batch*1e3:.1f} ms/batch ="
+        f" {64/per_batch:.0f} reads/s  ({nrec} records)"
+    )
+
+    # ---- 5. stage-isolated device timings (fresh process would be cleaner,
+    # but jit caching makes these usable): run sub-jits N times ----
+    from blasr_tpu.pipeline import mapper as M
+
+    di = mapper.device_index
+    codes = jnp.asarray(batches[0].codes)
+    lengths = jnp.asarray(batches[0].lengths)
+    force(codes[:1, :1])
+
+    import functools
+
+    from blasr_tpu.ops.anchors import find_anchors
+    from blasr_tpu.ops.candidates import anchor_weights, select_candidates
+
+    sa_masked, sa_kmers, lut = di.arrays
+
+    @jax.jit
+    def stage_anchor(codes, lengths):
+        rc = M._revcomp_rows(codes, lengths)
+        reads2 = jnp.concatenate([codes, rc], axis=0)
+        lens2 = jnp.concatenate([lengths, lengths], axis=0)
+        return find_anchors(
+            reads2, lens2, sa_masked, sa_kmers, None, lut,
+            k=di.k,
+            max_hits_per_pos=params.max_anchors_per_position,
+            max_anchors_per_read=params.max_anchors_per_read,
+            lut_meta=di.lut_meta,
+        )
+
+    at, aq, anh, avalid = stage_anchor(codes, lengths)
+    force(at[:1, :1])
+    t0 = time.time()
+    N = 10
+    for _ in range(N):
+        at, aq, anh, avalid = stage_anchor(codes, lengths)
+    force(at[:1, :1])
+    t_anchor = (time.time() - t0) / N
+    print(f"[stage] anchors:    {t_anchor*1e3:.1f} ms/batch")
+
+    W = params.band_width
+    G = di.genome_len
+
+    @jax.jit
+    def stage_cand(at, aq, anh, avalid):
+        aw = anchor_weights(anh, avalid, G, W, params.pval_type)
+        return select_candidates(
+            at, aq, aw, avalid, n_candidates=params.n_candidates, win=W, k=di.k
+        )
+
+    cand = stage_cand(at, aq, anh, avalid)
+    force(cand.d0[:1, :1])
+    t0 = time.time()
+    for _ in range(N):
+        cand = stage_cand(at, aq, anh, avalid)
+    force(cand.d0[:1, :1])
+    t_cand = (time.time() - t0) / N
+    print(f"[stage] candidates: {t_cand*1e3:.1f} ms/batch")
+
+    print(
+        f"\nsummary: device/batch {per_batch_dev*1e3:.1f} ms | e2e/batch"
+        f" {per_batch*1e3:.1f} ms | host+rpc overhead"
+        f" {(per_batch-per_batch_dev)*1e3:.1f} ms"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Host SDP/global gap filler (ops/sdp.py) — the SDPAlign role."""
+
+import numpy as np
+
+from blasr_tpu.ops.banded_align import AlignScores
+from blasr_tpu.ops.sdp import OP_D, OP_I, OP_M, global_align_dense, sdp_align
+
+S = AlignScores()
+
+
+def _consumes(ops, qn, tn):
+    q = int(np.count_nonzero(ops != OP_D))
+    t = int(np.count_nonzero(ops != OP_I))
+    return q == qn and t == tn
+
+
+def _rng_seq(rng, n):
+    return rng.integers(0, 4, n).astype(np.uint8)
+
+
+def test_global_identity():
+    rng = np.random.default_rng(0)
+    q = _rng_seq(rng, 200)
+    ops, score = global_align_dense(q, q, S)
+    assert _consumes(ops, 200, 200)
+    assert np.all(ops == OP_M)
+    assert score == 200 * S.match
+
+
+def test_global_single_indel():
+    rng = np.random.default_rng(1)
+    t = _rng_seq(rng, 150)
+    q = np.delete(t, 60)  # one deletion in the read
+    ops, score = global_align_dense(q, t, S)
+    assert _consumes(ops, len(q), len(t))
+    assert int(np.count_nonzero(ops == OP_D)) == 1
+    assert score == 149 * S.match + S.deletion
+
+
+def test_global_empty_sides():
+    q = np.zeros(0, np.uint8)
+    t = np.asarray([0, 1, 2], np.uint8)
+    ops, score = global_align_dense(q, t, S)
+    assert list(ops) == [OP_D, OP_D, OP_D]
+    assert score == 3 * S.deletion
+
+
+def test_native_matches_numpy_fallback():
+    import os
+
+    from blasr_tpu import native
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(2)
+    t = _rng_seq(rng, 120)
+    q = t.copy()
+    q[30] = (q[30] + 1) % 4
+    q = np.insert(q, 70, 2)
+    nat = native.global_align(q, t, S.match, S.mismatch, S.n_score,
+                              S.insertion, S.deletion)
+    os.environ["BLASR_TPU_NO_NATIVE"] = "1"
+    try:
+        # bypass the cached lib by calling the numpy path directly: force
+        # max_cells high and monkeypatch native.global_align
+        import blasr_tpu.ops.sdp as sdp_mod
+
+        orig = native.global_align
+        native.global_align = lambda *a, **k: None
+        try:
+            ops_np, score_np = sdp_mod.global_align_dense(q, t, S)
+        finally:
+            native.global_align = orig
+    finally:
+        os.environ.pop("BLASR_TPU_NO_NATIVE", None)
+    ops_nat, score_nat = nat
+    assert score_nat == score_np
+    assert _consumes(ops_nat, len(q), len(t))
+    assert _consumes(ops_np, len(q), len(t))
+
+
+def test_sdp_align_large_recurses_and_covers():
+    rng = np.random.default_rng(3)
+    t = _rng_seq(rng, 30_000)
+    # query = mutated copy (forces the sparse path: 30k x 30k >> dense cap)
+    q = t.copy()
+    mut = rng.random(len(q)) < 0.05
+    q[mut] = (q[mut] + rng.integers(1, 4, mut.sum())) % 4
+    ops, score = sdp_align(q, t, S, no_recurse_under=10_000)
+    assert _consumes(ops, len(q), len(t))
+    # overwhelmingly matches
+    assert int(np.count_nonzero(ops == OP_M)) > 0.95 * len(t)
+    assert score < 0.8 * len(t) * S.match * 0.9  # strongly negative
+
+
+def test_sdp_align_with_structural_gap():
+    rng = np.random.default_rng(4)
+    t = _rng_seq(rng, 20_000)
+    # read misses a 3 kb block of the target (deletion SV)
+    q = np.concatenate([t[:8_000], t[11_000:]])
+    ops, score = sdp_align(q, t, S, no_recurse_under=10_000)
+    assert _consumes(ops, len(q), len(t))
+    assert int(np.count_nonzero(ops == OP_D)) >= 3_000
