@@ -339,8 +339,176 @@ def _cmd_dotplot(argv) -> int:
     return 0
 
 
+def _cmd_printgaps(argv) -> int:
+    """Gap/SV extraction from SAM alignments.
+
+    Role of reference ``samutils/PrintGaps.cpp`` (406 LoC): per alignment,
+    emit every indel gap longer than -minGapLength as a GFF-like line
+
+      tname  blasr  {deletion|insertion}  start,end  length  strand  0
+      seq <bases>  qname  tname:start-end
+
+    'deletion' = bases present in the target but not the read (CIGAR D,
+    sequence from the genome); 'insertion' = extra read bases (CIGAR I,
+    sequence from the read). -merge fuses same-type gaps separated by
+    match blocks shorter than the given length (PrintGaps.cpp:190-220);
+    -minqv and -F filter records like the reference flags.
+    """
+    p = argparse.ArgumentParser(prog="tools printgaps")
+    p.add_argument("genome")
+    p.add_argument("sam", nargs="+")
+    p.add_argument("-out", default="-")
+    p.add_argument("-minGapLength", type=int, default=100)
+    p.add_argument("-minqv", type=int, default=0)
+    p.add_argument("-F", type=int, default=0, dest="exclude_flag")
+    p.add_argument("-merge", type=int, default=0)
+    p.add_argument("-printGapFasta", default=None)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq, seq_to_codes
+    from blasr_tpu.io.fasta import read_fasta
+    from blasr_tpu.io.sam import read_sam
+
+    genome = {name: codes for name, codes in read_fasta(args.genome)}
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    gap_fa = open(args.printGapFasta, "w") if args.printGapFasta else None
+
+    OPQ = {"M": (1, 1), "=": (1, 1), "X": (1, 1), "I": (1, 0), "D": (0, 1),
+           "S": (0, 0), "H": (0, 0), "N": (0, 1), "P": (0, 0)}
+    for sam_path in args.sam:
+        sam = read_sam(sam_path)
+        for rec in sam.records:
+            if rec.is_unmapped or rec.rname == "*" or rec.rname not in genome:
+                continue
+            if args.exclude_flag and (rec.flag & args.exclude_flag):
+                continue
+            if rec.mapq < args.minqv:
+                continue
+            tcodes = genome[rec.rname]
+            qcodes = seq_to_codes(rec.seq.encode()) if rec.seq != "*" else None
+            runs = rec.cigar_runs()
+            # merge same-type gaps separated by short aligned blocks:
+            # [gap, block<merge, gap] -> [block, fused gap]
+            # (PrintGaps.cpp:190-220 block/gap fusion)
+            if args.merge:
+                merged: list[tuple[str, int]] = []
+                for op, ln in runs:
+                    if (
+                        op in "ID" and len(merged) >= 2
+                        and merged[-1][0] in "M=X"
+                        and merged[-1][1] < args.merge
+                        and merged[-2][0] == op
+                    ):
+                        _, blk_len = merged.pop()
+                        _, gap_len = merged.pop()
+                        merged.append(("M", blk_len))
+                        merged.append((op, gap_len + ln))
+                        continue
+                    merged.append((op, ln))
+                runs = merged
+            qpos = 0
+            tpos = rec.pos - 1
+            strand = "-" if rec.is_reverse else "+"
+            for op, ln in runs:
+                dq, dt = OPQ.get(op, (0, 0))
+                if op == "D" and ln > args.minGapLength:
+                    seq = codes_to_seq(tcodes[tpos : tpos + ln])
+                    out.write(
+                        f"{rec.rname}\tblasr\tdeletion\t{tpos},{tpos + ln}\t"
+                        f"{ln}\t{strand}\t0\tseq {seq}\t{rec.qname}\t"
+                        f"{rec.rname}:{tpos}-{tpos + ln}\n"
+                    )
+                    if gap_fa:
+                        gap_fa.write(f">{rec.rname}:{tpos}-{tpos+ln}\n{seq}\n")
+                elif op == "I" and ln > args.minGapLength and qcodes is not None:
+                    seq = codes_to_seq(qcodes[qpos : qpos + ln])
+                    out.write(
+                        f"{rec.rname}\tblasr\tinsertion\t{tpos},{tpos + ln}\t"
+                        f"{ln}\t{strand}\t0\tseq {seq}\t{rec.qname}\t"
+                        f"{rec.rname}:{tpos}-{tpos + ln}\n"
+                    )
+                    if gap_fa:
+                        gap_fa.write(f">{rec.qname}:{qpos}-{qpos+ln}\n{seq}\n")
+                qpos += dq * ln
+                tpos += dt * ln
+    if out is not sys.stdout:
+        out.close()
+    if gap_fa:
+        gap_fa.close()
+    return 0
+
+
+def _cmd_samtom0(argv) -> int:
+    """SAM -> human-readable stick alignment (reference samutils/SamToM0.cpp:
+    replay each record's CIGAR against the genome and print the m0 block
+    layout via the framework's verbose printer)."""
+    p = argparse.ArgumentParser(prog="tools samtom0")
+    p.add_argument("sam")
+    p.add_argument("genome")
+    p.add_argument("-out", default="-")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq, seq_to_codes
+    from blasr_tpu.io.fasta import read_fasta
+    from blasr_tpu.io.sam import read_sam
+
+    genome = {name: codes for name, codes in read_fasta(args.genome)}
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    sam = read_sam(args.sam)
+    for rec in sam.records:
+        if rec.is_unmapped or rec.rname not in genome or rec.seq == "*":
+            continue
+        tcodes = genome[rec.rname]
+        qcodes = seq_to_codes(rec.seq.encode())
+        qpos = 0
+        tpos = rec.pos - 1
+        qstr = []
+        astr = []
+        tstr = []
+        for op, ln in rec.cigar_runs():
+            if op in "M=X":
+                for i in range(ln):
+                    qc = codes_to_seq(qcodes[qpos + i : qpos + i + 1])
+                    tc = codes_to_seq(tcodes[tpos + i : tpos + i + 1])
+                    qstr.append(qc)
+                    tstr.append(tc)
+                    astr.append("|" if qc == tc else " ")
+                qpos += ln
+                tpos += ln
+            elif op == "I":
+                qstr.append(codes_to_seq(qcodes[qpos : qpos + ln]))
+                tstr.append("-" * ln)
+                astr.append(" " * ln)
+                qpos += ln
+            elif op in "DN":
+                qstr.append("-" * ln)
+                tstr.append(codes_to_seq(tcodes[tpos : tpos + ln]))
+                astr.append(" " * ln)
+                tpos += ln
+            elif op in "SH":
+                qpos += ln if op == "S" else 0
+        q, a, t = "".join(qstr), "".join(astr), "".join(tstr)
+        nm = a.count("|")
+        out.write(
+            f"{rec.qname} {rec.rname} {rec.pos - 1} "
+            f"{'-' if rec.is_reverse else '+'} mapqv {rec.mapq}\n"
+        )
+        width = 50
+        t0 = rec.pos - 1
+        q0 = 0
+        for ofs in range(0, len(q), width):
+            out.write(f"  q: {q[ofs:ofs+width]}\n")
+            out.write(f"     {a[ofs:ofs+width]}\n")
+            out.write(f"  t: {t[ofs:ofs+width]}\n\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
+    "printgaps": _cmd_printgaps,
+    "samtom0": _cmd_samtom0,
     "samfilter": _cmd_samfilter,
     "ctab": _cmd_ctab,
     "shredder": _cmd_shredder,

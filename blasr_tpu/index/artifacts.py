@@ -34,7 +34,7 @@ INDEX_SUFFIX = ".btidx.npz"
 INDEX_VERSION = 1
 
 
-LUT_BITS = 18  # key-prefix lookup table width (role of the reference SA
+LUT_BITS = 22  # key-prefix lookup table width (role of the reference SA
                # prefix lookup table, SuffixArray.h:193 BuildLookupTable)
 
 

@@ -75,33 +75,46 @@ def _expand_and_select(
     B: int, L: int, KH: int, A: int, ST: int,
 ):
     """Shared hit expansion + priority compaction for the SA-backed anchor
-    searches (narrow and wide keys): gather up to KH hits per position from
-    the mask-folded SA, prefer unique anchors, guarantee read-wide spread
-    via a stride bonus, keep the top A per read."""
+    searches (narrow and wide keys): prefer unique anchors, guarantee
+    read-wide spread via a stride bonus, keep the top A per read.
+
+    Hit expansion happens ONLY for the top-A positions by priority: the
+    priority is position-only (frequency + spread), ties in the final
+    flat top-k break by (position, hit-offset) order, so the winning A
+    anchors always come from the first A positions in (priority, position)
+    order — pre-selecting positions provably returns the identical anchor
+    set while gathering P*KH instead of L*KH random SA entries (the anchor
+    phase is HBM-gather-bound)."""
     G = sa.shape[0]
     pos_has = has_key & (nh > 0) & (nh <= KH)
-    offs = jnp.arange(KH, dtype=jnp.int32)
-    idx = jnp.clip(lo[..., None].astype(jnp.int32) + offs[None, None, :], 0, G - 1)
-    t = sa[idx].astype(jnp.int32)
-    hit_ok = pos_has[..., None] & (offs[None, None, :] < nh[..., None]) & (t >= 0)
-    t = jnp.clip(t, 0, G - 1)
 
-    q = jnp.broadcast_to(
-        (jnp.arange(L, dtype=jnp.int32) * ST)[None, :, None], (B, L, KH)
-    )
     stride = max(1, (2 * L * KH) // max(A, 1) // 2)
     base = jnp.int32(1 << 20)
-    prio = base - nh[..., None] * 16
-    # spread bonus on SAMPLED positions (q is already a multiple of ST)
-    prio = prio + jnp.where((q // ST) % stride == 0, base // 2, 0)
-    prio = jnp.where(hit_ok, prio, jnp.int32(-1))
+    pos_ar = jnp.arange(L, dtype=jnp.int32)
+    pos_prio = base - nh * 16 + jnp.where((pos_ar % stride) == 0, base // 2, 0)
+    pos_prio = jnp.where(pos_has, pos_prio, jnp.int32(-1))    # (B, L)
 
-    flat_prio = prio.reshape(B, L * KH)
+    P = min(A, L)
+    pvals, psel = jax.lax.top_k(pos_prio, P)                  # (B, P)
+    lo_sel = jnp.take_along_axis(lo.astype(jnp.int32), psel, axis=1)
+    nh_sel = jnp.take_along_axis(nh, psel, axis=1)
+
+    offs = jnp.arange(KH, dtype=jnp.int32)
+    idx = jnp.clip(lo_sel[..., None] + offs[None, None, :], 0, G - 1)
+    t = sa[idx].astype(jnp.int32)                             # (B, P, KH)
+    hit_ok = (pvals > 0)[..., None] & (offs[None, None, :] < nh_sel[..., None]) & (t >= 0)
+    t = jnp.clip(t, 0, G - 1)
+
+    q = jnp.broadcast_to((psel * ST)[..., None], (B, P, KH))
+    prio = jnp.where(hit_ok, pvals[..., None], jnp.int32(-1))
+
+    flat_prio = prio.reshape(B, P * KH)
     vals, sel = jax.lax.top_k(flat_prio, A)
-    at = jnp.take_along_axis(t.reshape(B, L * KH), sel, axis=1)
-    aq = jnp.take_along_axis(q.reshape(B, L * KH), sel, axis=1)
+    at = jnp.take_along_axis(t.reshape(B, P * KH), sel, axis=1)
+    aq = jnp.take_along_axis(q.reshape(B, P * KH), sel, axis=1)
     anh = jnp.take_along_axis(
-        jnp.broadcast_to(nh[..., None], (B, L, KH)).reshape(B, L * KH), sel, axis=1
+        jnp.broadcast_to(nh_sel[..., None], (B, P, KH)).reshape(B, P * KH),
+        sel, axis=1,
     )
     avalid = vals > 0
     return at, aq, jnp.maximum(anh, 1), avalid
@@ -123,6 +136,7 @@ def find_anchors(
     sa_kmers: jax.Array,     # (G,) int32 ascending packed k-mers in SA order
     pos_ok: jax.Array | None = None,  # (G,) bool, or None if folded into sa
     lut: jax.Array | None = None,  # (2^bits + 1,) int32 prefix ranges
+    run_len: jax.Array | None = None,  # (G,) int32: #identical keys from i on
     *,
     k: int,
     max_hits_per_pos: int = 8,
@@ -156,11 +170,21 @@ def find_anchors(
         blo = lut[pref]
         bhi = lut[pref + 1]
         lo = _bounded_search(sa_kmers, qk, blo, bhi, max_steps)
-        hi = _bounded_search(sa_kmers, qk + 1, lo, bhi, max_steps)
+        if run_len is not None:
+            # interval width without a second search: lo is side='left', so
+            # when the key is present sa_kmers[lo] == key and the
+            # precomputed run length IS hi - lo (halves the gather rounds
+            # of the search phase)
+            loc = jnp.clip(lo, 0, G - 1)
+            present = (sa_kmers[loc] == qk) & (lo < G)
+            nh = jnp.where(present, run_len[loc], 0).astype(jnp.int32)
+        else:
+            hi = _bounded_search(sa_kmers, qk + 1, lo, bhi, max_steps)
+            nh = (hi - lo).astype(jnp.int32)
     else:
         lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
         hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
-    nh = (hi - lo).astype(jnp.int32)                              # (B, L)
+        nh = (hi - lo).astype(jnp.int32)                          # (B, L)
     if pos_ok is not None:
         # legacy call shape (tests): fold the validity mask into sa here
         sa = jnp.where(pos_ok[jnp.clip(sa, 0, G - 1)] & (sa >= 0), sa, -1)

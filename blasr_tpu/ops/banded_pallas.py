@@ -43,8 +43,12 @@ from blasr_tpu.ops.banded_align import (
     BandedResult,
 )
 
-ITEM_TILE = 32  # items per grid row (sublane-dim batching)
-UNROLL = 2      # anti-diagonals per grid iteration
+import os
+
+# items per grid row (sublane-dim batching) and anti-diagonals per grid
+# iteration — env-overridable for hardware sweeps (scripts/sweep_dp.py)
+ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "32"))
+UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
 
 
 def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:

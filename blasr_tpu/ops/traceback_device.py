@@ -8,6 +8,15 @@ walk runs on device as a ``lax.while_loop`` vectorized across all alignments
 of a batch; only a 2-bit-packed move string (~1% of the arrow bytes) plus
 scalar stats leave the chip.
 
+The walk is a serial pointer chase — per sub-step cost is dominated by the
+one random HBM gather into the arrow tensor. Everything else is engineered
+away: the band-offset schedule is evaluated in closed form
+(qoff(a) = clip((a - diag) >> 1 - W/2, 0, L - W), see
+banded_align.make_qoff) instead of two table gathers, and emitted ops are
+stored DENSELY at the loop-step column (one contiguous column write) instead
+of scattering at per-row ragged offsets; winner rows are compacted once
+after the loop.
+
 Alignment stats mirror ComputeAlignmentStats (AlignmentUtils.h:536).
 """
 
@@ -32,16 +41,19 @@ from blasr_tpu.ops.banded_align import (
 
 OP_NONE, OP_M, OP_I, OP_D = 0, 1, 2, 3
 
+WALK_UNROLL = 8  # sub-steps per while iteration (amortizes cond overhead)
+
 
 class DeviceTraceback(NamedTuple):
     """Compact per-alignment traceback (device arrays, host-transfer ready).
 
-    moves_packed holds the ops in END->START order, 4 ops per byte
-    (op j lives in byte j//4, bits 2*(j%4)); codes are OP_M/OP_I/OP_D.
-    Spans are half-open local window coordinates like AlignmentPath.
+    moves_dense holds one op slot per WALK SUB-STEP in END->START order
+    (OP_NONE where a sub-step emitted nothing); ``pack_moves_rows`` compacts
+    selected rows to the 2-bit wire format. Spans are half-open local window
+    coordinates like AlignmentPath.
     """
 
-    moves_packed: jax.Array  # (I, P) uint8
+    moves_dense: jax.Array  # (I, SD) uint8 per-substep ops, END->START
     nops: jax.Array          # (I,) int32
     q_start: jax.Array       # (I,) int32
     q_end: jax.Array         # (I,) int32
@@ -58,7 +70,7 @@ def packed_width(S: int) -> int:
     return (S2 + 3) // 4
 
 
-@functools.partial(jax.jit, static_argnames=())
+@functools.partial(jax.jit, static_argnames=("qoff_params",))
 def walk_arrows_device(
     arrows: jax.Array,   # (S, IA, W) uint8
     qoff: jax.Array,     # (S,) int32
@@ -68,39 +80,60 @@ def walk_arrows_device(
     query: jax.Array,    # (I, L) uint8
     target: jax.Array,   # (I, T) uint8
     item_idx: jax.Array | None = None,  # (I,) int32 column of each walk in arrows
+    qoff_params: tuple[int, int, int] | None = None,  # (diag, W_band, L_q)
 ) -> DeviceTraceback:
     """Walk I paths through an (S, IA, W) arrow tensor.
 
     item_idx maps walk i -> arrow column (IA >= I), so a walk over a
-    selected subset (the per-read winners) reads the full-candidate arrow
-    tensor in place instead of gathering a copy.
+    selected subset reads the full-candidate arrow tensor in place.
+    qoff_params, when given, must describe the make_qoff schedule that
+    produced ``qoff`` — the walk then computes band offsets analytically
+    (two fewer gathers per serial step).
     """
     S, IA, W = arrows.shape
     I = best_a.shape[0]
     L = query.shape[1]
     T = target.shape[1]
-    S2 = S + 3  # op slots + one dump column for non-emitting lanes
     rows = jnp.arange(I, dtype=jnp.int32)           # walk-local row index
     ii = rows if item_idx is None else item_idx.astype(jnp.int32)  # arrow column
     flat = arrows.reshape(-1)
-    s1 = jnp.diff(qoff, prepend=qoff[:1]).astype(jnp.int32)  # (S,)
+
+    if qoff_params is not None:
+        diag, Wb, Lq = qoff_params
+        hi = max(0, Lq - Wb)
+
+        def qoff_at(a):
+            # floor-div of possibly-negative (a - diag); jnp // floors
+            return jnp.clip((a - diag) // 2 - Wb // 2, 0, hi).astype(jnp.int32)
+
+        def s1_at(a):
+            return qoff_at(a) - qoff_at(a - 1)
+    else:
+        s1_tab = jnp.diff(qoff, prepend=qoff[:1]).astype(jnp.int32)  # (S,)
+
+        def qoff_at(a):
+            return qoff[jnp.clip(a, 0, S - 1)]
+
+        def s1_at(a):
+            return s1_tab[jnp.clip(a, 0, S - 1)]
 
     max_iter = 2 * S + 4
+    NIT = -(-max_iter // WALK_UNROLL)
+    SD = NIT * WALK_UNROLL                          # dense move columns
 
     def cond(carry):
         a, w, st, active, nops, moves, it = carry
-        return jnp.any(active) & (it < max_iter)
+        return jnp.any(active) & (it < NIT)
 
-    def body(carry):
-        a, w, st, active, nops, moves, it = carry
+    def substep(a, w, st, active, nops, byte_pos):
         ac = jnp.clip(a, 0, S - 1)
         wc = jnp.clip(w, 0, W - 1)
         byte = flat[(ac * IA + ii) * W + wc].astype(jnp.int32)
         src = byte & 7
         ebit = (byte >> 3) & 1
         fbit = (byte >> 4) & 1
-        cs1 = s1[ac]
-        cs2 = s1[jnp.clip(ac - 1, 0, S - 1)]
+        cs1 = s1_at(ac)
+        cs2 = s1_at(jnp.clip(ac - 1, 0, S - 1))
 
         is_h = st == 0
         is_e = st == 1
@@ -128,23 +161,25 @@ def walk_arrows_device(
         ).astype(jnp.int32)
         stop = (is_h & (src == SRC_DIAG_START)) | h_stop
 
-        has_emit = active & (emit > 0)
-        col = jnp.where(has_emit, nops, S2 - 1)
-        moves = moves.at[rows, col].set(jnp.where(has_emit, emit, jnp.uint8(0)))
-        nops = nops + has_emit.astype(jnp.int32)
-
+        emit = jnp.where(active, emit, jnp.uint8(OP_NONE))
+        nops = nops + (emit > 0).astype(jnp.int32)
         a = jnp.where(active, a + da, a)
         w = jnp.where(active, w + dw, w)
         st = jnp.where(active, new_st, st)
         active = active & ~stop & (a >= 0) & (w >= 0) & (w < W)
+        return a, w, st, active, nops, emit
+
+    def body(carry):
+        a, w, st, active, nops, moves, it = carry
+        emits = []
+        for _ in range(WALK_UNROLL):
+            a, w, st, active, nops, emit = substep(a, w, st, active, nops, None)
+            emits.append(emit)
+        block = jnp.stack(emits, axis=1)            # (I, U)
+        moves = jax.lax.dynamic_update_slice(
+            moves, block, (jnp.int32(0), it * WALK_UNROLL)
+        )
         return a, w, st, active, nops, moves, it + 1
-
-    UNROLL = 4  # sub-steps per while iteration (amortizes loop overhead)
-
-    def body_unrolled(carry):
-        for _ in range(UNROLL):
-            carry = body(carry)
-        return carry
 
     init = (
         best_a.astype(jnp.int32),
@@ -152,20 +187,19 @@ def walk_arrows_device(
         jnp.zeros(I, jnp.int32),
         scores < 0,
         jnp.zeros(I, jnp.int32),
-        jnp.zeros((I, S2), jnp.uint8),
+        jnp.zeros((I, SD), jnp.uint8),
         jnp.int32(0),
     )
-    _, _, _, _, nops, moves, _ = jax.lax.while_loop(cond, body_unrolled, init)
+    _, _, _, _, nops, moves, _ = jax.lax.while_loop(cond, body, init)
 
-    # ---- stats (vectorized over the move strings; END->START order) ----
-    jidx = jnp.arange(S2, dtype=jnp.int32)[None, :]
-    is_op = jidx < nops[:, None]
-    mv = jnp.where(is_op, moves, jnp.uint8(0))
+    # ---- stats (vectorized over the dense move slots; END->START order;
+    # OP_NONE slots contribute nothing to any cumsum/count) ----
+    mv = moves
     n_ins = jnp.sum(mv == OP_I, axis=1).astype(jnp.int32)
     n_del = jnp.sum(mv == OP_D, axis=1).astype(jnp.int32)
     n_mops = jnp.sum(mv == OP_M, axis=1).astype(jnp.int32)
 
-    q_end = qoff[jnp.clip(best_a, 0, S - 1)] + best_w + 1
+    q_end = qoff_at(jnp.clip(best_a, 0, S - 1)) + best_w + 1
     t_end = best_a - (q_end - 1) + 1
     q_start = q_end - (n_mops + n_ins)
     t_start = t_end - (n_mops + n_del)
@@ -179,17 +213,8 @@ def walk_arrows_device(
     ism = mv == OP_M
     n_match = jnp.sum(ism & (qc == tc) & (qc < 4), axis=1).astype(jnp.int32)
 
-    # ---- 2-bit pack ----
-    P = packed_width(S)
-    pad = 4 * P - S2
-    mvp = jnp.pad(mv, ((0, 0), (0, pad))).reshape(I, P, 4).astype(jnp.uint8)
-    shifts = jnp.array([0, 2, 4, 6], jnp.uint8)
-    packed = jnp.sum(
-        mvp.astype(jnp.int32) << shifts[None, None, :].astype(jnp.int32), axis=2
-    ).astype(jnp.uint8)
-
     return DeviceTraceback(
-        moves_packed=packed,
+        moves_dense=moves,
         nops=nops,
         q_start=q_start.astype(jnp.int32),
         q_end=q_end.astype(jnp.int32),
@@ -200,6 +225,28 @@ def walk_arrows_device(
         n_ins=n_ins,
         n_del=n_del,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def pack_moves_rows(moves_dense: jax.Array, out_width: int) -> jax.Array:
+    """Compact (I2, SD) dense END->START op slots (OP_NONE holes) into the
+    2-bit wire format (I2, out_width) — run on the SELECTED rows only.
+
+    Stable argsort on the hole mask preserves op order while pushing holes
+    to the back; ops then 2-bit pack 4/byte.
+    """
+    I2, SD = moves_dense.shape
+    holes = (moves_dense == OP_NONE).astype(jnp.int32)
+    order = jnp.argsort(holes, axis=1, stable=True)
+    compact = jnp.take_along_axis(moves_dense, order, axis=1)
+    S2 = 4 * out_width
+    if SD >= S2:
+        compact = compact[:, :S2]
+    else:
+        compact = jnp.pad(compact, ((0, 0), (0, S2 - SD)))
+    mvp = compact.reshape(I2, out_width, 4).astype(jnp.int32)
+    shifts = jnp.array([0, 2, 4, 6], jnp.int32)
+    return jnp.sum(mvp << shifts[None, None, :], axis=2).astype(jnp.uint8)
 
 
 def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray:

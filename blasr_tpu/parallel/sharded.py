@@ -89,7 +89,9 @@ def build_shard_index(
         names.append(seqdb.names[ci])
         cuts.append(min(e, spec.block_hi))
     starts_local = np.asarray(cuts, dtype=np.int64) - spec.block_lo
-    seg_db = SeqDB(names, starts_local, ["0" * 32] * len(names))
+    # carry the TRUE per-contig MD5s (SAM @SQ integrity across shards)
+    md5s = [seqdb.md5s[seqdb.names.index(n)] for n in names]
+    seg_db = SeqDB(names, starts_local, md5s)
 
     proj = (block & 3).astype(np.uint8)
     sa = build_suffix_array(proj)
@@ -162,6 +164,44 @@ def _merge_mapqv(records: list[AlignmentRecord]) -> None:
         r.mapqv = min(r.mapqv, cross)
 
 
+def shard_cache_path(genome_path: str, n_shards: int, k: int, s: int) -> str:
+    return f"{genome_path}.btshard{n_shards}k{k}.{s}.npz"
+
+
+def build_or_load_shards(
+    genome: np.ndarray,
+    seqdb: SeqDB,
+    specs: Sequence[ShardSpec],
+    k: int,
+    genome_path: Optional[str] = None,
+) -> list[GenomeIndex]:
+    """Shard indexes with on-disk caching (role of the reference's .sa
+    auto-discovery, Blasr.cpp:4375-4394 — per shard). Building SA-IS over
+    each block inside the serving call costs minutes at hg19 scale; cached
+    artifacts load in seconds."""
+    import os
+
+    out = []
+    for s, spec in enumerate(specs):
+        path = (
+            shard_cache_path(genome_path, len(specs), k, s)
+            if genome_path else None
+        )
+        if path and os.path.exists(path) and (
+            os.path.getmtime(path) >= os.path.getmtime(genome_path)
+        ):
+            out.append(GenomeIndex.load(path))
+            continue
+        idx = build_shard_index(genome, seqdb, spec, k)
+        if path:
+            try:
+                idx.save(path)
+            except OSError:
+                pass
+        out.append(idx)
+    return out
+
+
 def run_mapping_sharded(
     genome: np.ndarray,
     seqdb: SeqDB,
@@ -170,25 +210,52 @@ def run_mapping_sharded(
     n_shards: int,
     k: int = 14,
     devices: Optional[list] = None,
+    shard_indexes: Optional[Sequence[GenomeIndex]] = None,
+    genome_path: Optional[str] = None,
+    concurrent: bool = True,
 ) -> tuple[list[AlignmentRecord], list[str]]:
-    """Map reads against an n_shards-way sharded index; merge on host."""
+    """Map reads against an n_shards-way sharded index; merge on host.
+
+    Shards dispatch CONCURRENTLY (one host thread per shard, each pinned to
+    its device via jax.default_device) so per-shard device compute and
+    host drains overlap — the serving layout for one index too large for a
+    chip. Pass ``shard_indexes`` (or ``genome_path`` for the on-disk cache)
+    to skip the in-call SA builds.
+    """
     import jax
 
     overlap = params.max_read_len + params.target_pad
     specs = make_shards(len(genome), n_shards, overlap)
     devs = devices if devices is not None else jax.devices()
+    if shard_indexes is None:
+        shard_indexes = build_or_load_shards(genome, seqdb, specs, k, genome_path)
 
     per_read: dict[str, list[AlignmentRecord]] = {}
     all_names = [r.name for r in reads]
-    for s, spec in enumerate(specs):
-        idx = build_shard_index(genome, seqdb, spec, k)
+
+    def _run_shard(s: int):
+        spec = specs[s]
+        idx = shard_indexes[s]
         dev = devs[s % len(devs)]
         with jax.default_device(dev):
             recs, _ = run_mapping(idx, reads, params)
+        out = []
         for rec in recs:
             g = _globalize(rec, spec, idx.seqdb, seqdb)
             if g is not None:
-                per_read.setdefault(g.qname, []).append(g)
+                out.append(g)
+        return out
+
+    if concurrent and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(specs), 8)) as pool:
+            shard_recs = list(pool.map(_run_shard, range(len(specs))))
+    else:
+        shard_recs = [_run_shard(s) for s in range(len(specs))]
+    for recs in shard_recs:
+        for g in recs:
+            per_read.setdefault(g.qname, []).append(g)
 
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []

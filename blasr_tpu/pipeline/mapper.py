@@ -33,7 +33,11 @@ from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 from blasr_tpu.ops.mapqv import map_qv_reference
-from blasr_tpu.ops.traceback_device import walk_arrows_device
+from blasr_tpu.ops.traceback_device import (
+    pack_moves_rows,
+    packed_width,
+    walk_arrows_device,
+)
 from blasr_tpu.params import MappingParams
 
 
@@ -94,10 +98,18 @@ def make_device_index(
                 jnp.asarray(lut),
             )
         else:
+            # run-length of identical keys at every SA row: turns the
+            # second (side='right') binary search into one gather
+            sk = idx.sa_kmers
+            change = np.flatnonzero(np.diff(sk) != 0) + 1
+            bounds = np.concatenate([[0], change, [len(sk)]])
+            next_bound = np.repeat(bounds[1:], np.diff(bounds))
+            run_len = (next_bound - np.arange(len(sk))).astype(np.int32)
             arrays = (
                 jnp.asarray(sa_masked),
                 jnp.asarray(idx.sa_kmers),
                 jnp.asarray(lut),
+                jnp.asarray(run_len),
             )
         kind, fm_n = "sa", 0
         lut_meta = (shift, max_steps)
@@ -282,9 +294,9 @@ def _map_batch_impl(
             anchor_stride=params.anchor_stride,
         )
     else:
-        sa_masked, sa_kmers, lut = index_arrays
+        sa_masked, sa_kmers, lut, run_len = index_arrays
         at, aq, anh, avalid = find_anchors(
-            reads2, lens2, sa_masked, sa_kmers, None, lut,
+            reads2, lens2, sa_masked, sa_kmers, None, lut, run_len,
             k=k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
@@ -354,26 +366,58 @@ def _map_batch_impl(
     )
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
 
-    # ---- per-read best_n selection over the DP'd candidates ----
-    sc = cscore.reshape(B, CD)
-    sv = cvalid.reshape(B, CD)
-    neg = jnp.where(sv, -sc, jnp.int32(-(2**30)))
-    topv, topi = jax.lax.top_k(neg, params.best_n)          # (B, best_n)
-    sel_item = (b_ar * CD + topi).reshape(-1)               # (I2,) into DP items
-    sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
-    sel_valid = (topv > -(2**30)).reshape(-1) & (topv.reshape(-1) > 0)
-
     # ---- on-device traceback walk over ALL candidates, in place over the
     # arrow tensor (arrows never leave the chip). Walking every candidate
     # instead of just the winners costs ~nothing (the walk is bound by
     # iteration count, not item count) and yields the per-candidate
     # match/indel stats the reference MAPQ rescore needs
     # (SMRTLogProbMatrix replay, Blasr.cpp:2780-2785).
-    walk_score = jnp.where(cvalid, res1.score, 0)
     tb = walk_arrows_device(
         res1.arrows, qoff, res1.best_a, res1.best_w,
-        walk_score, qitems, tcodes,
+        cscore, qitems, tcodes,
+        qoff_params=(params.target_pad // 2, W, L),
     )
+
+    sc = cscore.reshape(B, CD)
+    sv = cvalid.reshape(B, CD) & (sc < 0)
+
+    # ---- RemoveOverlappingAlignments (Blasr.cpp:2081-2161): drop a
+    # candidate whose GENOMIC interval is contained in a same-strand
+    # candidate with an equal-or-better score (earlier index wins ties).
+    # This kills duplicate placements of one locus that survived candidate
+    # NMS in different windows, before both best_n selection and MAPQ.
+    gt_lo = (t0f + tb.t_start).reshape(B, CD)
+    gt_hi = (t0f + tb.t_end).reshape(B, CD)
+    d_ = lambda x: x[:, :, None]                            # container axis
+    c_ = lambda x: x[:, None, :]                            # containee axis
+    idx_cd = jnp.arange(CD, dtype=jnp.int32)[None, :]
+    contains = (
+        (d_(gt_lo) <= c_(gt_lo))
+        & (d_(gt_hi) >= c_(gt_hi))
+        & (d_(dp_strand) == c_(dp_strand))
+        & d_(sv) & c_(sv)
+        & (idx_cd[:, :, None] != idx_cd[:, None, :])
+    )
+    better = (d_(sc) < c_(sc)) | (
+        (d_(sc) == c_(sc)) & (idx_cd[:, :, None] < idx_cd[:, None, :])
+    )
+    removed = jnp.any(contains & better, axis=1)            # (B, CD)
+    sv = sv & ~removed
+
+    # ---- per-read best_n selection over the surviving candidates,
+    # reference order: score ascending, ties by global target position
+    # (SortAlignmentPointersByScore, Blasr.cpp:226-236) — two stable
+    # argsorts give the lexicographic (score, tpos) order.
+    BIG = jnp.int32(2**30)
+    o1 = jnp.argsort(jnp.where(sv, gt_lo, BIG), axis=1, stable=True)
+    sc_o1 = jnp.take_along_axis(jnp.where(sv, sc, BIG), o1, axis=1)
+    o2 = jnp.argsort(sc_o1, axis=1, stable=True)
+    order_cd = jnp.take_along_axis(o1, o2, axis=1)          # (B, CD)
+    topi = order_cd[:, : params.best_n]                    # (B, best_n)
+    topv = -jnp.take_along_axis(jnp.where(sv, sc, BIG), topi, axis=1)
+    sel_item = (b_ar * CD + topi).reshape(-1)               # (I2,) into DP items
+    sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
+    sel_valid = (topv > -BIG).reshape(-1) & (topv.reshape(-1) > 0)
 
     # ---- MAPQ over all candidates, reference algorithm (ops/mapqv.py) ----
     # forward-read aligned intervals per candidate: RC-strand walks carry
@@ -420,7 +464,9 @@ def _map_batch_impl(
 
     return MapBatchResult(
         sel_ints=sel_ints,
-        moves_packed=tb.moves_packed[sel_item],
+        moves_packed=pack_moves_rows(
+            tb.moves_dense[sel_item], packed_width(L + T - 1)
+        ),
         read_ints=read_ints,
     )
 

@@ -152,7 +152,7 @@ def main():
     from blasr_tpu.ops.anchors import find_anchors
     from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 
-    sa_masked, sa_kmers, lut = di.arrays
+    sa_masked, sa_kmers, lut, run_len = di.arrays
 
     @jax.jit
     def stage_anchor(codes, lengths):
@@ -160,7 +160,7 @@ def main():
         reads2 = jnp.concatenate([codes, rc], axis=0)
         lens2 = jnp.concatenate([lengths, lengths], axis=0)
         return find_anchors(
-            reads2, lens2, sa_masked, sa_kmers, None, lut,
+            reads2, lens2, sa_masked, sa_kmers, None, lut, run_len,
             k=di.k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
@@ -195,6 +195,87 @@ def main():
     force(cand.d0[:1, :1])
     t_cand = (time.time() - t0) / N
     print(f"[stage] candidates: {t_cand*1e3:.1f} ms/batch")
+
+    # candidate sub-stages
+    aw = anchor_weights(at * 0 + anh, avalid, G, W, params.pval_type)
+
+    @jax.jit
+    def sub_sort(t, q, w, valid):
+        BIG = jnp.int32(2**30)
+        d = t - q
+        order = jnp.argsort(jnp.where(valid, d, BIG), axis=1)
+        return (
+            jnp.take_along_axis(d, order, axis=1),
+            jnp.take_along_axis(w, order, axis=1),
+        )
+
+    ds, ws = sub_sort(at, aq, aw, avalid)
+    force(ds[:1, :1])
+    t0 = time.time()
+    for _ in range(N):
+        ds, ws = sub_sort(at, aq, aw, avalid)
+    force(ds[:1, :1])
+    print(f"[stage]   cand/sort:      {(time.time()-t0)/N*1e3:.1f} ms")
+
+    @jax.jit
+    def sub_search(ds):
+        return jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(ds, ds + W)
+
+    hi = sub_search(ds)
+    force(hi[:1, :1])
+    t0 = time.time()
+    for _ in range(N):
+        hi = sub_search(ds)
+    force(hi[:1, :1])
+    print(f"[stage]   cand/searchsorted: {(time.time()-t0)/N*1e3:.1f} ms")
+
+    # walk timing: isolate via the full map step minus... measure walk by
+    # calling walk_arrows_device on a fresh DP run
+    from blasr_tpu.ops.banded_align import AlignScores, make_qoff
+    from blasr_tpu.ops.banded_pallas import banded_align_pallas
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    CD = params.dp_candidates
+    I = 64 * CD
+    L = cap
+    T = L + params.target_pad
+    rng = np.random.default_rng(0)
+    Q = jnp.asarray(rng.integers(0, 4, (I, L)).astype(np.uint8))
+    Tc = jnp.asarray(rng.integers(0, 4, (I, T)).astype(np.uint8))
+    qlen = jnp.full((I,), L, jnp.int32)
+    tlo = jnp.zeros((I,), jnp.int32)
+    thi = jnp.full((I,), T, jnp.int32)
+    qoff = jnp.asarray(make_qoff(L, T, W, params.target_pad // 2))
+
+    @jax.jit
+    def stage_dp(Q, Tc):
+        return banded_align_pallas(
+            Q, qlen, Tc, tlo, thi, qoff, None,
+            scores=AlignScores(), with_traceback=True, band_width=W,
+        )
+
+    r = stage_dp(Q, Tc)
+    force(r.score[:1])
+    t0 = time.time()
+    for _ in range(N):
+        r = stage_dp(Q, Tc)
+    force(r.score[:1])
+    print(f"[stage] DP(traceback) I={I}: {(time.time()-t0)/N*1e3:.1f} ms")
+
+    @jax.jit
+    def stage_walk(arrows, best_a, best_w, score, Q, Tc):
+        return walk_arrows_device(
+            arrows, qoff, best_a, best_w, score, Q, Tc,
+            qoff_params=(params.target_pad // 2, W, L),
+        )
+
+    tb = stage_walk(r.arrows, r.best_a, r.best_w, jnp.minimum(r.score, -1), Q, Tc)
+    force(tb.nops[:1])
+    t0 = time.time()
+    for _ in range(N):
+        tb = stage_walk(r.arrows, r.best_a, r.best_w, jnp.minimum(r.score, -1), Q, Tc)
+    force(tb.nops[:1])
+    print(f"[stage] walk I={I}: {(time.time()-t0)/N*1e3:.1f} ms")
 
     print(
         f"\nsummary: device/batch {per_batch_dev*1e3:.1f} ms | e2e/batch"

@@ -191,7 +191,12 @@ def test_device_walk_matches_host_walk(rng):
     """On-device traceback must reproduce the host replay exactly."""
     import jax.numpy as jnp
 
-    from blasr_tpu.ops.traceback_device import unpack_moves, walk_arrows_device
+    from blasr_tpu.ops.traceback_device import (
+        pack_moves_rows,
+        packed_width,
+        unpack_moves,
+        walk_arrows_device,
+    )
 
     qs, ts = [], []
     for i in range(8):
@@ -223,7 +228,8 @@ def test_device_walk_matches_host_walk(rng):
         res.arrows, jnp.asarray(qoff), res.best_a, res.best_w, res.score,
         jnp.asarray(Q), jnp.asarray(Tc),
     )
-    packed = np.asarray(tb.moves_packed)
+    S = int(res.arrows.shape[0])
+    packed = np.asarray(pack_moves_rows(tb.moves_dense, packed_width(S)))
     nops = np.asarray(tb.nops)
     for i, hp in enumerate(host_paths):
         if hp is None:

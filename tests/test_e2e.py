@@ -164,3 +164,37 @@ def test_e2e_wide_keys_k18(sim):
         if rec.tstrand == strand and abs(rec.tstart_fwd - start) < 50:
             n_ok += 1
     assert n_ok >= 37, f"only {n_ok}/40 at true locus with k=18"
+
+
+def test_bestn_no_contained_duplicates():
+    """best_n > 1 must not emit a same-strand alignment whose genomic
+    interval is contained in a better one (RemoveOverlappingAlignments,
+    Blasr.cpp:2081-2161)."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(40_000, seed=9, repeat_fraction=0.0)
+    # plant an exact tandem repeat so multiple candidates hit both copies
+    g = np.concatenate([g, g[5_000:6_000], g[5_000:6_000]])
+    seqdb = SeqDB(starts=np.array([0, len(g)], np.int64), names=["ref"],
+                  md5s=["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    read = g[5_100:5_900].copy()
+    params = MappingParams(batch_size=8, max_read_len=1024, n_candidates=6,
+                           best_n=4, min_match_length=13, max_score=-50)
+    recs, _ = run_mapping(index, [Read("rep", read, None, 0)], params)
+    ivs = [(r.tstrand, r.tstart_fwd, r.tend_fwd, r.score) for r in recs]
+    for i, a in enumerate(ivs):
+        for j, b in enumerate(ivs):
+            if i == j or a[0] != b[0]:
+                continue
+            contained = b[1] <= a[1] and b[2] >= a[2]
+            assert not (contained and b[3] <= a[3] and (a[1], a[2]) != (b[1], b[2])), (
+                f"contained duplicate emitted: {a} inside {b}"
+            )

@@ -156,3 +156,68 @@ def test_alchemy_roundtrip(tmp_path, genome_fa):
 
     assert 0.04 < float(_np.mean(est.ins)) < 0.2
     assert sum(est.length_probs) > 0.99
+
+
+def test_printgaps_extracts_sv(tmp_path):
+    """printgaps (samutils/PrintGaps.cpp role): indel gaps above
+    -minGapLength come out as GFF-like lines with the gap sequence."""
+    import numpy as np
+
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(2_000, seed=31)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chr1", g)])
+    # read: 300 bp matching, 150 bp deletion, 300 bp matching; plus an
+    # insertion of 120 novel bases mid-way through the second block
+    ins = simulate_genome(120, seed=32)
+    read = np.concatenate([g[100:400], g[550:700], ins, g[700:850]])
+    seq = codes_to_seq(read)
+    cigar = "300M150D150M120I150M"
+    sam = str(tmp_path / "a.sam")
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.5\n@SQ\tSN:chr1\tLN:2000\n")
+        f.write(f"r1\t0\tchr1\t101\t254\t{cigar}\t*\t0\t0\t{seq}\t*\n")
+    out = str(tmp_path / "gaps.txt")
+    rc = tools_main(["printgaps", gp, sam, "-out", out, "-minGapLength", "100"])
+    assert rc == 0
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 2
+    dele = [l for l in lines if "\tdeletion\t" in l][0]
+    insn = [l for l in lines if "\tinsertion\t" in l][0]
+    df = dele.split("\t")
+    assert df[0] == "chr1" and df[3] == "400,550" and df[4] == "150"
+    assert df[7] == "seq " + codes_to_seq(g[400:550])
+    inf = insn.split("\t")
+    assert inf[4] == "120"
+    assert inf[7] == "seq " + codes_to_seq(ins)
+
+
+def test_printgaps_merge_fuses_split_gap(tmp_path):
+    import numpy as np
+
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(1_500, seed=33)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chr1", g)])
+    read = np.concatenate([g[0:200], g[280:285], g[365:565]])
+    seq = codes_to_seq(read)
+    cigar = "200M80D5M80D200M"  # one 160 bp deletion split by a 5 bp block
+    sam = str(tmp_path / "a.sam")
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.5\n@SQ\tSN:chr1\tLN:1500\n")
+        f.write(f"r1\t0\tchr1\t1\t254\t{cigar}\t*\t0\t0\t{seq}\t*\n")
+    out = str(tmp_path / "gaps.txt")
+    tools_main(["printgaps", gp, sam, "-out", out,
+                "-minGapLength", "100", "-merge", "10"])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 1
+    f_ = lines[0].split("\t")
+    assert f_[2] == "deletion" and f_[4] == "160"
