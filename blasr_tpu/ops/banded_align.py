@@ -23,9 +23,15 @@ coords). ``qoff`` is a static per-step offset array shared by all items
 caller), so per-step band shifts are scalar selects, not gathers.
 
 Traceback is *stored, not walked*, on device: a packed arrow byte per cell
-(3 bits H-source, 1 bit E-extend, 1 bit F-extend) streams out per step;
-the host replays the path (pipeline/traceback.py), mirroring the
-reference's split between DP and path recovery.
+(3 bits H-source, 1 bit E-extend, 1 bit F-extend, 3 bits match-run length)
+streams out per step; the device walk (ops/traceback_device.py) replays the
+path, mirroring the reference's split between DP and path recovery.
+
+The match-run field (bits 5-7) counts consecutive matching-diagonal moves
+starting at the cell, capped at 7: ``run >= 1`` iff the cell's move is a
+diagonal MATCH, so the walk can emit ``run`` match ops and jump the whole
+run in one serial step, and match/mismatch tallies come straight from the
+byte (a mismatch diagonal has run 0) — no post-hoc sequence gathers.
 """
 
 from __future__ import annotations
@@ -132,13 +138,13 @@ def banded_align(
     go = jnp.int32(scores.affine_open)
     ge = jnp.int32(scores.affine_extend)
 
-    def shift(x, dlt):
+    def shift(x, dlt, fill=INF):
         """Value at band index w + dlt (dlt traced scalar in {-1, 0, 1})."""
-        xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=INF)
+        xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=fill)
         return jax.lax.dynamic_slice_in_dim(xp, 1 + dlt, W, axis=1)
 
     def step(carry, xs):
-        H1, H2, E1, F1, best, besta, bestw = carry
+        H1, H2, E1, F1, R1, R2, best, besta, bestw = carry
         a, qo, s1, s2 = xs
 
         qwin = jax.lax.dynamic_slice_in_dim(qext, qo, W, axis=1)
@@ -166,6 +172,7 @@ def banded_align(
         E1_left = shift(E1, s1)
         F1_up = shift(F1, s1 - 1)
         H2_diag = shift(H2, s1 + s2 - 1)
+        R2_diag = shift(R2, s1 + s2 - 1, fill=0)
 
         e_open = H1_left + go
         E_new = jnp.minimum(E1_left, e_open) + ge
@@ -199,6 +206,11 @@ def banded_align(
         E_new = jnp.where(valid, E_new, inf)
         F_new = jnp.where(valid, F_new, inf)
         src = jnp.where(valid, src, SRC_STOP)
+        # match-run length: run >= 1 iff this cell's move is a matching
+        # diagonal (bits 5-7 of the arrow byte; see module docstring)
+        R_new = jnp.where(
+            (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 7), 0
+        ).astype(jnp.int32)
 
         row_min = jnp.min(H_new, axis=1)
         row_arg = jnp.argmin(H_new, axis=1).astype(jnp.int32)
@@ -209,19 +221,23 @@ def banded_align(
 
         out = None
         if with_traceback:
-            out = (src | (ebit << 3) | (fbit << 4)).astype(jnp.uint8)
-        return (H_new, H1, E_new, F_new, best, besta, bestw), out
+            out = (src | (ebit << 3) | (fbit << 4) | (R_new << 5)).astype(
+                jnp.uint8
+            )
+        return (H_new, H1, E_new, F_new, R_new, R1, best, besta, bestw), out
 
     init = (
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
+        jnp.zeros((I, W), jnp.int32),
+        jnp.zeros((I, W), jnp.int32),
         jnp.zeros(I, jnp.int32),
         jnp.zeros(I, jnp.int32),
         jnp.zeros(I, jnp.int32),
     )
     xs = (a_arr, qoff, s1_arr, s2_arr)
     carry, arrows = jax.lax.scan(step, init, xs)
-    _, _, _, _, best, besta, bestw = carry
+    best, besta, bestw = carry[-3:]
     return BandedResult(best, besta, bestw, arrows)

@@ -51,9 +51,9 @@ ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "32"))
 UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
 
 
-def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int) -> jax.Array:
+def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int, fill=INF) -> jax.Array:
     """Value at band index w + dlt for traced dlt in {-1, 0, +1}."""
-    xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=INF)
+    xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=fill)
     xm = xp[:, 0:W]
     x0 = xp[:, 1 : W + 1]
     xp1 = xp[:, 2 : W + 2]
@@ -99,7 +99,7 @@ def _make_kernel(
         else:
             best_ref, besta_ref, bestw_ref = refs[:3]
             scratch = refs[3:]
-        H1s, H2s, E1s, F1s, bests = scratch
+        H1s, H2s, E1s, F1s, R1s, R2s, bests = scratch
 
         it = pl.program_id(1)
 
@@ -109,6 +109,8 @@ def _make_kernel(
             H2s[:] = jnp.full((IT, W), INF, jnp.int32)
             E1s[:] = jnp.full((IT, W), INF, jnp.int32)
             F1s[:] = jnp.full((IT, W), INF, jnp.int32)
+            R1s[:] = jnp.zeros((IT, W), jnp.int32)
+            R2s[:] = jnp.zeros((IT, W), jnp.int32)
             bests[:] = jnp.zeros((IT, 3), jnp.int32)
 
         a0 = it * U
@@ -128,6 +130,8 @@ def _make_kernel(
         H2 = H2s[:]
         E1 = E1s[:]
         F1 = F1s[:]
+        R1 = R1s[:]
+        R2 = R2s[:]
         best = bests[:, 0:1]
         besta = bests[:, 1:2]
         bestw = bests[:, 2:3]
@@ -179,6 +183,7 @@ def _make_kernel(
             E1_left = _shift(E1, s1, IT, W)
             F1_up = _shift(F1, s1 - 1, IT, W)
             H2_diag = _shift(H2, s1 + s2 - 1, IT, W)
+            R2_diag = _shift(R2, s1 + s2 - 1, IT, W, fill=0)
 
             e_open = H1_left + go
             E_new = jnp.minimum(E1_left, e_open) + ge
@@ -207,11 +212,15 @@ def _make_kernel(
             E_out = jnp.where(valid, E_new, inf)
             F_out = jnp.where(valid, F_new, inf)
             src = jnp.where(valid, src, SRC_STOP)
+            # match-run length (bits 5-7): run >= 1 iff matching diagonal
+            R_new = jnp.where(
+                (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 7), 0
+            ).astype(jnp.int32)
 
             if with_traceback:
-                arrows_ref[u] = (src | (ebit << 3) | (fbit << 4)).astype(
-                    jnp.uint8
-                )
+                arrows_ref[u] = (
+                    src | (ebit << 3) | (fbit << 4) | (R_new << 5)
+                ).astype(jnp.uint8)
 
             row_min = jnp.min(H_new, axis=1, keepdims=True)       # (IT, 1)
             # first-index argmin (Mosaic lacks integer argmin)
@@ -228,11 +237,15 @@ def _make_kernel(
             H1 = H_new
             E1 = E_out
             F1 = F_out
+            R2 = R1
+            R1 = R_new
 
         H1s[:] = H1
         H2s[:] = H2
         E1s[:] = E1
         F1s[:] = F1
+        R1s[:] = R1
+        R2s[:] = R2
         bests[:, 0:1] = best
         bests[:, 1:2] = besta
         bests[:, 2:3] = bestw
@@ -352,6 +365,8 @@ def banded_align_pallas(
             pltpu.VMEM((IT, W), jnp.int32),  # H2
             pltpu.VMEM((IT, W), jnp.int32),  # E1
             pltpu.VMEM((IT, W), jnp.int32),  # F1
+            pltpu.VMEM((IT, W), jnp.int32),  # R1
+            pltpu.VMEM((IT, W), jnp.int32),  # R2
             pltpu.VMEM((IT, 3), jnp.int32),  # best/besta/bestw
         ],
     )

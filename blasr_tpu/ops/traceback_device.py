@@ -12,10 +12,14 @@ The walk is a serial pointer chase — per sub-step cost is dominated by the
 one random HBM gather into the arrow tensor. Everything else is engineered
 away: the band-offset schedule is evaluated in closed form
 (qoff(a) = clip((a - diag) >> 1 - W/2, 0, L - W), see
-banded_align.make_qoff) instead of two table gathers, and emitted ops are
-stored DENSELY at the loop-step column (one contiguous column write) instead
-of scattering at per-row ragged offsets; winner rows are compacted once
-after the loop.
+banded_align.make_qoff) instead of two table gathers; emitted ops are
+stored DENSELY at the loop-step column (one contiguous column write)
+instead of scattering at per-row ragged offsets; a whole run of matching
+diagonal moves (run field of the arrow byte, bits 5-7) is emitted as ONE
+run-length slot and jumped in ONE sub-step; and match/mismatch tallies
+accumulate in-loop from the run field (run >= 1 iff matching diagonal), so
+no post-hoc query/target gathers are needed at all. Winner rows are
+RLE-expanded to the 2-bit wire format once, by ``pack_moves_rows``.
 
 Alignment stats mirror ComputeAlignmentStats (AlignmentUtils.h:536).
 """
@@ -47,10 +51,12 @@ WALK_UNROLL = 8  # sub-steps per while iteration (amortizes cond overhead)
 class DeviceTraceback(NamedTuple):
     """Compact per-alignment traceback (device arrays, host-transfer ready).
 
-    moves_dense holds one op slot per WALK SUB-STEP in END->START order
-    (OP_NONE where a sub-step emitted nothing); ``pack_moves_rows`` compacts
-    selected rows to the 2-bit wire format. Spans are half-open local window
-    coordinates like AlignmentPath.
+    moves_dense holds one RUN-LENGTH slot per WALK SUB-STEP in END->START
+    order: ``op | (count << 2)`` with op in the low 2 bits (0 = empty
+    sub-step), count in bits 2-4 (1 for I/D slots, the match-run length
+    for M slots). ``pack_moves_rows`` expands selected rows to the 2-bit
+    per-op wire format. Spans are half-open local window coordinates like
+    AlignmentPath; ``nops`` counts EXPANDED ops.
     """
 
     moves_dense: jax.Array  # (I, SD) uint8 per-substep ops, END->START
@@ -122,18 +128,19 @@ def walk_arrows_device(
     SD = NIT * WALK_UNROLL                          # dense move columns
 
     def cond(carry):
-        a, w, st, active, nops, moves, it = carry
+        a, w, st, active, stats, moves, it = carry
         return jnp.any(active) & (it < NIT)
 
-    def substep(a, w, st, active, nops, byte_pos):
+    def substep(a, w, st, active, stats):
+        nmatch, nmis, nins, ndel = stats
         ac = jnp.clip(a, 0, S - 1)
         wc = jnp.clip(w, 0, W - 1)
         byte = flat[(ac * IA + ii) * W + wc].astype(jnp.int32)
         src = byte & 7
         ebit = (byte >> 3) & 1
         fbit = (byte >> 4) & 1
+        run = byte >> 5                              # match-run length
         cs1 = s1_at(ac)
-        cs2 = s1_at(jnp.clip(ac - 1, 0, S - 1))
 
         is_h = st == 0
         is_e = st == 1
@@ -145,13 +152,22 @@ def walk_arrows_device(
         to_f = is_h & (src == SRC_F)
         h_stop = is_h & (src == SRC_STOP)
 
-        emit = jnp.where(
+        # a DIAG_START cell is always a match (mismatch/N substitutions
+        # can't start a local alignment: their cost is >= 0, so SRC_STOP
+        # wins); a SRC_DIAG cell matches iff run >= 1. Whole runs jump in
+        # one sub-step: r matching-diagonal moves back.
+        is_start = is_h & (src == SRC_DIAG_START)
+        r_eff = jnp.where(diag, jnp.maximum(run, 1), 0).astype(jnp.int32)
+        op = jnp.where(
             diag, OP_M,
             jnp.where(up | is_f, OP_I, jnp.where(left | is_e, OP_D, OP_NONE)),
-        ).astype(jnp.uint8)
-        da = jnp.where(diag, -2, jnp.where(to_e | to_f | h_stop, 0, -1))
+        ).astype(jnp.int32)
+        cnt = jnp.where(diag, r_eff, jnp.where(op > 0, 1, 0))
+
+        da = jnp.where(diag, -2 * r_eff, jnp.where(to_e | to_f | h_stop, 0, -1))
+        dw_diag = qoff_at(ac) - qoff_at(ac - 2 * r_eff) - r_eff
         dw = jnp.where(
-            diag, cs1 + cs2 - 1,
+            diag, dw_diag,
             jnp.where(up | is_f, cs1 - 1, jnp.where(left | is_e, cs1, 0)),
         )
         new_st = jnp.where(
@@ -159,69 +175,62 @@ def walk_arrows_device(
             jnp.where(to_e, 1, jnp.where(to_f, 2, 0)),
             jnp.where(is_e, jnp.where(ebit == 1, 1, 0), jnp.where(fbit == 1, 2, 0)),
         ).astype(jnp.int32)
-        stop = (is_h & (src == SRC_DIAG_START)) | h_stop
+        stop = is_start | h_stop
 
-        emit = jnp.where(active, emit, jnp.uint8(OP_NONE))
-        nops = nops + (emit > 0).astype(jnp.int32)
+        slot = jnp.where(active, op | (cnt << 2), 0).astype(jnp.uint8)
+        live = active.astype(jnp.int32)
+        nmatch = nmatch + live * jnp.where(
+            is_start, 1, jnp.where(diag, run, 0)
+        )
+        nmis = nmis + live * (diag & ~is_start & (run == 0)).astype(jnp.int32)
+        nins = nins + live * (up | is_f).astype(jnp.int32)
+        ndel = ndel + live * (left | is_e).astype(jnp.int32)
         a = jnp.where(active, a + da, a)
         w = jnp.where(active, w + dw, w)
         st = jnp.where(active, new_st, st)
         active = active & ~stop & (a >= 0) & (w >= 0) & (w < W)
-        return a, w, st, active, nops, emit
+        return a, w, st, active, (nmatch, nmis, nins, ndel), slot
 
     def body(carry):
-        a, w, st, active, nops, moves, it = carry
+        a, w, st, active, stats, moves, it = carry
         emits = []
         for _ in range(WALK_UNROLL):
-            a, w, st, active, nops, emit = substep(a, w, st, active, nops, None)
-            emits.append(emit)
+            a, w, st, active, stats, slot = substep(a, w, st, active, stats)
+            emits.append(slot)
         block = jnp.stack(emits, axis=1)            # (I, U)
         moves = jax.lax.dynamic_update_slice(
             moves, block, (jnp.int32(0), it * WALK_UNROLL)
         )
-        return a, w, st, active, nops, moves, it + 1
+        return a, w, st, active, stats, moves, it + 1
 
+    zeros = jnp.zeros(I, jnp.int32)
     init = (
         best_a.astype(jnp.int32),
         best_w.astype(jnp.int32),
         jnp.zeros(I, jnp.int32),
         scores < 0,
-        jnp.zeros(I, jnp.int32),
+        (zeros, zeros, zeros, zeros),
         jnp.zeros((I, SD), jnp.uint8),
         jnp.int32(0),
     )
-    _, _, _, _, nops, moves, _ = jax.lax.while_loop(cond, body, init)
-
-    # ---- stats (vectorized over the dense move slots; END->START order;
-    # OP_NONE slots contribute nothing to any cumsum/count) ----
-    mv = moves
-    n_ins = jnp.sum(mv == OP_I, axis=1).astype(jnp.int32)
-    n_del = jnp.sum(mv == OP_D, axis=1).astype(jnp.int32)
-    n_mops = jnp.sum(mv == OP_M, axis=1).astype(jnp.int32)
+    _, _, _, _, stats, moves, _ = jax.lax.while_loop(cond, body, init)
+    n_match, n_mismatch, n_ins, n_del = stats
+    n_mops = n_match + n_mismatch
 
     q_end = qoff_at(jnp.clip(best_a, 0, S - 1)) + best_w + 1
     t_end = best_a - (q_end - 1) + 1
     q_start = q_end - (n_mops + n_ins)
     t_start = t_end - (n_mops + n_del)
 
-    qcons = (mv == OP_M) | (mv == OP_I)
-    tcons = (mv == OP_M) | (mv == OP_D)
-    qpos = q_end[:, None] - jnp.cumsum(qcons, axis=1)
-    tpos = t_end[:, None] - jnp.cumsum(tcons, axis=1)
-    qc = jnp.take_along_axis(query, jnp.clip(qpos, 0, L - 1), axis=1)
-    tc = jnp.take_along_axis(target, jnp.clip(tpos, 0, T - 1), axis=1)
-    ism = mv == OP_M
-    n_match = jnp.sum(ism & (qc == tc) & (qc < 4), axis=1).astype(jnp.int32)
-
     return DeviceTraceback(
         moves_dense=moves,
-        nops=nops,
+        nops=(n_mops + n_ins + n_del).astype(jnp.int32),
         q_start=q_start.astype(jnp.int32),
         q_end=q_end.astype(jnp.int32),
         t_start=t_start.astype(jnp.int32),
         t_end=t_end.astype(jnp.int32),
         n_match=n_match,
-        n_mismatch=(n_mops - n_match).astype(jnp.int32),
+        n_mismatch=n_mismatch,
         n_ins=n_ins,
         n_del=n_del,
     )
@@ -229,22 +238,39 @@ def walk_arrows_device(
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
 def pack_moves_rows(moves_dense: jax.Array, out_width: int) -> jax.Array:
-    """Compact (I2, SD) dense END->START op slots (OP_NONE holes) into the
-    2-bit wire format (I2, out_width) — run on the SELECTED rows only.
+    """Expand (I2, SD) dense END->START run-length slots (``op | count<<2``,
+    0 = hole) into the 2-bit per-op wire format (I2, out_width) — run on
+    the SELECTED rows only.
 
-    Stable argsort on the hole mask preserves op order while pushing holes
-    to the back; ops then 2-bit pack 4/byte.
+    Stable argsort on the hole mask preserves slot order while pushing
+    holes to the back; run-length decode = scatter a marker at each slot's
+    expanded start offset, prefix-sum to a slot id per expanded position,
+    one gather of the slot ops; then 2-bit pack 4/byte.
     """
     I2, SD = moves_dense.shape
-    holes = (moves_dense == OP_NONE).astype(jnp.int32)
+    slots = moves_dense.astype(jnp.int32)
+    holes = (slots == 0).astype(jnp.int32)
     order = jnp.argsort(holes, axis=1, stable=True)
-    compact = jnp.take_along_axis(moves_dense, order, axis=1)
-    S2 = 4 * out_width
-    if SD >= S2:
-        compact = compact[:, :S2]
-    else:
-        compact = jnp.pad(compact, ((0, 0), (0, S2 - SD)))
-    mvp = compact.reshape(I2, out_width, 4).astype(jnp.int32)
+    compact = jnp.take_along_axis(slots, order, axis=1)   # (I2, SD)
+    ops = compact & 3
+    cnt = jnp.where(ops > 0, compact >> 2, 0)
+
+    S2 = 4 * out_width                                    # expanded capacity
+    starts = jnp.cumsum(cnt, axis=1) - cnt                # exclusive
+    rows = jnp.arange(I2, dtype=jnp.int32)[:, None]
+    marker = jnp.zeros((I2, S2 + 1), jnp.int32)
+    marker = marker.at[rows, jnp.minimum(starts, S2)].add(
+        jnp.where(cnt > 0, 1, 0)
+    )
+    segid = jnp.cumsum(marker[:, :S2], axis=1) - 1        # slot covering pos
+    total = jnp.sum(cnt, axis=1, keepdims=True)
+    pos = jnp.arange(S2, dtype=jnp.int32)[None, :]
+    expanded = jnp.where(
+        pos < total,
+        jnp.take_along_axis(ops, jnp.clip(segid, 0, SD - 1), axis=1),
+        0,
+    )
+    mvp = expanded.reshape(I2, out_width, 4)
     shifts = jnp.array([0, 2, 4, 6], jnp.int32)
     return jnp.sum(mvp << shifts[None, None, :], axis=2).astype(jnp.uint8)
 
