@@ -99,6 +99,9 @@ def _expand_and_select(
     lo_sel = jnp.take_along_axis(lo.astype(jnp.int32), psel, axis=1)
     nh_sel = jnp.take_along_axis(nh, psel, axis=1)
 
+    # NOTE: per-element flat gathers are the FASTEST TPU form here —
+    # measured 7 ms for 524K elements vs 79 ms for the equivalent
+    # slice_sizes=(KH,) lax.gather (XLA TPU lowers sliced gathers badly).
     offs = jnp.arange(KH, dtype=jnp.int32)
     idx = jnp.clip(lo_sel[..., None] + offs[None, None, :], 0, G - 1)
     t = sa[idx].astype(jnp.int32)                             # (B, P, KH)

@@ -7,9 +7,10 @@ fully vectorized diagonal-window sweep:
 
   1. each anchor (t, q) lies on genome diagonal d = t - q; a correct mapping's
      anchors cluster within a diagonal window of width ~= DP band
-  2. per read, sort anchors by d and compute, for every anchor i, the summed
-     anchor weight inside the window [d_i, d_i + win)  — one cumulative sum +
-     one vectorized binary search
+  2. per read, compute for every anchor i the summed anchor weight inside
+     the window [d_i, d_i + win) as ONE masked matmul on the MXU:
+     win_w = (0 <= d_j - d_i < win) @ w — no sort, no binary search, and
+     the (A, A) mask never round-trips through a serial scan
   3. pick the top-C windows by weight with non-maximum suppression (a small
      static python loop of C argmax/mask steps, fully batched over reads)
 
@@ -57,52 +58,44 @@ def select_candidates(
     BIG = jnp.int32(2**30)
 
     d = t - q
-    w = jnp.where(valid, weight, 0.0)
+    ds = jnp.where(valid, d, BIG)                      # (B, A)
+    ws = jnp.where(valid, weight, 0.0)
+    qs = q
 
-    order = jnp.argsort(jnp.where(valid, d, BIG), axis=1)
-    ds = jnp.take_along_axis(d, order, axis=1)
-    ds = jnp.where(jnp.take_along_axis(valid, order, axis=1), ds, BIG)
-    ws = jnp.take_along_axis(w, order, axis=1)
-    qs = jnp.take_along_axis(q, order, axis=1)
-
-    csum = jnp.cumsum(ws, axis=1)                     # inclusive
-    csum0 = jnp.concatenate([jnp.zeros((B, 1), ws.dtype), csum], axis=1)
-    # window [ds_i, ds_i + win): end index per row via batched searchsorted
-    hi_idx = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(ds, ds + win)
-    ar = jnp.arange(A, dtype=jnp.int32)[None, :]
-    win_w = jnp.take_along_axis(csum0, hi_idx, axis=1) - jnp.take_along_axis(
-        csum0, ar, axis=1
-    )                                                  # (B, A)
-    win_w = jnp.where(ds < BIG, win_w, -1.0)
-
-    cnt_csum0 = jnp.concatenate(
-        [jnp.zeros((B, 1), jnp.int32), jnp.cumsum((ds < BIG).astype(jnp.int32), axis=1)],
-        axis=1,
+    # window weight for the window starting at every anchor's diagonal:
+    # win_w[i] = sum_j ws[j] * [0 <= ds[j] - ds[i] < win]. The (B, A, A)
+    # mask is elementwise + one f32 matmul — MXU work, no serial scan.
+    # Invalid anchors carry ds = BIG: never a member (delta out of range,
+    # ws 0) and their own window is masked below.
+    delta = ds[:, None, :] - ds[:, :, None]            # (B, win_i, anchor_j)
+    member_m = (delta >= 0) & (delta < win)
+    win_w = jnp.einsum(
+        "bij,bj->bi",
+        member_m.astype(jnp.float32),
+        ws,
+        preferred_element_type=jnp.float32,
     )
+    win_w = jnp.where(valid, win_w, -1.0)
+
+    ar = jnp.arange(A, dtype=jnp.int32)[None, :]
 
     score = win_w
     d0s, qlos, qhis, weights, ns, valids = [], [], [], [], [], []
     for _ in range(n_candidates):
         best = jnp.argmax(score, axis=1)               # (B,)
         bi = best[:, None]
-        lo_i = best
-        hi_i = jnp.take_along_axis(hi_idx, bi, axis=1)[:, 0]
         wsum = jnp.take_along_axis(score, bi, axis=1)[:, 0]
         ok = wsum > 0.0
-        nmem = (
-            jnp.take_along_axis(cnt_csum0, hi_i[:, None], axis=1)
-            - jnp.take_along_axis(cnt_csum0, lo_i[:, None], axis=1)
-        )[:, 0]
         # member q extent + weighted-mean diagonal (masked, O(A) per cand).
         # The mean is computed on WINDOW-RELATIVE diagonals (<= win) so it
         # stays exact in float32 for genome-scale absolute diagonals — a
         # global-coordinate fp32 mean drifts by hundreds of bases at
         # hundreds of Mb and pushes the window off the band.
-        member = (ar >= lo_i[:, None]) & (ar < hi_i[:, None]) & (ds < BIG)
         dstar_c = jnp.take_along_axis(ds, bi, axis=1)[:, 0]
-        rel = jnp.where(
-            member, ws * (ds - dstar_c[:, None]).astype(jnp.float32), 0.0
-        ).sum(axis=1)
+        reld = ds - dstar_c[:, None]
+        member = (reld >= 0) & (reld < win) & valid
+        nmem = jnp.sum(member, axis=1).astype(jnp.int32)
+        rel = jnp.where(member, ws * reld.astype(jnp.float32), 0.0).sum(axis=1)
         d0 = jnp.where(
             ok,
             dstar_c + (rel / jnp.maximum(wsum, 1e-9)).astype(jnp.int32),
@@ -117,8 +110,7 @@ def select_candidates(
         ns.append(jnp.where(ok, nmem, 0))
         valids.append(ok)
         # suppress anchors within +-win of the chosen window start
-        dstar = jnp.take_along_axis(ds, bi, axis=1)    # (B, 1)
-        near = (ds >= dstar - win) & (ds < dstar + win)
+        near = (ds >= dstar_c[:, None] - win) & (ds < dstar_c[:, None] + win)
         score = jnp.where(near, -1.0, score)
 
     stack = lambda xs: jnp.stack(xs, axis=1)
