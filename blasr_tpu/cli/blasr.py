@@ -66,6 +66,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                         "prebuilt .btfm.npz bundle (else built/cached)")
     p.add_argument("-minMatch", type=int, default=14)
     p.add_argument("-maxAnchorsPerPosition", type=int, default=8)
+    p.add_argument("-minExpand", type=int, default=0,
+                   help="starting anchor expand level (widen SA intervals "
+                        "to the (minMatch-e)-base prefix)")
+    p.add_argument("-maxExpand", type=int, default=0,
+                   help="retry unmapped reads at increasing expand levels")
     p.add_argument("-pvaltype", type=int, default=0, choices=[0, 1, 2, 3])
     p.add_argument("-advanceExactMatches", type=int, default=0,
                    help="(accepted; anchor compaction covers this heuristic)")
@@ -154,6 +159,8 @@ def params_from_args(args) -> MappingParams:
         sensitive_retry=args.useSensitiveSearch,
         ndevices=args.ndevices,
         ignore_qualities=args.ignoreQualities,
+        min_expand=args.minExpand,
+        max_expand=max(args.maxExpand, args.minExpand),
     )
 
 

@@ -123,11 +123,72 @@ def _expand_and_select(
     return at, aq, jnp.maximum(anh, 1), avalid
 
 
+def _expand_select_compact(
+    sa_valid: jax.Array, lut_valid: jax.Array,
+    qk_lo_key: jax.Array, qk_hi_key: jax.Array,
+    nh: jax.Array, has_key: jax.Array,
+    B: int, L: int, KH: int, A: int, ST: int,
+):
+    """Slot-exact hit expansion over the seed-valid compacted SA.
+
+    Equivalent to _expand_and_select (same priority, same anchor order) but
+    with the masked-hit top_k replaced by direct slot assignment: every hit
+    interval in ``sa_valid`` contains only valid genome positions, so the
+    winning A anchors are the first A hits in (priority, position, hit)
+    order — one cumsum + one scatter + one (B, A) gather instead of a
+    (B, P*KH) gather + top_k. Exactness argument: all hits of a
+    higher-priority position precede any hit of a lower one in both
+    schemes, ties break by position-rank then hit offset in both.
+    """
+    Gv = sa_valid.shape[0]
+    NK = lut_valid.shape[0]
+    pos_has = has_key & (nh > 0) & (nh <= KH)
+
+    stride = max(1, (2 * L * KH) // max(A, 1) // 2)
+    base = jnp.int32(1 << 20)
+    pos_ar = jnp.arange(L, dtype=jnp.int32)
+    pos_prio = base - nh * 16 + jnp.where((pos_ar % stride) == 0, base // 2, 0)
+    pos_prio = jnp.where(pos_has, pos_prio, jnp.int32(-1))    # (B, L)
+
+    P = min(A, L)
+    pvals, psel = jax.lax.top_k(pos_prio, P)                  # (B, P)
+    klo_sel = jnp.take_along_axis(qk_lo_key, psel, axis=1)
+    khi_sel = jnp.take_along_axis(qk_hi_key, psel, axis=1)
+    lov = lut_valid[jnp.clip(klo_sel, 0, NK - 2)]
+    hiv = lut_valid[jnp.clip(khi_sel + 1, 0, NK - 1)]
+    cnt = jnp.where(pvals > 0, jnp.maximum(hiv - lov, 0), 0)  # valid hits
+
+    csum = jnp.cumsum(cnt, axis=1)
+    starts = csum - cnt                                       # exclusive
+    total = csum[:, -1:]                                      # (B, 1)
+
+    # slot s belongs to the last position whose start <= s and cnt > 0:
+    # scatter a mark at every position's start slot, prefix-sum over slots
+    rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+    mark = jnp.zeros((B, A + 1), jnp.int32).at[
+        rows, jnp.clip(starts, 0, A)
+    ].add(1)
+    prank = jnp.clip(jnp.cumsum(mark[:, :A], axis=1) - 1, 0, P - 1)  # (B, A)
+
+    st_at = jnp.take_along_axis(starts, prank, axis=1)
+    lo_at = jnp.take_along_axis(lov, prank, axis=1)
+    pv_at = jnp.take_along_axis(pvals, prank, axis=1)
+    psel_at = jnp.take_along_axis(psel, prank, axis=1)
+
+    sar = jnp.arange(A, dtype=jnp.int32)[None, :]
+    within = sar - st_at
+    at = sa_valid[jnp.clip(lo_at + within, 0, Gv - 1)].astype(jnp.int32)
+    aq = psel_at * ST
+    anh = jnp.take_along_axis(nh, psel_at, axis=1)
+    avalid = (sar < total) & (pv_at > 0)
+    return jnp.clip(at, 0, None), aq, jnp.maximum(anh, 1), avalid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta",
-        "anchor_stride",
+        "anchor_stride", "expand",
     ),
 )
 def find_anchors(
@@ -140,12 +201,20 @@ def find_anchors(
     pos_ok: jax.Array | None = None,  # (G,) bool, or None if folded into sa
     lut: jax.Array | None = None,  # (2^bits + 1,) int32 prefix ranges
     run_len: jax.Array | None = None,  # (G,) int32: #identical keys from i on
+    lut_valid: jax.Array | None = None,  # (4^k + 1,) int32 valid-only counts;
+                             # when given, ``sa`` is the seed-valid compacted
+                             # SA and expansion is slot-exact
     *,
     k: int,
     max_hits_per_pos: int = 8,
     max_anchors_per_read: int = 512,
     lut_meta: tuple[int, int] | None = None,  # (shift, max_steps)
     anchor_stride: int = 1,
+    expand: int = 0,   # sensitivity level: effective seed k - expand bases
+                       # (reference anchorParameters.expand,
+                       # MapBySuffixArray.h:176-191 backtrack; the widened
+                       # interval still faces the max_hits_per_pos cap,
+                       # MapBySuffixArray.h:282)
 ):
     """Find up to A anchors per read.
 
@@ -167,13 +236,28 @@ def find_anchors(
         # the reference's speed-sensitivity frontier, README.md:53-58)
         qk = qk[:, ::ST]
         L = qk.shape[1]
-    if lut is not None and lut_meta is not None:
+    # expand > 0 widens every lookup to the interval of the (k - expand)-base
+    # prefix: keys in [qk & ~mask, qk | mask] (low 2*expand bits free)
+    e2 = 2 * min(max(expand, 0), k - 1)
+    mask = jnp.int32((1 << e2) - 1)
+    qk_lo_key = qk & ~mask
+    qk_hi_key = qk | mask
+    if lut is not None and lut_meta is not None and lut_meta[1] == 0:
+        # full-resolution direct-address table (lut.shape == 4^k + 1):
+        # lo and the interval width come from two gathers, no bisection
+        key = jnp.clip(qk_lo_key, 0, lut.shape[0] - 2)
+        lo = lut[key]
+        key_hi = jnp.clip(qk_hi_key + 1, 0, lut.shape[0] - 1)
+        nh = jnp.where(qk >= 0, lut[key_hi] - lo, 0).astype(jnp.int32)
+    elif lut is not None and lut_meta is not None:
         shift, max_steps = lut_meta
-        pref = jnp.clip(qk >> shift, 0, lut.shape[0] - 2)
-        blo = lut[pref]
-        bhi = lut[pref + 1]
-        lo = _bounded_search(sa_kmers, qk, blo, bhi, max_steps)
-        if run_len is not None:
+        steps = max_steps + max(0, e2 - shift)  # widened range spans buckets
+        pref_lo = jnp.clip(qk_lo_key >> shift, 0, lut.shape[0] - 2)
+        pref_hi = jnp.clip(qk_hi_key >> shift, 0, lut.shape[0] - 2)
+        blo = lut[pref_lo]
+        bhi = lut[pref_hi + 1]
+        lo = _bounded_search(sa_kmers, qk_lo_key, blo, bhi, steps)
+        if expand == 0 and run_len is not None:
             # interval width without a second search: lo is side='left', so
             # when the key is present sa_kmers[lo] == key and the
             # precomputed run length IS hi - lo (halves the gather rounds
@@ -182,11 +266,15 @@ def find_anchors(
             present = (sa_kmers[loc] == qk) & (lo < G)
             nh = jnp.where(present, run_len[loc], 0).astype(jnp.int32)
         else:
-            hi = _bounded_search(sa_kmers, qk + 1, lo, bhi, max_steps)
+            hi = _bounded_search(sa_kmers, qk_hi_key + 1, lo, bhi, steps)
             nh = (hi - lo).astype(jnp.int32)
     else:
-        lo = jnp.searchsorted(sa_kmers, qk, side="left", method="scan_unrolled")
-        hi = jnp.searchsorted(sa_kmers, qk, side="right", method="scan_unrolled")
+        lo = jnp.searchsorted(
+            sa_kmers, qk_lo_key, side="left", method="scan_unrolled"
+        )
+        hi = jnp.searchsorted(
+            sa_kmers, qk_hi_key, side="right", method="scan_unrolled"
+        )
         nh = (hi - lo).astype(jnp.int32)                          # (B, L)
     if pos_ok is not None:
         # legacy call shape (tests): fold the validity mask into sa here
@@ -218,7 +306,7 @@ def _bounded_search_wide(
     jax.jit,
     static_argnames=(
         "k", "max_hits_per_pos", "max_anchors_per_read", "lut_meta",
-        "anchor_stride",
+        "anchor_stride", "expand",
     ),
 )
 def find_anchors_wide(
@@ -234,6 +322,9 @@ def find_anchors_wide(
     max_anchors_per_read: int = 512,
     lut_meta: tuple[int, int] | None = None,  # (shift within hi, max_steps)
     anchor_stride: int = 1,
+    expand: int = 0,   # sensitivity level (see find_anchors); for wide keys
+                       # the freed bits are clamped to the low key half
+                       # (effective seed never drops below 15 bases)
 ):
     """find_anchors for k > 15 (large genomes need longer seeds for
     specificity; the reference gets this via LCP extension of unique
@@ -264,18 +355,24 @@ def find_anchors_wide(
         L = qk_hi.shape[1]
 
     shift, max_steps = lut_meta if lut_meta is not None else (0, 31)
+    # expand frees the low 2*expand bits (clamped to the low key half)
+    e2 = 2 * min(max(expand, 0), k - 15)
+    emask = jnp.int32((1 << e2) - 1)
+    qlo_l = qk_lo & ~emask
+    qlo_h = qk_lo | emask
     # LUT over the HI half jump-starts the compound search; within a hi
     # bucket another log2(bucket) rounds resolve the LO half
+    steps = max_steps + max(0, e2.bit_length())
     pref = jnp.clip(qk_hi >> shift, 0, lut.shape[0] - 2)
     blo = jnp.where(qk_hi >= 0, lut[pref], 0)
     bhi = jnp.where(qk_hi >= 0, lut[pref + 1], 0)
-    lo = _bounded_search_wide(kmer_hi, kmer_lo, qk_hi, qk_lo, blo, bhi, max_steps)
-    # key + 1 (with carry) for the right bound
+    lo = _bounded_search_wide(kmer_hi, kmer_lo, qk_hi, qlo_l, blo, bhi, steps)
+    # upper key + 1 (with carry) for the right bound
     LO_MASK = (1 << (2 * (k - 15))) - 1
-    carry = (qk_lo == LO_MASK).astype(jnp.int32)
+    carry = (qlo_h == LO_MASK).astype(jnp.int32)
     khi2 = qk_hi + carry
-    klo2 = jnp.where(carry == 1, 0, qk_lo + 1)
-    hi = _bounded_search_wide(kmer_hi, kmer_lo, khi2, klo2, lo, bhi, max_steps)
+    klo2 = jnp.where(carry == 1, 0, qlo_h + 1)
+    hi = _bounded_search_wide(kmer_hi, kmer_lo, khi2, klo2, lo, bhi, steps)
 
     nh = (hi - lo).astype(jnp.int32)
     return _expand_and_select(sa, lo, nh, qk_hi >= 0, B, L, KH, A, ST)

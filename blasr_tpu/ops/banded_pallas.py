@@ -47,8 +47,12 @@ import os
 
 # items per grid row (sublane-dim batching) and anti-diagonals per grid
 # iteration — env-overridable for hardware sweeps (scripts/sweep_dp.py)
-ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "32"))
+ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "256"))
 UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
+# sweep history (I=256, L=1024, W=128, real v5e via tunnel): with
+# block-staged windows IT=32/U=2 23.6 ms, IT=64/U=4 20.4, IT=128/U=2 16.5,
+# IT=256/U=2 15.6, IT=256/U=8 16.9 — large item tiles amortize grid
+# overhead now that per-iter VMEM is 6 (IT, W) blocks, not full rows
 
 
 def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int, fill=INF) -> jax.Array:
@@ -84,15 +88,15 @@ def _make_kernel(
 
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
-        qext_ref,                          # (IT, Lq) int32
-        trev_ref,                          # (IT, Lt) int32
+        qa_ref, qb_ref, qc_ref,            # (IT, W) int32 query window blocks
+        ta_ref, tb_ref, tc_ref,            # (IT, W) int32 rev-target blocks
         qlen_ref, tlo_ref, thi_ref,        # (IT, 1) int32
-        # with_qual: qual_ref (IT, Lq) int32 precedes outputs
+        # with_qual: 3 qual block refs precede outputs
         *refs,
     ):
         if with_qual:
-            qual_ref = refs[0]
-            refs = refs[1:]
+            qua_ref, qub_ref, quc_ref = refs[:3]
+            refs = refs[3:]
         if with_traceback:
             arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
             scratch = refs[4:]
@@ -115,16 +119,27 @@ def _make_kernel(
 
         a0 = it * U
         qo0 = qoff_ref[a0]
-        Lq = qext_ref.shape[1]
-        Lt = trev_ref.shape[1]
-        # one rotation serves all U sub-steps (band offset moves <= 1/step)
-        qroll = pltpu.roll(qext_ref[:], shift=Lq - qo0, axis=1)
+        # The input specs deliver the 3 W-wide blocks covering the current
+        # window (index maps read the same prefetched scalars), so the
+        # dynamic extraction is a small (IT, 3W) rotate instead of rolling
+        # the full padded rows; one rotation serves all U sub-steps (the
+        # band offset moves <= 1/step).
+        qin = (qo0 // W) * W
+        qcat = jnp.concatenate([qa_ref[:], qb_ref[:], qc_ref[:]], axis=1)
+        qroll = pltpu.roll(qcat, shift=(3 * W - (qo0 - qin)) % (3 * W), axis=1)
         tstart0 = (Tp - 1 - W) - (a0 - qo0)
         tbase = tstart0 - (U - 1)
-        troll = pltpu.roll(trev_ref[:], shift=Lt - tbase, axis=1)
+        tin = (tbase // W) * W
+        tcat = jnp.concatenate([ta_ref[:], tb_ref[:], tc_ref[:]], axis=1)
+        troll = pltpu.roll(tcat, shift=(3 * W - (tbase - tin)) % (3 * W), axis=1)
         quroll = None
         if with_qual:
-            quroll = pltpu.roll(qual_ref[:], shift=Lq - qo0, axis=1)
+            qucat = jnp.concatenate(
+                [qua_ref[:], qub_ref[:], quc_ref[:]], axis=1
+            )
+            quroll = pltpu.roll(
+                qucat, shift=(3 * W - (qo0 - qin)) % (3 * W), axis=1
+            )
 
         H1 = H1s[:]
         H2 = H2s[:]
@@ -293,13 +308,12 @@ def banded_align_pallas(
         if qual is not None:
             qual = jnp.pad(qual, ((0, pad_i), (0, 0)), constant_values=15)
 
-    def _pad128(n: int) -> int:
-        return -(-n // 128) * 128
-
-    # int32 rows padded to lane multiples (Mosaic dynamic rotate + i32 only)
-    Lq = _pad128(L + W + UNROLL)
+    # rows sized to a whole number of W-wide blocks: the grid fetches the
+    # 3 blocks covering the moving window (scalar-prefetch index maps), so
+    # coverage must exist for block j..j+2 at the largest window start
+    Lq = (L // W + 3) * W
     Tp = T + 2 * W
-    Lt = _pad128(Tp + UNROLL)
+    Lt = ((Tp - 1 - W) // W + 3) * W
     qext = jnp.pad(
         query.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=4
     )
@@ -346,18 +360,35 @@ def banded_align_pallas(
             )
         ] + out_specs
 
+    U = UNROLL
+
+    def _wspec(block_off):
+        # query window block: covers [jq*W, (jq+1)*W) with jq from the
+        # prefetched band offset of this grid step
+        return pl.BlockSpec(
+            (IT, W),
+            lambda i, s, qoff, s1, s2, _o=block_off: (i, qoff[s * U] // W + _o),
+            memory_space=pltpu.VMEM,
+        )
+
+    def _tspec(block_off):
+        def _map(i, s, qoff, s1, s2, _o=block_off):
+            tb = (Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)
+            return (i, tb // W + _o)
+
+        return pl.BlockSpec((IT, W), _map, memory_space=pltpu.VMEM)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(I // IT, NIT),
         in_specs=[
-            pl.BlockSpec((IT, Lq), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IT, Lt), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            _wspec(0), _wspec(1), _wspec(2),
+            _tspec(0), _tspec(1), _tspec(2),
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
         ] + (
-            [pl.BlockSpec((IT, Lq), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM)]
-            if with_qual else []
+            [_wspec(0), _wspec(1), _wspec(2)] if with_qual else []
         ),
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -378,11 +409,11 @@ def banded_align_pallas(
         interpret=interpret,
     )(
         qoff_p, s1_p, s2_p,
-        qext, trev,
+        qext, qext, qext, trev, trev, trev,
         qlen.astype(jnp.int32)[:, None],
         tlo.astype(jnp.int32)[:, None],
         thi.astype(jnp.int32)[:, None],
-        *([quext] if with_qual else []),
+        *([quext, quext, quext] if with_qual else []),
     )
     if with_traceback:
         arrows, best, besta, bestw = outs

@@ -59,6 +59,14 @@ class MappingParams:
                                       # fetches hides it, role of the
                                       # reference's writer-semaphore pipeline)
     # ---- misc ----
+    min_expand: int = 0               # -minExpand: starting anchor expand
+                                      # level (each level shortens the
+                                      # effective seed by one base, widening
+                                      # every SA interval — Blasr.cpp:2263,
+                                      # MapBySuffixArray.h:176-191)
+    max_expand: int = 0               # -maxExpand: retry unmapped reads at
+                                      # increasing expand levels up to this
+                                      # (Blasr.cpp:2554-2578 do/while)
     sdp_tuple_size: int = 11          # -sdpTupleSize (SDP path)
     piecewise: bool = False           # -alignContigs/-piecewise long queries
     sensitive_retry: bool = False     # -useSensitiveSearch second pass
@@ -69,6 +77,12 @@ class MappingParams:
                                       # the segment instead of the read)
     auto_segment: bool = True         # route reads > 1.5x segment_length
                                       # through the piecewise path
+    direct_lut: Optional[bool] = None  # full-resolution 4^k prefix table for
+                                      # the SA anchor search: lo/nh in two
+                                      # gathers, no per-position bisection.
+                                      # None = auto (on when 2k <= 28 and the
+                                      # genome is >= 1 Mb; the table is
+                                      # 4^k * 4 B of HBM, built on device)
     nproc: int = 1                    # host worker threads for IO/traceback
     ndevices: int = 1                 # chips used by the serving path:
                                       # 1 = default device, 0 = all visible,

@@ -189,6 +189,25 @@ def run_mapping(
     while inflight:
         drain_one()
     fetch_pool.shutdown(wait=False)
+    if params.max_expand > params.min_expand and unmapped:
+        # expand-retry cascade (Blasr.cpp:2263,2554-2578 do/while +
+        # CheckForSufficientMatch at :1974): reads with no sufficient match
+        # re-run at increasing anchor expand levels; each level widens every
+        # SA interval to the (k - expand)-base prefix interval
+        retry_names = set(unmapped)
+        retry_reads = [r for r in reads if r.name in retry_names]
+        for e in range(params.min_expand + 1, params.max_expand + 1):
+            if not retry_reads:
+                break
+            pe = dataclasses.replace(
+                params, min_expand=e, max_expand=e, sensitive_retry=False
+            )
+            r2, u2 = run_mapping(index, retry_reads, pe, fm=fm)
+            out.extend(r2)
+            got = {rec.qname for rec in r2}
+            unmapped = [u for u in unmapped if u not in got]
+            still = set(u2)
+            retry_reads = [r for r in retry_reads if r.name in still]
     if params.sensitive_retry:
         # reference sensitive retry (Blasr.cpp:3498-3507): re-map reads that
         # are unmapped or aligned below 80% similarity with wider search

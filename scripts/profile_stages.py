@@ -154,8 +154,10 @@ def main():
 
     sa_masked, sa_kmers, lut, run_len = di.arrays
 
-    @jax.jit
-    def stage_anchor(codes, lengths):
+    # index arrays must be jit ARGUMENTS: closed-over device arrays become
+    # jaxpr constants and blow the remote-compile request size limit
+    @functools.partial(jax.jit, static_argnames=())
+    def _stage_anchor(codes, lengths, sa_masked, sa_kmers, lut, run_len):
         rc = M._revcomp_rows(codes, lengths)
         reads2 = jnp.concatenate([codes, rc], axis=0)
         lens2 = jnp.concatenate([lengths, lengths], axis=0)
@@ -166,6 +168,9 @@ def main():
             max_anchors_per_read=params.max_anchors_per_read,
             lut_meta=di.lut_meta,
         )
+
+    def stage_anchor(codes, lengths):
+        return _stage_anchor(codes, lengths, sa_masked, sa_kmers, lut, run_len)
 
     at, aq, anh, avalid = stage_anchor(codes, lengths)
     force(at[:1, :1])

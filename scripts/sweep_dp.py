@@ -66,7 +66,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         run_one()
         return
-    variants = [(32, 2), (32, 4), (64, 4), (64, 8), (128, 4), (128, 8)]
+    variants = [(128, 2), (128, 4), (256, 2), (256, 4), (256, 8)]
     for it, u in variants:
         env = dict(os.environ)
         env["BLASR_DP_ITEM_TILE"] = str(it)

@@ -4,11 +4,18 @@ Must set env vars before jax is imported anywhere.
 """
 
 import os
+import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# `pytest tests/test_pallas_tpu.py` (the kernel-equality invariant) runs on
+# the real TPU backend; anything else runs on the virtual 8-device CPU mesh.
+# (sys.argv gating because shell env vars don't survive this sandbox.)
+_TPU_RUN = any("test_pallas_tpu" in a for a in sys.argv)
+
+if not _TPU_RUN:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
@@ -16,7 +23,8 @@ import jax  # noqa: E402
 # The axon TPU plugin (sitecustomize) force-sets jax_platforms="axon,cpu" at
 # import time; override it back to CPU before any backend initializes so the
 # test suite runs on the virtual 8-device CPU mesh, not through the TPU tunnel.
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_RUN:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

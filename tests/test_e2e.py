@@ -198,3 +198,57 @@ def test_bestn_no_contained_duplicates():
             assert not (contained and b[3] <= a[3] and (a[1], a[2]) != (b[1], b[2])), (
                 f"contained duplicate emitted: {a} inside {b}"
             )
+
+
+def test_e2e_direct_lut_identical(sim):
+    """direct_lut=True (full-resolution 4^k table) must produce records
+    identical to the bisection path — same anchors contract, two-gather
+    lookup (ops/anchors.py direct branch)."""
+    from blasr_tpu.output.m4 import format_m4
+
+    index14, reads, truth = sim
+    # k=10 keeps the 4^k table at 4 MB for the CPU suite
+    index = build_index_from_arrays(index14.genome, index14.seqdb, k=10)
+    base = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=4, best_n=1,
+        min_match_length=10,
+    )
+    recs_a, un_a = run_mapping(index, reads, base)
+    import dataclasses
+
+    recs_b, un_b = run_mapping(
+        index, reads, dataclasses.replace(base, direct_lut=True)
+    )
+    assert un_a == un_b
+    assert [format_m4(r) for r in recs_a] == [format_m4(r) for r in recs_b]
+
+
+def test_expand_retry_rescues_dense_error_read(sim):
+    """-minExpand/-maxExpand cascade (Blasr.cpp:2554-2578): a read with a
+    substitution every 13 bases has no exact 14-mer anchor (unmapped at
+    expand 0), but the 12-base prefix intervals at expand 2 anchor it."""
+    index, _reads, _truth = sim
+    genome = index.genome
+    start, length = 50_000, 520
+    r = genome[start : start + length].copy()
+    for pos in range(6, length, 13):
+        r[pos] = (r[pos] + 1) % 4
+    read = [Read(f"dense/0/0_{length}", r, None, 0)]
+    # maxScore tight enough that only a true-locus alignment (~92% identity
+    # over 520 bases, score ~ -1900) is "sufficient" — random-anchor junk
+    # alignments score ~ -250 (CheckForSufficientMatch's role)
+    base = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=4, best_n=1,
+        max_score=-400,
+    )
+
+    recs0, un0 = run_mapping(index, read, base)
+    assert un0 == [read[0].name] and not recs0, "expected unmapped at expand 0"
+
+    import dataclasses
+
+    pe = dataclasses.replace(base, max_expand=2)
+    recs2, un2 = run_mapping(index, read, pe)
+    assert not un2 and recs2
+    best = min(recs2, key=lambda x: x.score)
+    assert best.tstrand == 0 and abs(best.tstart_fwd - start) < 50
