@@ -61,6 +61,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-readIndices", default=None, metavar="I,J,...",
                    help="map only these stream indices")
     # ---- anchoring ----
+    p.add_argument("-sa", default=None, metavar="FILE",
+                   help="use a reference-format .sa suffix array file")
     p.add_argument("-bwt", nargs="?", const="", default=None, metavar="FILE",
                    help="anchor via the FM-index (low-memory path); optional "
                         "prebuilt .btfm.npz bundle (else built/cached)")
@@ -79,6 +81,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-insertion", type=int, default=None)
     p.add_argument("-deletion", type=int, default=None)
     p.add_argument("-affineOpen", type=int, default=50)
+    p.add_argument("-scoreMatrix", default=None, metavar='"25 ints"',
+                   help="substitution matrix: 25 space-separated values, "
+                        "row-major ACGTN x ACGTN (StringToScoreMatrix.h)")
     p.add_argument("-affineExtend", type=int, default=0)
     p.add_argument("-ignoreQualities", action="store_true",
                    help="disable QV-aware scoring for FASTQ input")
@@ -128,6 +133,16 @@ def params_from_args(args) -> MappingParams:
     min_match = args.minMatch
     insertion = args.insertion if args.insertion is not None else args.indel
     deletion = args.deletion if args.deletion is not None else args.indel
+    score_matrix = None
+    if args.scoreMatrix is not None:
+        vals = args.scoreMatrix.replace(",", " ").split()
+        if len(vals) != 25:
+            raise SystemExit(
+                f"-scoreMatrix needs 25 values, got {len(vals)}"
+            )
+        score_matrix = tuple(int(v) for v in vals)
+        if any(score_matrix[i * 5 + i] > 0 for i in range(4)):
+            raise SystemExit("-scoreMatrix: diagonal (match) values must be <= 0")
     if args.nucmer:
         # SetEmulateNucmer (MappingParameters.h:547): exact-match oriented
         min_match = max(min_match, 30 if min_match == 14 else min_match)
@@ -147,6 +162,7 @@ def params_from_args(args) -> MappingParams:
         deletion_score=deletion,
         affine_open=args.affineOpen,
         affine_extend=args.affineExtend,
+        score_matrix=score_matrix,
         max_score=args.maxScore,
         min_pct_similarity=args.minPctIdentity,
         min_align_length=args.minAlnLength,
@@ -283,6 +299,14 @@ def main(argv=None) -> int:
                 fm.save(fm_path)
             except OSError:
                 pass
+    elif args.sa is not None:
+        # reference-format .sa input (SuffixArray.h:505 layout): reuse the
+        # precomputed array, derive the TPU-side artifacts from it
+        from blasr_tpu.index.artifacts import build_index_from_sa
+
+        index = build_index_from_sa(
+            args.genome, args.sa, k=params.min_match_length
+        )
     else:
         index = load_index(args.genome, k=params.min_match_length)
     t_index = time.time() - t_start

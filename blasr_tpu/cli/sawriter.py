@@ -26,6 +26,12 @@ def main(argv=None) -> int:
                    help="output index path (default <genome>.btidx.npz)")
     p.add_argument("-k", "-kmer", dest="k", type=int, default=14,
                    help="anchor k-mer length (1..15)")
+    p.add_argument("-safile", action="store_true",
+                   help="also write reference-format <genome>.sa "
+                        "(SuffixArray.h binary layout, magic 0xacac0001; "
+                        "loadable by reference blasr -sa)")
+    p.add_argument("-salut", type=int, default=0, metavar="PREFIXLEN",
+                   help="include the prefix lookup table in the .sa file")
     args = p.parse_args(argv)
 
     from blasr_tpu.index.artifacts import INDEX_SUFFIX, build_index
@@ -40,6 +46,13 @@ def main(argv=None) -> int:
         f"k={idx.k}, built in {t_build:.2f}s",
         file=sys.stderr,
     )
+    if args.safile:
+        from blasr_tpu.index.safile import reference_order_sa, write_sa_file
+
+        sa_path = args.genome + ".sa"
+        write_sa_file(sa_path, reference_order_sa(idx.genome),
+                      genome=idx.genome, lookup_prefix_len=args.salut)
+        print(f"wrote {sa_path} (reference .sa format)", file=sys.stderr)
     return 0
 
 

@@ -126,6 +126,37 @@ def build_index(genome_path: str, k: int = 14) -> GenomeIndex:
     return build_index_from_arrays(genome, seqdb, k)
 
 
+def build_index_from_sa(genome_path: str, sa_path: str, k: int = 14) -> GenomeIndex:
+    """Build the device bundle around a precomputed reference-format ``.sa``
+    file (blasr ``-sa`` flag role, Blasr.cpp:4375-4449 index discovery)."""
+    from blasr_tpu.index.safile import read_sa_file
+
+    genome, seqdb = load_genome(genome_path)
+    sa = read_sa_file(sa_path, genome_len=len(genome))
+    if len(sa) != len(genome):
+        raise ValueError(
+            f"{sa_path}: suffix array length {len(sa)} != genome {len(genome)}"
+        )
+    keys, _ = pack_kmers(genome, k)
+    kv = keys[sa]
+    if np.any(np.diff(kv) < 0):
+        # reference order interleaves short suffixes (its end-of-string
+        # sorts LARGEST, safile.reference_order_sa); our pipeline only
+        # needs ascending k-keys, so stable-resort those ties
+        order = np.argsort(kv, kind="stable")
+        sa = sa[order]
+        kv = kv[order]
+        if np.any(np.diff(kv) < 0):
+            raise ValueError(
+                f"{sa_path}: array is not a suffix order of {genome_path}"
+            )
+    sa_kmers = kv.astype(np.int32 if 2 * k <= 31 else np.int64)
+    pos_ok = build_pos_ok(genome, seqdb, k)
+    if len(sa) < 2**31:
+        sa = sa.astype(np.int32)
+    return GenomeIndex(genome.astype(np.uint8), sa, sa_kmers, pos_ok, k, seqdb)
+
+
 def load_index(genome_path: str, k: int = 14, cache: bool = True) -> GenomeIndex:
     """Load (or build and cache) the index for a genome FASTA.
 

@@ -128,6 +128,11 @@ def _expand_select_compact(
     qk_lo_key: jax.Array, qk_hi_key: jax.Array,
     nh: jax.Array, has_key: jax.Array,
     B: int, L: int, KH: int, A: int, ST: int,
+    ctab_valid: jax.Array | None = None,  # (4^k,) uint8 clipped VALID counts:
+                             # exact for every surviving position (count <=
+                             # KH < 255), so the interval width needs no
+                             # second lut_valid gather; requires expand == 0
+                             # (i.e. qk_lo_key == qk_hi_key)
 ):
     """Slot-exact hit expansion over the seed-valid compacted SA.
 
@@ -153,10 +158,21 @@ def _expand_select_compact(
     P = min(A, L)
     pvals, psel = jax.lax.top_k(pos_prio, P)                  # (B, P)
     klo_sel = jnp.take_along_axis(qk_lo_key, psel, axis=1)
-    khi_sel = jnp.take_along_axis(qk_hi_key, psel, axis=1)
     lov = lut_valid[jnp.clip(klo_sel, 0, NK - 2)]
-    hiv = lut_valid[jnp.clip(khi_sel + 1, 0, NK - 1)]
-    cnt = jnp.where(pvals > 0, jnp.maximum(hiv - lov, 0), 0)  # valid hits
+    if ctab_valid is not None:
+        # clipped valid-count table is exact for every surviving position
+        # (count <= KH < 255) — no second lut_valid gather
+        cntv = ctab_valid[jnp.clip(klo_sel, 0, NK - 2)].astype(jnp.int32)
+    else:
+        khi_sel = jnp.take_along_axis(qk_hi_key, psel, axis=1)
+        hiv = lut_valid[jnp.clip(khi_sel + 1, 0, NK - 1)]
+        cntv = jnp.maximum(hiv - lov, 0)
+    cnt = jnp.where(pvals > 0, cntv, 0)                       # valid hits
+
+    # nh is exact for every position that can pass the <= KH filter (the
+    # clipped uint8 view only saturates above 255 > KH), so the reported
+    # genome-wide frequency needs no further table gather
+    nh_sel = jnp.take_along_axis(nh, psel, axis=1)
 
     csum = jnp.cumsum(cnt, axis=1)
     starts = csum - cnt                                       # exclusive
@@ -170,17 +186,32 @@ def _expand_select_compact(
     ].add(1)
     prank = jnp.clip(jnp.cumsum(mark[:, :A], axis=1) - 1, 0, P - 1)  # (B, A)
 
-    st_at = jnp.take_along_axis(starts, prank, axis=1)
-    lo_at = jnp.take_along_axis(lov, prank, axis=1)
-    pv_at = jnp.take_along_axis(pvals, prank, axis=1)
-    psel_at = jnp.take_along_axis(psel, prank, axis=1)
-
     sar = jnp.arange(A, dtype=jnp.int32)[None, :]
+    if KH <= 31 and L <= (1 << 12) and A <= (1 << 13):
+        # one packed take instead of four: (pv>0 | nh | psel | start)
+        packed = (
+            ((pvals > 0).astype(jnp.int32) << 30)
+            | (jnp.clip(nh_sel, 0, 31) << 25)
+            | (psel << 13)
+            | starts
+        )
+        pk = jnp.take_along_axis(packed, prank, axis=1)
+        lo_at = jnp.take_along_axis(lov, prank, axis=1)
+        st_at = pk & ((1 << 13) - 1)
+        psel_at = (pk >> 13) & ((1 << 12) - 1)
+        anh = (pk >> 25) & 31
+        pv_ok = (pk >> 30) > 0
+    else:
+        st_at = jnp.take_along_axis(starts, prank, axis=1)
+        lo_at = jnp.take_along_axis(lov, prank, axis=1)
+        pv_ok = jnp.take_along_axis(pvals, prank, axis=1) > 0
+        psel_at = jnp.take_along_axis(psel, prank, axis=1)
+        anh = jnp.take_along_axis(nh_sel, prank, axis=1)
+
     within = sar - st_at
     at = sa_valid[jnp.clip(lo_at + within, 0, Gv - 1)].astype(jnp.int32)
     aq = psel_at * ST
-    anh = jnp.take_along_axis(nh, psel_at, axis=1)
-    avalid = (sar < total) & (pv_at > 0)
+    avalid = (sar < total) & pv_ok
     return jnp.clip(at, 0, None), aq, jnp.maximum(anh, 1), avalid
 
 
@@ -204,6 +235,11 @@ def find_anchors(
     lut_valid: jax.Array | None = None,  # (4^k + 1,) int32 valid-only counts;
                              # when given, ``sa`` is the seed-valid compacted
                              # SA and expansion is slot-exact
+    ctab: jax.Array | None = None,  # (4^k,) uint8 clipped counts: the hot
+                             # per-position lookup is one gather on a table
+                             # 4x smaller than lut
+    ctab_valid: jax.Array | None = None,  # (4^k,) uint8 clipped VALID counts
+                             # (see _expand_select_compact)
     *,
     k: int,
     max_hits_per_pos: int = 8,
@@ -243,12 +279,31 @@ def find_anchors(
     qk_lo_key = qk & ~mask
     qk_hi_key = qk | mask
     if lut is not None and lut_meta is not None and lut_meta[1] == 0:
+        if expand == 0 and ctab is not None and lut_valid is not None:
+            # hot path: ONE uint8 gather gives min(count, 255) — exact for
+            # the nh <= KH filter and the priority (overflowed positions are
+            # filtered either way; KH < 255 asserted)
+            assert KH < 255
+            nh = jnp.where(
+                qk >= 0,
+                ctab[jnp.clip(qk, 0, ctab.shape[0] - 1)].astype(jnp.int32),
+                0,
+            )
+            return _expand_select_compact(
+                sa, lut_valid, qk_lo_key, qk_hi_key, nh, qk >= 0,
+                B, L, KH, A, ST, ctab_valid=ctab_valid,
+            )
         # full-resolution direct-address table (lut.shape == 4^k + 1):
         # lo and the interval width come from two gathers, no bisection
         key = jnp.clip(qk_lo_key, 0, lut.shape[0] - 2)
         lo = lut[key]
         key_hi = jnp.clip(qk_hi_key + 1, 0, lut.shape[0] - 1)
         nh = jnp.where(qk >= 0, lut[key_hi] - lo, 0).astype(jnp.int32)
+        if lut_valid is not None:
+            return _expand_select_compact(
+                sa, lut_valid, qk_lo_key, qk_hi_key, nh, qk >= 0,
+                B, L, KH, A, ST,
+            )
     elif lut is not None and lut_meta is not None:
         shift, max_steps = lut_meta
         steps = max_steps + max(0, e2 - shift)  # widened range spans buckets

@@ -58,6 +58,24 @@ class AlignScores(NamedTuple):
     deletion: int = 5       # consume target (read deletion)
     affine_open: int = 50
     affine_extend: int = 0
+    matrix: tuple | None = None  # optional 25-entry substitution matrix,
+                            # row-major query x target over A C G T N
+                            # (-scoreMatrix, StringToScoreMatrix.h:9-44);
+                            # replaces match/mismatch/n_score when set
+
+
+def matrix_sub(qwin: jax.Array, twin: jax.Array, mat: tuple) -> jax.Array:
+    """Per-cell substitution score from a full 5x5 matrix (static selects —
+    the matrix is compile-time constant, so this stays vectorizable in both
+    the XLA scan and the Mosaic kernel)."""
+    tcode = jnp.minimum(twin, 4)  # out-of-window sentinel -> N column
+    sub = jnp.zeros(qwin.shape, jnp.int32)
+    for qi in range(5):
+        row = jnp.zeros(qwin.shape, jnp.int32)
+        for ti in range(5):
+            row = jnp.where(tcode == ti, jnp.int32(mat[qi * 5 + ti]), row)
+        sub = jnp.where(qwin == qi, row, sub)
+    return sub
 
 
 class BandedResult(NamedTuple):
@@ -164,8 +182,11 @@ def banded_align(
         valid = (q_pos < qlen_c) & (t_pos >= tlo_c) & (t_pos < thi_c) & (t_pos >= 0)
 
         eq = (qwin == twin) & (qwin < 4)
-        anyn = (qwin >= 4) | (twin >= 4)
-        sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
+        if scores.matrix is not None:
+            sub = matrix_sub(qwin, twin, scores.matrix)
+        else:
+            anyn = (qwin >= 4) | (twin >= 4)
+            sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
         H1_up = shift(H1, s1 - 1)
         H1_left = shift(H1, s1)

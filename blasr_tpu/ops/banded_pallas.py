@@ -190,8 +190,13 @@ def _make_kernel(
                 ins_cell = ins_sc
 
             eq = (qwin == twin) & (qwin < 4)
-            anyn = (qwin >= 4) | (twin >= 4)
-            sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
+            if scores.matrix is not None:
+                from blasr_tpu.ops.banded_align import matrix_sub
+
+                sub = matrix_sub(qwin, twin, scores.matrix)
+            else:
+                anyn = (qwin >= 4) | (twin >= 4)
+                sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
             H1_up = _shift(H1, s1 - 1, IT, W)
             H1_left = _shift(H1, s1, IT, W)

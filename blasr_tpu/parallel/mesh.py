@@ -44,7 +44,10 @@ def replicate_index(mesh: Mesh, di: DeviceIndex) -> DeviceIndex:
     rep = NamedSharding(mesh, P())
     return DeviceIndex(
         genome_pad=jax.device_put(di.genome_pad, rep),
-        arrays=tuple(jax.device_put(a, rep) for a in di.arrays),
+        arrays=tuple(
+            jax.device_put(a, rep) if a is not None else None
+            for a in di.arrays
+        ),
         starts=jax.device_put(di.starts, rep),
         pad=di.pad,
         k=di.k,

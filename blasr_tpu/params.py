@@ -40,6 +40,9 @@ class MappingParams:
     deletion_score: int = 5           # gap in read (missing read base)
     affine_open: int = 50             # -affineOpen
     affine_extend: int = 0            # -affineExtend
+    score_matrix: Optional[tuple] = None  # -scoreMatrix: 25 ints, row-major
+                                      # query x target over A C G T N
+                                      # (StringToScoreMatrix.h:9-44)
     max_score: int = -200             # -maxScore: report only score <= this
     min_pct_similarity: float = 0.0   # -minPctIdentity
     min_align_length: int = 0         # -minAlnLength

@@ -121,15 +121,40 @@ def make_device_index(
                 # for kb-scale test genomes
                 direct = 2 * idx.k <= 28 and idx.genome_length >= (1 << 20)
             if direct and 2 * idx.k <= 28:
-                # full-resolution prefix table: lut[key] = first SA row with
-                # kmer >= key, so lo = lut[qk] and nh = lut[qk+1] - lut[qk]
-                # in TWO gathers (no bisection, no run-length array). Built
-                # on device (scatter + cumsum) to avoid a multi-GB h2d.
+                # full-resolution prefix tables: lut_full[key] = first SA row
+                # with kmer >= key (nh in two gathers, no bisection), plus a
+                # valid-only twin over the seed-valid compacted SA so hit
+                # expansion is slot-exact (ops/anchors.py
+                # _expand_select_compact). All built on device
+                # (scatter + cumsum) to avoid a multi-GB h2d.
                 nk = 1 << (2 * idx.k)
+                G = idx.genome_length
                 sk_dev = jnp.asarray(idx.sa_kmers)
+                sa_m_dev = jnp.asarray(sa_masked)
+                valid = sa_m_dev >= 0
                 counts = jnp.zeros((nk,), jnp.int32).at[sk_dev].add(1)
                 lut_full = jnp.pad(jnp.cumsum(counts, dtype=jnp.int32), (1, 0))
-                arrays = (jnp.asarray(sa_masked), None, lut_full, None)
+                counts_v = jnp.zeros((nk,), jnp.int32).at[sk_dev].add(
+                    valid.astype(jnp.int32)
+                )
+                lut_valid = jnp.pad(
+                    jnp.cumsum(counts_v, dtype=jnp.int32), (1, 0)
+                )
+                dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+                # out-of-bounds scatter indices (invalid rows -> G) drop
+                sa_valid = (
+                    jnp.zeros((G,), jnp.int32)
+                    .at[jnp.where(valid, dest, G)]
+                    .set(sa_m_dev)
+                )
+                # clipped uint8 count table: the per-position filter/priority
+                # only needs min(count, 255) (any max_hits_per_pos < 255),
+                # so the hot (B, L) lookup is ONE gather on a 4x smaller
+                # table; exact counts come from lut_full for the selected
+                # positions only
+                ctab8 = jnp.minimum(counts, 255).astype(jnp.uint8)
+                ctab_v8 = jnp.minimum(counts_v, 255).astype(jnp.uint8)
+                arrays = (sa_valid, ctab8, ctab_v8, lut_full, lut_valid)
                 lut_meta = (0, 0)  # max_steps == 0 marks the direct table
             else:
                 # run-length of identical keys at every SA row: turns the
@@ -330,6 +355,19 @@ def _map_batch_impl(
             anchor_stride=params.anchor_stride,
             expand=params.min_expand,
         )
+    elif lut_meta is not None and lut_meta[1] == 0:
+        # direct-table index: compacted valid SA + count tables
+        sa_valid, ctab8, ctab_v8, lut_full, lut_valid = index_arrays
+        at, aq, anh, avalid = find_anchors(
+            reads2, lens2, sa_valid, None, None, lut_full, None, lut_valid,
+            ctab8, ctab_v8,
+            k=k,
+            max_hits_per_pos=params.max_anchors_per_position,
+            max_anchors_per_read=params.max_anchors_per_read,
+            lut_meta=lut_meta,
+            anchor_stride=params.anchor_stride,
+            expand=params.min_expand,
+        )
     else:
         sa_masked, sa_kmers, lut, run_len = index_arrays
         at, aq, anh, avalid = find_anchors(
@@ -392,6 +430,7 @@ def _map_batch_impl(
         deletion=params.deletion_score,
         affine_open=params.affine_open,
         affine_extend=params.affine_extend,
+        matrix=params.score_matrix,
     )
     qoff = jnp.asarray(make_qoff(L, T, W, params.target_pad // 2))
 

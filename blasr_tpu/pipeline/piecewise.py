@@ -148,6 +148,7 @@ def _merge_run(
         deletion=params.deletion_score,
         affine_open=params.affine_open,
         affine_extend=params.affine_extend,
+        matrix=params.score_matrix,
     )
     first, last = run[0], run[-1]
     strand = first.tstrand

@@ -245,3 +245,51 @@ def test_device_walk_matches_host_walk(rng):
         assert int(tb.n_mismatch[i]) == hp.n_mismatch
         assert int(tb.n_ins[i]) == hp.n_ins
         assert int(tb.n_del[i]) == hp.n_del
+
+
+def test_score_matrix_substitution():
+    """-scoreMatrix role (StringToScoreMatrix.h): a matrix with free A<->C
+    substitutions scores an A->C-mutated read like an exact match, and the
+    Pallas interpret kernel agrees bit-exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+    from blasr_tpu.ops.banded_pallas import banded_align_pallas
+
+    rng = np.random.default_rng(3)
+    L, T = 200, 260
+    q = rng.integers(0, 4, (4, L)).astype(np.uint8)
+    t = rng.integers(0, 4, (4, T)).astype(np.uint8)
+    t[:, 20 : 20 + L] = q
+    # mutate A->C in the read only
+    qm = q.copy()
+    qm[q == 0] = 1
+
+    mat = [0] * 25
+    for i in range(5):
+        for j in range(5):
+            if i == j and i < 4:
+                mat[i * 5 + j] = -5
+            elif i >= 4 or j >= 4:
+                mat[i * 5 + j] = 0
+            else:
+                mat[i * 5 + j] = 6
+    mat[0 * 5 + 1] = -5  # q=A read as C matches target A... (q x t: C vs A)
+    mat[1 * 5 + 0] = -5  # q=C vs t=A free
+    mat[0 * 5 + 1] = -5  # q=A vs t=C free
+    scores = AlignScores(matrix=tuple(mat))
+
+    args = (
+        jnp.asarray(qm), jnp.full(4, L, jnp.int32), jnp.asarray(t),
+        jnp.zeros(4, jnp.int32), jnp.full(4, T, jnp.int32),
+        jnp.asarray(make_qoff(L, T, 128, (T - L) // 2)),
+    )
+    ref = banded_align(*args, None, scores=scores, with_traceback=True)
+    # every position scores -5 (match or free A/C sub): perfect-score result
+    assert np.all(np.asarray(ref.score) == -5 * L)
+    got = banded_align_pallas(
+        *args, None, scores=scores, with_traceback=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
+    np.testing.assert_array_equal(np.asarray(ref.arrows), np.asarray(got.arrows))
