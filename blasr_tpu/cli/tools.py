@@ -505,8 +505,160 @@ def _cmd_samtom0(argv) -> int:
     return 0
 
 
+def _sam_ref_spans(sam_paths, unique: bool, min_mapq: int = 10):
+    """Yield (SAMFile, record, ref_start, ref_end) for records passing the
+    samutils primary/mapQV/subread-uniqueness filters shared by
+    PrintCoverage.cpp:95-134 and PrintConsensus.cpp:98-117."""
+    from blasr_tpu.io.sam import read_sam
+
+    def _read_number(name: str) -> str | None:
+        # movie/zmw/qstart_qend -> the zmw field (PrintCoverage.cpp:27-49)
+        a = name.find("/")
+        if a < 0:
+            return None
+        b = name.find("/", a + 1)
+        return name[a:b] if b >= 0 else None
+
+    for sam_path in sam_paths:
+        sam = read_sam(sam_path)
+        prev_name = ""
+        for rec in sam.records:
+            if rec.is_unmapped or rec.rname == "*":
+                continue
+            if rec.flag & 256:          # secondary
+                continue
+            if rec.mapq < min_mapq:
+                continue
+            if unique and rec.qname != prev_name:
+                rn, pn = _read_number(rec.qname), _read_number(prev_name)
+                if rn is not None and rn == pn:
+                    prev_name = rec.qname
+                    continue
+            prev_name = rec.qname
+            tlen = sum(
+                ln for op, ln in rec.cigar_runs() if op in "M=XDN"
+            )
+            yield sam, rec, rec.pos - 1, rec.pos - 1 + tlen
+
+
+def _cmd_samcoverage(argv) -> int:
+    """Binned reference coverage from SAM alignments.
+
+    Role of reference ``samutils/PrintCoverage.cpp`` (225 LoC): count
+    primary, mapQV>=10 alignments into per-reference bins of -bin bases,
+    divide by bin size, and write one binary file per reference under
+    -outDir: [binSize int32][length int32][counts uint32 x length]
+    (PrintCoverage.cpp:51-61). -text writes a tsv instead.
+    """
+    p = argparse.ArgumentParser(prog="tools samcoverage")
+    p.add_argument("-sam", nargs="+", required=True)
+    p.add_argument("-outDir", required=True)
+    p.add_argument("-bin", type=int, default=10, dest="bin_size")
+    p.add_argument("-unique", action="store_true")
+    p.add_argument("-text", action="store_true",
+                   help="tsv (refname bin_start coverage) instead of binary")
+    args = p.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    os.makedirs(args.outDir, exist_ok=True)
+    counts: dict[str, np.ndarray] = {}
+    for sam, rec, t0, t1 in _sam_ref_spans(args.sam, args.unique):
+        if rec.rname not in counts:
+            ln = sam.ref_lengths.get(rec.rname, 0)
+            nb = ln // args.bin_size + (1 if ln % args.bin_size else 0) or 1
+            counts[rec.rname] = np.zeros(nb, np.uint32)
+        arr = counts[rec.rname]
+        b0, b1 = t0 // args.bin_size, (max(t1 - 1, t0)) // args.bin_size
+        b1 = min(b1, len(arr) - 1)
+        # full bins get +binSize, edge bins the covered remainder — then
+        # the final /binSize matches the reference's per-base increments
+        for b in range(max(b0, 0), b1 + 1):
+            lo = max(t0, b * args.bin_size)
+            hi = min(t1 - 1, (b + 1) * args.bin_size)
+            if hi > lo:
+                arr[b] += hi - lo
+    for name, arr in counts.items():
+        arr //= args.bin_size
+        path = os.path.join(args.outDir, name + (".tsv" if args.text else ".data"))
+        if args.text:
+            with open(path, "w") as f:
+                for i, v in enumerate(arr):
+                    f.write(f"{name}\t{i * args.bin_size}\t{v}\n")
+        else:
+            with open(path, "wb") as f:
+                np.array([args.bin_size, len(arr)], np.int32).tofile(f)
+                arr.astype(np.uint32).tofile(f)
+    return 0
+
+
+def _cmd_samconsensus(argv) -> int:
+    """Binned M/D/I event counts from SAM alignments.
+
+    Role of reference ``samutils/PrintConsensus.cpp`` (245 LoC): per
+    reference, three bin arrays — aligned-base count (CIGAR M), deleted-base
+    count (D), inserted-base count (I credited to the bin of the insertion
+    point) — written as [binSize int32][nCounts=3 int32][length int32]
+    [3 x uint32 arrays] (PrintConsensus.cpp:50-65).
+    """
+    p = argparse.ArgumentParser(prog="tools samconsensus")
+    p.add_argument("-sam", nargs="+", required=True)
+    p.add_argument("-outDir", required=True)
+    p.add_argument("-bin", type=int, default=10, dest="bin_size")
+    p.add_argument("-unique", action="store_true")
+    p.add_argument("-text", action="store_true")
+    args = p.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    os.makedirs(args.outDir, exist_ok=True)
+    counts: dict[str, np.ndarray] = {}
+    for sam, rec, t0, _t1 in _sam_ref_spans(args.sam, args.unique):
+        if rec.rname not in counts:
+            ln = sam.ref_lengths.get(rec.rname, 0)
+            nb = ln // args.bin_size + (1 if ln % args.bin_size else 0) or 1
+            counts[rec.rname] = np.zeros((3, nb), np.uint32)
+        arr = counts[rec.rname]
+        nb = arr.shape[1]
+        tpos = t0
+        for op, ln in rec.cigar_runs():
+            if op in "M=X" or op == "D":
+                row = 1 if op == "D" else 0
+                for i in range(ln):
+                    b = tpos // args.bin_size
+                    if 0 <= b < nb:
+                        arr[row, b] += 1
+                    tpos += 1
+            elif op == "I":
+                b = tpos // args.bin_size
+                if 0 <= b < nb:
+                    arr[2, b] += ln
+            elif op == "N":
+                tpos += ln
+    for name, arr in counts.items():
+        path = os.path.join(args.outDir, name + (".tsv" if args.text else ".data"))
+        if args.text:
+            with open(path, "w") as f:
+                for i in range(arr.shape[1]):
+                    f.write(
+                        f"{name}\t{i * args.bin_size}\t{arr[0, i]}\t"
+                        f"{arr[1, i]}\t{arr[2, i]}\n"
+                    )
+        else:
+            with open(path, "wb") as f:
+                np.array([args.bin_size, 3, arr.shape[1]], np.int32).tofile(f)
+                arr.astype(np.uint32).tofile(f)
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
+    "samcoverage": _cmd_samcoverage,
+    "samconsensus": _cmd_samconsensus,
     "printgaps": _cmd_printgaps,
     "samtom0": _cmd_samtom0,
     "samfilter": _cmd_samfilter,

@@ -58,7 +58,24 @@ class ReadBatch:
 
 def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
     """Load reads from FASTA/FASTQ, dispatching on extension like the
-    reference BaseSequenceIO (common/files/BaseSequenceIO.h)."""
+    reference BaseSequenceIO (common/files/BaseSequenceIO.h). A ``.fofn``
+    file-of-filenames expands to the concatenation of its entries with a
+    single global stream index (common/utils/FileOfFileNames.h:11-31)."""
+    if fmt is None and path.lower().endswith(".fofn"):
+        import os
+
+        base = os.path.dirname(os.path.abspath(path))
+        reads: list[Read] = []
+        with open(path) as f:
+            for line in f:
+                name = line.strip()
+                if not name:
+                    continue
+                sub = name if os.path.isabs(name) else os.path.join(base, name)
+                for r in read_records(sub):
+                    r.index = len(reads)
+                    reads.append(r)
+        return reads
     if fmt is None:
         low = path.lower()
         if low.endswith((".fq", ".fastq")):
@@ -92,7 +109,15 @@ def batch_reads(
     reads: Sequence[Read],
     batch_size: int,
     max_read_len: int,
-    length_buckets: Sequence[int] = (256, 512, 1024, 2048, 4096, 8192),
+    length_buckets: Sequence[int] = (
+        # 256-step buckets through the PacBio body of the length
+        # distribution: DP/anchor cost scales ~linearly with the pad
+        # bound, so fine buckets cut the padding tax on reads just over a
+        # power of two (a 1100 b read costs 1280-pad, not 2048-pad).
+        # Each bucket compiles once (persistent XLA cache).
+        256, 512, 768, 1024, 1280, 1536, 1792, 2048, 2560, 3072,
+        4096, 6144, 8192,
+    ),
     subsample: float = 1.0,
     stride: int = 1,
     start: int = 0,
@@ -120,6 +145,25 @@ def batch_reads(
         n = min(len(r), max_read_len)
         cap = next(c for c in caps if n <= c)
         buckets.setdefault(cap, []).append(r)
+
+    # straggler spill-up: a bucket's final partial chunk joins the next
+    # bucket's group (paying a wider pad) when that trades less device time
+    # than a mostly-empty batch — every row of a batch computes regardless
+    # of fill, so fill factor beats pad width for small remainders.
+    order = sorted(buckets)
+    for ci, cap in enumerate(order[:-1]):
+        group = buckets[cap]
+        rem = len(group) % batch_size
+        if rem == 0:
+            continue
+        nxt = order[ci + 1]
+        # cost of one extra batch at this cap vs the spilled rows padding
+        # up to the next cap (cell model: per-batch ~ (2*cap + pad) * B)
+        if rem * (2 * nxt + 256) < batch_size * (2 * cap + 256):
+            buckets[nxt].extend(group[len(group) - rem :])
+            del group[len(group) - rem :]
+            if not group:
+                del buckets[cap]
 
     for cap in sorted(buckets):
         group = buckets[cap]

@@ -68,12 +68,14 @@ def matrix_sub(qwin: jax.Array, twin: jax.Array, mat: tuple) -> jax.Array:
     """Per-cell substitution score from a full 5x5 matrix (static selects —
     the matrix is compile-time constant, so this stays vectorizable in both
     the XLA scan and the Mosaic kernel)."""
+    dt = qwin.dtype  # dtype-generic: the Pallas kernel calls with its cell
+    # dtype (int16/int32) and masks must stay in that tile layout
     tcode = jnp.minimum(twin, 4)  # out-of-window sentinel -> N column
-    sub = jnp.zeros(qwin.shape, jnp.int32)
+    sub = jnp.zeros(qwin.shape, dt)
     for qi in range(5):
-        row = jnp.zeros(qwin.shape, jnp.int32)
+        row = jnp.zeros(qwin.shape, dt)
         for ti in range(5):
-            row = jnp.where(tcode == ti, jnp.int32(mat[qi * 5 + ti]), row)
+            row = jnp.where(tcode == ti, jnp.asarray(mat[qi * 5 + ti], dt), row)
         sub = jnp.where(qwin == qi, row, sub)
     return sub
 

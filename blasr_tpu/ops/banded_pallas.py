@@ -55,13 +55,23 @@ UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
 # overhead now that per-iter VMEM is 6 (IT, W) blocks, not full rows
 
 
-def _shift(x: jax.Array, dlt: jax.Array, IT: int, W: int, fill=INF) -> jax.Array:
-    """Value at band index w + dlt for traced dlt in {-1, 0, +1}."""
-    xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=fill)
-    xm = xp[:, 0:W]
-    x0 = xp[:, 1 : W + 1]
-    xp1 = xp[:, 2 : W + 2]
-    return jnp.where(dlt == -1, xm, jnp.where(dlt == 0, x0, xp1))
+def _shift(
+    x: jax.Array, dlt: jax.Array, IT: int, W: int, fill=INF,
+    lo: int = -1, hi: int = 1,
+) -> jax.Array:
+    """Value at band index w + dlt for traced dlt in {lo..hi} ⊆ {-1,0,+1}.
+
+    The band offset moves 0 or 1 per anti-diagonal, so each use site knows
+    a 2-element range for its delta (e.g. s1-1 in {-1,0}) — selecting
+    between 2 statically-shifted views instead of 3 saves a pad column and
+    a vector select on every use."""
+    padl = 1 if lo < 0 else 0
+    padr = 1 if hi > 0 else 0
+    xp = jnp.pad(x, ((0, 0), (padl, padr)), constant_values=fill)
+    out = xp[:, padl + lo : padl + lo + W]
+    for d in range(lo + 1, hi + 1):
+        out = jnp.where(dlt == d, xp[:, padl + d : padl + d + W], out)
+    return out
 
 
 def _subwin(rolled: jax.Array, off: jax.Array, W: int, max_off: int) -> jax.Array:
@@ -73,17 +83,43 @@ def _subwin(rolled: jax.Array, off: jax.Array, W: int, max_off: int) -> jax.Arra
     return out
 
 
+def _cell_dtype_for(scores: AlignScores, L: int, T: int):
+    """Cell dtype for the wavefront state.
+
+    int16 packs two lanes per 32-bit VPU register (2x elementwise density)
+    and halves wavefront VMEM, and the kernel is written dtype-generic for
+    it — but v5e Mosaic cannot lower packed-int16 ordered comparisons
+    ("Target does not support this comparison" for vector<8x128x2xi16>
+    slt), which the DP's min-cascade needs. Experimental opt-in via
+    BLASR_DP_INT16=1 for hardware where packed i16 compares exist; int32
+    otherwise. Bounds when enabled: most negative reachable H =
+    min(L,T) x largest per-step gain; INF sentinel add-overflow-safe
+    (29000 + affine_open + slack < 32767, enforced by the E/F clamp)."""
+    if os.environ.get("BLASR_DP_INT16"):
+        gains = [-scores.match]
+        if scores.matrix is not None:
+            gains.append(-min(scores.matrix))
+        maxgain = max(1, *gains)
+        bound = min(L, T) * maxgain + abs(scores.affine_open) + 128
+        if (
+            bound < 29000
+            and abs(scores.affine_open) + abs(scores.affine_extend) < 2000
+        ):
+            return np.int16, np.int16(29000)
+    return np.int32, np.int32(INF)
+
+
 def _make_kernel(
     scores: AlignScores, S: int, W: int, IT: int, Tp: int,
-    with_traceback: bool, with_qual: bool,
+    with_traceback: bool, with_qual: bool, cdt, inf_k,
 ):
-    m_sc = np.int32(scores.match)
-    x_sc = np.int32(scores.mismatch)
-    n_sc = np.int32(scores.n_score)
-    ins_sc = np.int32(scores.insertion)
-    del_sc = np.int32(scores.deletion)
-    go = np.int32(scores.affine_open)
-    ge = np.int32(scores.affine_extend)
+    m_sc = cdt(scores.match)
+    x_sc = cdt(scores.mismatch)
+    n_sc = cdt(scores.n_score)
+    ins_sc = cdt(scores.insertion)
+    del_sc = cdt(scores.deletion)
+    go = cdt(scores.affine_open)
+    ge = cdt(scores.affine_extend)
     U = UNROLL
 
     def kernel(
@@ -109,12 +145,12 @@ def _make_kernel(
 
         @pl.when(it == 0)
         def _init():
-            H1s[:] = jnp.full((IT, W), INF, jnp.int32)
-            H2s[:] = jnp.full((IT, W), INF, jnp.int32)
-            E1s[:] = jnp.full((IT, W), INF, jnp.int32)
-            F1s[:] = jnp.full((IT, W), INF, jnp.int32)
-            R1s[:] = jnp.zeros((IT, W), jnp.int32)
-            R2s[:] = jnp.zeros((IT, W), jnp.int32)
+            H1s[:] = jnp.full((IT, W), inf_k, cdt)
+            H2s[:] = jnp.full((IT, W), inf_k, cdt)
+            E1s[:] = jnp.full((IT, W), inf_k, cdt)
+            F1s[:] = jnp.full((IT, W), inf_k, cdt)
+            R1s[:] = jnp.zeros((IT, W), cdt)
+            R2s[:] = jnp.zeros((IT, W), cdt)
             bests[:] = jnp.zeros((IT, 3), jnp.int32)
 
         a0 = it * U
@@ -152,10 +188,19 @@ def _make_kernel(
         bestw = bests[:, 2:3]
 
         w_ar = jax.lax.broadcasted_iota(jnp.int32, (IT, W), 1)
-        inf = jnp.int32(INF)
-        qlen_c = qlen_ref[:]
-        tlo_c = tlo_ref[:]
-        thi_c = thi_ref[:]
+        inf = jnp.asarray(inf_k)
+        # int16 mode: masks must be born in the (16,128)-tile domain —
+        # Mosaic cannot relayout an (8,128) i1 mask from int32 compares
+        # onto int16 lanes — so position math and code compares run in cdt
+        # (all values < 32767: S = L + T - 1 is bounded by the int16 gate).
+        # Same-dtype casts are NOT folded by Mosaic (they lower as vector
+        # copies), so every cast is gated on the dtype actually changing.
+        cast = (lambda x: x.astype(cdt)) if cdt != np.int32 else (lambda x: x)
+        # (16-bit iota is unsupported in hardware: widen-from-int32 instead)
+        w_ar_c = cast(w_ar)
+        qlen_c = cast(qlen_ref[:])
+        tlo_c = cast(tlo_ref[:])
+        thi_c = cast(thi_ref[:])
 
         qd = jnp.int32(0)  # qo(a) - qo0, in {0..U-1}
         for u in range(U):
@@ -170,8 +215,10 @@ def _make_kernel(
             toff = (U - 1) + qd - u
             twin = _subwin(troll, toff, W, U - 1)
 
-            q_pos = qo + w_ar
-            t_pos = a - q_pos
+            qwin = cast(qwin)
+            twin = cast(twin)
+            q_pos = cast(qo) + w_ar_c
+            t_pos = cast(jnp.asarray(a)) - q_pos
             valid = (
                 (q_pos < qlen_c)
                 & (t_pos >= tlo_c)
@@ -183,8 +230,8 @@ def _make_kernel(
             if with_qual:
                 quwin = _subwin(quroll, qd, W, U - 1)
                 qv = jnp.clip(quwin, 4, 30)
-                x_cell = jnp.maximum((x_sc * qv + 7) // 15, 1)
-                ins_cell = jnp.maximum((ins_sc * qv + 7) // 15, 1)
+                x_cell = cast(jnp.maximum((jnp.int32(x_sc) * qv + 7) // 15, 1))
+                ins_cell = cast(jnp.maximum((jnp.int32(ins_sc) * qv + 7) // 15, 1))
             else:
                 x_cell = x_sc
                 ins_cell = ins_sc
@@ -193,28 +240,37 @@ def _make_kernel(
             if scores.matrix is not None:
                 from blasr_tpu.ops.banded_align import matrix_sub
 
-                sub = matrix_sub(qwin, twin, scores.matrix)
+                sub = matrix_sub(qwin, twin, scores.matrix)  # dtype follows qwin
             else:
                 anyn = (qwin >= 4) | (twin >= 4)
                 sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
-            H1_up = _shift(H1, s1 - 1, IT, W)
-            H1_left = _shift(H1, s1, IT, W)
-            E1_left = _shift(E1, s1, IT, W)
-            F1_up = _shift(F1, s1 - 1, IT, W)
-            H2_diag = _shift(H2, s1 + s2 - 1, IT, W)
-            R2_diag = _shift(R2, s1 + s2 - 1, IT, W, fill=0)
+            H1_up = _shift(H1, s1 - 1, IT, W, fill=inf_k)
+            H1_left = _shift(H1, s1, IT, W, fill=inf_k)
+            E1_left = _shift(E1, s1, IT, W, fill=inf_k)
+            F1_up = _shift(F1, s1 - 1, IT, W, fill=inf_k)
+            H2_diag = _shift(H2, s1 + s2 - 1, IT, W, fill=inf_k)
+            R2_diag = _shift(R2, s1 + s2 - 1, IT, W, fill=cdt(0))
 
             e_open = H1_left + go
             E_new = jnp.minimum(E1_left, e_open) + ge
-            ebit = (E1_left <= e_open).astype(jnp.int32)
+            ebit = (E1_left <= e_open).astype(cdt)
             f_open = H1_up + go
             F_new = jnp.minimum(F1_up, f_open) + ge
-            fbit = (F1_up <= f_open).astype(jnp.int32)
+            fbit = (F1_up <= f_open).astype(cdt)
+            if cdt == np.int16:
+                # int16 overflow guard: stop the band-edge INF creep
+                # (INF + k*(go+ge) would wrap); int32 has 2^30 headroom
+                E_new = jnp.minimum(E_new, inf)
+                F_new = jnp.minimum(F_new, inf)
 
             diag_fresh = H2_diag > 0
             h = jnp.minimum(H2_diag, 0) + sub
-            src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
+            src = jnp.where(
+                diag_fresh,
+                cdt(SRC_DIAG_START),
+                cdt(SRC_DIAG),
+            )
             for val, code in (
                 (H1_up + ins_cell, SRC_UP),
                 (H1_left + del_sc, SRC_LEFT),
@@ -223,33 +279,37 @@ def _make_kernel(
             ):
                 take = val < h
                 h = jnp.minimum(h, val)
-                src = jnp.where(take, code, src)
+                src = jnp.where(take, cdt(code), src)
             take_stop = h >= 0
             h = jnp.minimum(h, 0)
-            src = jnp.where(take_stop, SRC_STOP, src)
+            src = jnp.where(take_stop, cdt(SRC_STOP), src)
 
             H_new = jnp.where(valid, h, inf)
             E_out = jnp.where(valid, E_new, inf)
             F_out = jnp.where(valid, F_new, inf)
-            src = jnp.where(valid, src, SRC_STOP)
+            src = jnp.where(valid, src, cdt(SRC_STOP))
             # match-run length (bits 5-7): run >= 1 iff matching diagonal
             R_new = jnp.where(
-                (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 7), 0
-            ).astype(jnp.int32)
+                (src == SRC_DIAG) & eq,
+                jnp.minimum(R2_diag + cdt(1), cdt(7)),
+                cdt(0),
+            )
 
             if with_traceback:
                 arrows_ref[u] = (
                     src | (ebit << 3) | (fbit << 4) | (R_new << 5)
                 ).astype(jnp.uint8)
 
-            row_min = jnp.min(H_new, axis=1, keepdims=True)       # (IT, 1)
-            # first-index argmin (Mosaic lacks integer argmin)
+            # Mosaic lacks int16 reductions and integer argmin: reduce a
+            # widened copy (one cast), argmin as min over masked iota
+            H32 = H_new if cdt == np.int32 else H_new.astype(jnp.int32)
+            row_min32 = jnp.min(H32, axis=1, keepdims=True)       # (IT, 1)
             row_arg = jnp.min(
-                jnp.where(H_new == row_min, w_ar, jnp.int32(W)),
+                jnp.where(H32 == row_min32, w_ar, jnp.int32(W)),
                 axis=1, keepdims=True,
             )
-            better = row_min < best
-            best = jnp.minimum(best, row_min)
+            better = row_min32 < best
+            best = jnp.minimum(best, row_min32)
             besta = jnp.where(better, a, besta)
             bestw = jnp.where(better, row_arg, bestw)
 
@@ -301,6 +361,7 @@ def banded_align_pallas(
     S = int(qoff.shape[0])
     assert S == L + T - 1
     W = band_width
+    tlo = jnp.maximum(tlo, 0)  # kernel relies on tlo >= 0 (see valid mask)
     IT = min(ITEM_TILE, I0)
     I = -(-I0 // IT) * IT
     if I != I0:  # pad items up to a tile multiple; padded rows align nothing
@@ -344,7 +405,10 @@ def banded_align_pallas(
         quext = jnp.pad(
             qual.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=15
         )
-    kernel = _make_kernel(scores, S, W, IT, Tp, with_traceback, with_qual)
+    cdt, inf_k = _cell_dtype_for(scores, L, T)
+    kernel = _make_kernel(
+        scores, S, W, IT, Tp, with_traceback, with_qual, cdt, inf_k
+    )
 
     out_shapes = [
         jax.ShapeDtypeStruct((I, 1), jnp.int32),   # best
@@ -397,12 +461,12 @@ def banded_align_pallas(
         ),
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((IT, W), jnp.int32),  # H1
-            pltpu.VMEM((IT, W), jnp.int32),  # H2
-            pltpu.VMEM((IT, W), jnp.int32),  # E1
-            pltpu.VMEM((IT, W), jnp.int32),  # F1
-            pltpu.VMEM((IT, W), jnp.int32),  # R1
-            pltpu.VMEM((IT, W), jnp.int32),  # R2
+            pltpu.VMEM((IT, W), cdt),        # H1
+            pltpu.VMEM((IT, W), cdt),        # H2
+            pltpu.VMEM((IT, W), cdt),        # E1
+            pltpu.VMEM((IT, W), cdt),        # F1
+            pltpu.VMEM((IT, W), cdt),        # R1
+            pltpu.VMEM((IT, W), cdt),        # R2
             pltpu.VMEM((IT, 3), jnp.int32),  # best/besta/bestw
         ],
     )

@@ -50,13 +50,19 @@ def test_batching_pads_and_buckets():
     ]
     batches = list(batch_reads(reads, batch_size=4, max_read_len=2048,
                                length_buckets=(256, 1024, 2048)))
-    # bucket caps: 256 (r0,r1), 1024 (r2,r3), 2048 (r4)
-    assert len(batches) == 3
+    # bucket caps: 256 (r0,r1); 1024 (r2,r3) — its 2-read remainder
+    # spills up into 2048 (cheaper than a mostly-empty 1024 batch:
+    # 2*(2*2048+256) < 4*(2*1024+256)), joining r4; 256 does NOT spill
+    # (2*(2*1024+256) > 4*(2*256+256))
+    assert len(batches) == 2
     b0 = batches[0]
     assert b0.max_len == 256 and b0.lengths[:2].tolist() == [100, 120]
     assert b0.indices.tolist() == [0, 1, -1, -1]
     # padding uses CODE_N = 4
     assert b0.codes[0, 100] == 4
+    b1 = batches[1]
+    assert b1.max_len == 2048
+    assert sorted(i for i in b1.indices.tolist() if i >= 0) == [2, 3, 4]
 
 
 def test_read_records_dispatch(tmp_path):
