@@ -213,6 +213,7 @@ def run_mapping_sharded(
     shard_indexes: Optional[Sequence[GenomeIndex]] = None,
     genome_path: Optional[str] = None,
     concurrent: bool = True,
+    lazy_load: bool = False,
 ) -> tuple[list[AlignmentRecord], list[str]]:
     """Map reads against an n_shards-way sharded index; merge on host.
 
@@ -221,21 +222,48 @@ def run_mapping_sharded(
     host drains overlap — the serving layout for one index too large for a
     chip. Pass ``shard_indexes`` (or ``genome_path`` for the on-disk cache)
     to skip the in-call SA builds.
+
+    ``lazy_load`` (hg19-scale on few chips): each shard's index is loaded
+    from the on-disk cache inside its worker and ALL its host+device
+    buffers are dropped before the next shard starts — peak HBM is one
+    shard's arrays instead of n_shards x (a 16-shard 3.2 Gb index would
+    need ~50 GB HBM resident; one v5e chip has 16). Implies serial shard
+    execution when there are fewer devices than shards.
     """
     import jax
 
     overlap = params.max_read_len + params.target_pad
     specs = make_shards(len(genome), n_shards, overlap)
     devs = devices if devices is not None else jax.devices()
-    if shard_indexes is None:
+    if lazy_load:
+        if genome_path is None and shard_indexes is None:
+            raise ValueError("lazy_load needs genome_path or shard_indexes")
+        if len(devs) < len(specs):
+            concurrent = False
+    elif shard_indexes is None:
         shard_indexes = build_or_load_shards(genome, seqdb, specs, k, genome_path)
 
     per_read: dict[str, list[AlignmentRecord]] = {}
     all_names = [r.name for r in reads]
 
+    def _load_shard(s: int) -> GenomeIndex:
+        if shard_indexes is not None:
+            return shard_indexes[s]
+        import os
+
+        path = shard_cache_path(genome_path, len(specs), k, s)
+        if os.path.exists(path):
+            return GenomeIndex.load(path)
+        idx = build_shard_index(genome, seqdb, specs[s], k)
+        try:
+            idx.save(path)
+        except OSError:
+            pass
+        return idx
+
     def _run_shard(s: int):
         spec = specs[s]
-        idx = shard_indexes[s]
+        idx = _load_shard(s)
         dev = devs[s % len(devs)]
         with jax.default_device(dev):
             recs, _ = run_mapping(idx, reads, params)
@@ -244,6 +272,10 @@ def run_mapping_sharded(
             g = _globalize(rec, spec, idx.seqdb, seqdb)
             if g is not None:
                 out.append(g)
+        if lazy_load:
+            # drop this shard's device buffers before the next shard loads
+            # (the DeviceIndex cache on the GenomeIndex holds them live)
+            idx.__dict__.pop("_device_index_cache", None)
         return out
 
     if concurrent and len(specs) > 1:

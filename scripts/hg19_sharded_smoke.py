@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""hg19-scale sharded-index validation (BASELINE config 5).
+
+Builds a 3.2 Gb synthetic genome (24 contigs, hg19-like size mix, with
+segmental duplications for repeat realism), shards it 16 ways with
+per-shard SA-IS indexes built by a process pool and cached on disk, then
+serves reads through parallel/sharded.run_mapping_sharded in lazy_load
+mode (one shard's arrays resident in HBM at a time — the 1-chip layout;
+on a 16-chip slice the same cache serves all shards concurrently).
+
+The reference REJECTS genomes >4 Gb per index (SAWriter.cpp:176-181) and
+has no sharding at all (SURVEY §2.9); this path is the framework's answer
+for hg19-scale serving.
+
+Usage: python scripts/hg19_sharded_smoke.py [G_bases] [n_shards] [n_reads]
+Writes measurements to stdout; update BASELINE.md config 5 from them.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+WORK = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "benchdata", "hg19smoke",
+)
+
+# hg19-like relative contig sizes (chr1..22, X, Y)
+REL = [249, 243, 198, 191, 181, 171, 159, 146, 141, 136, 135, 134,
+       115, 107, 102, 90, 81, 78, 59, 63, 48, 51, 155, 57]
+
+
+def make_genome(G: int, path: str):
+    """Chunked synthesis: uniform random + 3% segmental duplications."""
+    rng = np.random.default_rng(19)
+    g = np.empty(G, dtype=np.uint8)
+    CH = 1 << 26
+    for ofs in range(0, G, CH):
+        n = min(CH, G - ofs)
+        g[ofs : ofs + n] = rng.integers(0, 4, n, dtype=np.int64).astype(np.uint8)
+    # segmental duplications: ~3% of the genome as 1-3 Mb copies
+    for _ in range(max(1, int(G * 0.03 / 2_000_000))):
+        ln = int(rng.integers(1_000_000, min(3_000_000, G // 4)))
+        src = int(rng.integers(0, G - ln))
+        dst = int(rng.integers(0, G - ln))
+        g[dst : dst + ln] = g[src : src + ln]
+    np.save(path, g)
+    return g
+
+
+def main():
+    G = int(sys.argv[1]) if len(sys.argv) > 1 else 3_200_000_000
+    n_shards = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_reads = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    k = 14
+
+    os.makedirs(WORK, exist_ok=True)
+    gpath = os.path.join(WORK, f"genome{G}.npy")
+    t0 = time.time()
+    if os.path.exists(gpath):
+        # mmap: shard builds/serves slice out only what they touch
+        genome = np.load(gpath, mmap_mode="r")
+    else:
+        genome = make_genome(G, gpath)
+    print(f"genome {G/1e9:.2f} Gb ready: {time.time()-t0:.0f}s", flush=True)
+
+    from blasr_tpu.io.seqdb import SeqDB
+
+    rel = np.array(REL, dtype=np.float64)
+    starts = np.concatenate([[0], np.cumsum(rel / rel.sum() * G)]).astype(np.int64)
+    starts[-1] = G
+    names = [f"chr{i+1}" for i in range(22)] + ["chrX", "chrY"]
+    seqdb = SeqDB(names, starts, ["0" * 32] * 24)
+
+    # ---- shard builds (process pool; cached on disk) ----
+    from blasr_tpu.parallel.sharded import (
+        make_shards, shard_cache_path, run_mapping_sharded,
+    )
+    from blasr_tpu.params import MappingParams
+
+    params = MappingParams(
+        batch_size=64, max_read_len=3072, n_candidates=4, best_n=1,
+        min_match_length=k,
+    )
+    overlap = params.max_read_len + params.target_pad
+    specs = make_shards(G, n_shards, overlap)
+    todo = [
+        s for s in range(len(specs))
+        if not os.path.exists(shard_cache_path(gpath, len(specs), k, s))
+    ]
+    t0 = time.time()
+    if todo:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(3) as pool:
+            for s, dt in pool.imap_unordered(
+                _build_one, [(gpath, G, n_shards, overlap, k, s) for s in todo]
+            ):
+                print(f"  shard {s}: SA-IS build {dt:.0f}s", flush=True)
+    build_s = time.time() - t0
+    cache_bytes = sum(
+        os.path.getsize(shard_cache_path(gpath, len(specs), k, s))
+        for s in range(len(specs))
+    )
+    print(
+        f"shard indexes ready: {build_s:.0f}s (this run), "
+        f"{cache_bytes/1e9:.1f} GB on disk", flush=True
+    )
+
+    # ---- simulate reads and serve ----
+    from blasr_tpu.sim import simulate_reads, parse_truth
+
+    reads, _ = simulate_reads(genome, n_reads, mean_len=1000, seed=23)
+    t0 = time.time()
+    recs, unm = run_mapping_sharded(
+        genome, seqdb, reads, params, n_shards=n_shards, k=k,
+        genome_path=gpath, lazy_load=True,
+    )
+    serve_s = time.time() - t0
+
+    byname = {}
+    for r in recs:
+        c = byname.get(r.qname)
+        if c is None or r.score < c.score:
+            byname[r.qname] = r
+    n_ok = 0
+    n_dup = 0
+    for rd in reads:
+        rec = byname.get(rd.name)
+        if rec is None:
+            continue
+        s, e, st = parse_truth(rd.name)
+        g_start = int(seqdb.starts[rec.contig_index]) + rec.tstart_fwd
+        if rec.tstrand == st and abs(g_start - s) < 100:
+            n_ok += 1
+        else:
+            # duplication ambiguity vs real miss: identical sequence at the
+            # mapped locus means the placement is equally valid
+            w = min(200, e - s)
+            dup = bool(
+                np.array_equal(genome[s : s + w], genome[g_start : g_start + w])
+            )
+            if dup:
+                n_dup += 1
+            else:
+                print(
+                    f"  MISS {rd.name}: mapped g={g_start} strand={rec.tstrand} "
+                    f"true g={s} strand={st} score={rec.score}", flush=True
+                )
+    print(
+        f"serve: {n_reads} reads x {len(specs)} shards in {serve_s:.0f}s "
+        f"({n_reads/serve_s:.1f} reads/s through the full sharded index), "
+        f"correct {n_ok}/{n_reads} (+{n_dup} dup-ambiguous = "
+        f"{(n_ok + n_dup) / n_reads:.3f}), unmapped {len(unm)}", flush=True
+    )
+
+
+def _build_one(args):
+    gpath, G, n_shards, overlap, k, s = args
+    import numpy as np  # noqa: F811
+
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.parallel.sharded import (
+        build_shard_index, make_shards, shard_cache_path,
+    )
+
+    rel = np.array(REL, dtype=np.float64)
+    starts = np.concatenate([[0], np.cumsum(rel / rel.sum() * G)]).astype(np.int64)
+    starts[-1] = G
+    names = [f"chr{i+1}" for i in range(22)] + ["chrX", "chrY"]
+    seqdb = SeqDB(names, starts, ["0" * 32] * 24)
+    genome = np.load(gpath, mmap_mode="r")
+    spec = make_shards(G, n_shards, overlap)[s]
+    # build_shard_index slices [block_lo:block_hi] — the mmap materializes
+    # only this shard's block in this worker
+    t0 = __import__("time").time()
+    idx = build_shard_index(genome, seqdb, spec, k)
+    idx.save(shard_cache_path(gpath, n_shards, k, s))
+    return s, __import__("time").time() - t0
+
+
+if __name__ == "__main__":
+    main()
