@@ -655,8 +655,42 @@ def _cmd_samconsensus(argv) -> int:
     return 0
 
 
+def _cmd_onegap(argv) -> int:
+    """One-gap (deletion SV) alignment of a query vs a target
+    (role of alignment/OneGapAlign.cpp `oneGapAlign query target`):
+    the target is split into left/right windows of <= query length and the
+    whole query is aligned across one free long gap between them
+    (OneGapAlignment.h:18). Prints the breakpoint and alignment."""
+    p = argparse.ArgumentParser(prog="tools onegap")
+    p.add_argument("query")
+    p.add_argument("target")
+    p.add_argument("-indel", type=int, default=5)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.ops.banded_align import AlignScores
+    from blasr_tpu.ops.onegap import onegap_align
+
+    q = read_records(args.query)[0]
+    t = read_records(args.target)[0]
+    # window split per OneGapAlign.cpp:30-37
+    ln = min(len(t.codes), len(q.codes))
+    rn = min(len(t.codes) - ln, len(q.codes))
+    left = t.codes[:ln]
+    right = t.codes[len(t.codes) - rn :]
+    distance = len(t.codes) - ln - rn
+    sc = AlignScores(insertion=args.indel, deletion=args.indel)
+    res = onegap_align(q.codes, left, right, distance, sc)
+    cigar = "".join(f"{n}{c}" for c, n in res.path.cigar_runs())
+    print(f"{q.name} {t.name} score {res.score} "
+          f"gap t={res.gap_t_start} len={res.gap_len} at q={res.split_q}")
+    print(cigar)
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
+    "onegap": _cmd_onegap,
     "samcoverage": _cmd_samcoverage,
     "samconsensus": _cmd_samconsensus,
     "printgaps": _cmd_printgaps,
