@@ -84,7 +84,67 @@ def _cmd_bwtinfo(argv) -> int:
     return 0
 
 
-COMMANDS = {"sa2bwt": _cmd_sa2bwt, "bwtquery": _cmd_bwtquery, "bwtinfo": _cmd_bwtinfo}
+def _cmd_bwt2sa(argv) -> int:
+    """Reconstruct the suffix array (and genome) from an FM bundle and write
+    a reference-format .sa file (role of bwtutils/BwtToSuffixArray.cpp:24-28,
+    which emits Locate(row) per BWT row). The framework's row order is
+    $-first (standard), vs the reference's terminator-highest order — prefix
+    ties between a suffix and its extensions land in opposite relative
+    order; both are valid .sa files for their producer's search."""
+    p = argparse.ArgumentParser(prog="bwtutils bwt2sa")
+    p.add_argument("fm", help="FM bundle (.btfm.npz)")
+    p.add_argument("out", help="output .sa (reference binary format)")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.index.fm import FMIndex, fm_reconstruct
+    from blasr_tpu.index.safile import write_sa_file
+
+    fm = FMIndex.load(args.fm)
+    t0 = time.time()
+    genome, sa_full = fm_reconstruct(fm)
+    # reference bwt2sa writes G rows (no sentinel row)
+    write_sa_file(args.out, sa_full[1:], genome)
+    print(
+        f"wrote {args.out}: {len(sa_full) - 1} rows reconstructed from the "
+        f"BWT in {time.time() - t0:.2f}s", file=sys.stderr,
+    )
+    return 0
+
+
+def _cmd_locatelist(argv) -> int:
+    """Count/locate every sequence of a FASTA query file
+    (role of bwtutils/BWTLocateList.cpp:14-70)."""
+    p = argparse.ArgumentParser(prog="bwtutils locatelist")
+    p.add_argument("fm", help="FM bundle (.btfm.npz)")
+    p.add_argument("queries", help="FASTA of query sequences")
+    p.add_argument("-max", type=int, default=0, help="max positions per query")
+    p.add_argument("-count", action="store_true", help="count only")
+    p.add_argument("-print", dest="do_print", action="store_true",
+                   help="print positions")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.index.fm import FMIndex, count_host, locate_host
+    from blasr_tpu.io.batching import read_records
+
+    fm = FMIndex.load(args.fm)
+    for r in read_records(args.queries):
+        lo, hi = count_host(fm, r.codes)
+        print(f"{r.name} {hi - lo}")
+        if args.do_print and not args.count:
+            cap = hi if args.max == 0 else min(hi, lo + args.max)
+            pos = sorted(locate_host(fm, row) for row in range(lo, cap))
+            for v in pos:
+                print(v)
+    return 0
+
+
+COMMANDS = {
+    "sa2bwt": _cmd_sa2bwt,
+    "bwtquery": _cmd_bwtquery,
+    "bwtinfo": _cmd_bwtinfo,
+    "bwt2sa": _cmd_bwt2sa,
+    "locatelist": _cmd_locatelist,
+}
 
 
 def main(argv=None) -> int:

@@ -171,3 +171,50 @@ def test_fm_row_boundary_genome():
     for p_ in range(0, 58, 5):
         want = count_host(fm, codes[0, p_ : p_ + 6])
         assert (lo[0, p_], hi[0, p_]) == want, p_
+
+
+def test_fm_reconstruct_roundtrip():
+    """BWT inversion: genome + full SA recovered from the FM bundle alone
+    (completeness property behind reference bwt2sa,
+    bwtutils/BwtToSuffixArray.cpp:24-28)."""
+    from blasr_tpu.index.fm import build_fm_index, fm_reconstruct
+
+    rng = np.random.default_rng(9)
+    g = rng.integers(0, 4, 4097).astype(np.uint8)  # crosses ROW boundaries
+    sa = build_suffix_array(g)
+    fm = build_fm_index(g, sa)
+    g2, sa_full = fm_reconstruct(fm)
+    assert np.array_equal(g, g2)
+    assert sa_full[0] == len(g)
+    assert np.array_equal(sa_full[1:], sa)
+
+
+def test_bwt2sa_and_locatelist_cli(tmp_path, capsys):
+    from blasr_tpu.cli.bwtutils import main
+    from blasr_tpu.index.fm import build_fm_index
+    from blasr_tpu.index.safile import read_sa_file
+    from blasr_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(12)
+    g = rng.integers(0, 4, 3000).astype(np.uint8)
+    fm = build_fm_index(g, build_suffix_array(g))
+    fmp = str(tmp_path / "g.btfm.npz")
+    fm.save(fmp)
+
+    sap = str(tmp_path / "g.sa")
+    assert main(["bwt2sa", fmp, sap]) == 0
+    sa_read = read_sa_file(sap)
+    assert np.array_equal(sa_read, build_suffix_array(g))
+
+    # locatelist: two query sequences with known occurrence sets
+    q1 = g[100:120]
+    q2 = np.array([0, 1, 2, 3] * 5, np.uint8)
+    write_fasta(str(tmp_path / "q.fa"), [("q1", q1), ("q2", q2)])
+    assert main(["locatelist", fmp, str(tmp_path / "q.fa"), "-print"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    # q1 occurs at least at 100 and its position is printed
+    i1 = next(i for i, l in enumerate(out) if l.startswith("q1 "))
+    n1 = int(out[i1].split()[1])
+    assert n1 >= 1
+    positions = [int(x) for x in out[i1 + 1 : i1 + 1 + n1]]
+    assert 100 in positions
