@@ -357,7 +357,8 @@ def main(argv=None) -> int:
             else:
                 from blasr_tpu.output.verbose import write_verbose
 
-                write_verbose(records, reads, index, out, fmt=args.m)
+                write_verbose(records, reads, index, out, fmt=args.m,
+                              header=args.header)
         finally:
             if out is not sys.stdout:
                 out.close()

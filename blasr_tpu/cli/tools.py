@@ -688,9 +688,122 @@ def _cmd_onegap(argv) -> int:
     return 0
 
 
+def _sa_interval(genome, sa, pat) -> tuple[int, int]:
+    """[lo, hi) rows of ``sa`` whose suffixes start with ``pat``
+    (binary search with direct suffix compares; SAQuery role)."""
+    n = len(sa)
+    m = len(pat)
+
+    def cmp_at(row: int) -> int:
+        s = int(sa[row])
+        seg = genome[s : s + m]
+        if len(seg) < m:
+            pad = np.full(m, -1, np.int16)
+            pad[: len(seg)] = seg
+            seg = pad
+        seg = np.asarray(seg, np.int16)
+        d = seg - pat.astype(np.int16)
+        nz = np.flatnonzero(d)
+        return 0 if nz.size == 0 else int(d[nz[0]])
+
+    lo, hi = 0, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if cmp_at(mid) < 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    start = lo
+    lo, hi = start, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if cmp_at(mid) <= 0:
+            lo = mid + 1
+        else:
+            hi = mid
+    return start, lo
+
+
+def _cmd_saquery(argv) -> int:
+    """Query a .sa for occurrences of each FASTA sequence
+    (role of alignment/SAQuery.cpp `saquery ref sa queries`)."""
+    p = argparse.ArgumentParser(prog="tools saquery")
+    p.add_argument("genome")
+    p.add_argument("sa", help=".sa (reference format) or .btidx.npz")
+    p.add_argument("queries")
+    p.add_argument("-print", dest="do_print", action="store_true")
+    p.add_argument("-printCount", action="store_true")
+    p.add_argument("-max", type=int, default=0)
+    p.add_argument("-count", action="store_true")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome, _ = load_genome(args.genome)
+    sa = _load_any_sa(args.sa, len(genome))
+    for r in read_records(args.queries):
+        lo, hi = _sa_interval(genome, sa, r.codes)
+        n = hi - lo
+        if args.printCount or args.count:
+            print(f"{r.name} {n}")
+        if args.do_print and not args.count and (args.max == 0 or n <= args.max):
+            for pos in sorted(int(sa[row]) for row in range(lo, hi)):
+                print(pos)
+    return 0
+
+
+def _load_any_sa(path: str, genome_len: int) -> "np.ndarray":
+    if path.endswith(".npz"):
+        import numpy as _np
+
+        z = _np.load(path)
+        return z["sa"]
+    from blasr_tpu.index.safile import read_sa_file
+
+    return read_sa_file(path, genome_len)
+
+
+def _cmd_saprint(argv) -> int:
+    """Dump suffix-array rows (role of alignment/SAPrinter.cpp:38-54:
+    row count, then one position per line, optionally with 50 bases of
+    the suffix)."""
+    p = argparse.ArgumentParser(prog="tools saprint")
+    p.add_argument("sa", help=".sa (reference format) or .btidx.npz")
+    p.add_argument("-ps", metavar="GENOME", default=None,
+                   help="print 50 bases of each suffix")
+    p.add_argument("-limit", type=int, default=0, help="stop after N rows")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome = None
+    if args.ps:
+        genome, _ = load_genome(args.ps)
+    if args.sa.endswith(".npz"):
+        sa = _load_any_sa(args.sa, 0)
+    else:
+        from blasr_tpu.index.safile import read_sa_file
+
+        sa = read_sa_file(args.sa)  # raw rows, sentinel included (SAPrinter.cpp:38)
+    print(len(sa))
+    n = len(sa) if args.limit == 0 else min(len(sa), args.limit)
+    for i in range(n):
+        pos = int(sa[i])
+        if genome is not None:
+            seq = codes_to_seq(genome[pos : pos + 50])
+            print(f"{pos} {seq}")
+        else:
+            print(pos)
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "onegap": _cmd_onegap,
+    "saquery": _cmd_saquery,
+    "saprint": _cmd_saprint,
     "samcoverage": _cmd_samcoverage,
     "samconsensus": _cmd_samconsensus,
     "printgaps": _cmd_printgaps,

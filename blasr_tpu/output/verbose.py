@@ -64,7 +64,7 @@ def format_m1(rec: AlignmentRecord) -> str:
     return (
         f"{rec.qname} {rec.tname} {rec.qstrand} {rec.tstrand} {rec.score} "
         f"{rec.pct_similarity:.4f} {rec.tstart} {rec.tend} {rec.tlength} "
-        f"{rec.qstart} {rec.qend} {rec.qlength} 0"
+        f"{rec.qstart} {rec.qend} {rec.qlength} {rec.nhits_considered}"
     )
 
 
@@ -127,8 +127,15 @@ def write_verbose(
     index: GenomeIndex,
     out: IO[str],
     fmt: int = 5,
+    header: bool = False,
 ) -> None:
     by_name = {r.name: r for r in reads}
+    if header and fmt == 1:
+        # SummaryAlignmentPrinter::PrintHeader
+        out.write(
+            "qname tname qstrand tstrand score pctsimilarity tstart tend "
+            "tlength qstart qend qlength ncells\n"
+        )
     for rec in records:
         rd = by_name.get(rec.qname)
         if fmt == 1:

@@ -221,3 +221,39 @@ def test_printgaps_merge_fuses_split_gap(tmp_path):
     assert len(lines) == 1
     f_ = lines[0].split("\t")
     assert f_[2] == "deletion" and f_[4] == "160"
+
+
+def test_saquery_saprint(tmp_path, capsys):
+    """SA inspector tools (SAQuery.cpp / SAPrinter.cpp roles) on a
+    reference-format .sa file."""
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.index.safile import reference_order_sa, write_sa_file
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(2_000, seed=41)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chr1", g)])
+    sap = str(tmp_path / "g.sa")
+    write_sa_file(sap, reference_order_sa(g), g)
+
+    # query occurring exactly once (unique 30-mer) + its positions printed
+    q = g[700:730]
+    qp = str(tmp_path / "q.fa")
+    write_fasta(qp, [("probe", q)])
+    assert tools_main(["saquery", gp, sap, qp, "-print", "-printCount"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[0].split()[0] == "probe"
+    n = int(out[0].split()[1])
+    assert n >= 1
+    assert "700" in out[1 : 1 + n]
+
+    assert tools_main(["saprint", sap, "-ps", gp, "-limit", "5"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert int(out[0]) == len(g) + 1  # sentinel row included in .sa
+    # each printed row: "<pos> <50 bases>" and the bases match the genome
+    from blasr_tpu.core.encode import codes_to_seq
+
+    for line in out[1:6]:
+        pos, seq = line.split()
+        assert seq == codes_to_seq(g[int(pos) : int(pos) + 50])
