@@ -99,6 +99,28 @@ def make_qoff(L: int, T: int, W: int, diag: int) -> np.ndarray:
     return qoff
 
 
+QOFF_SHIFT = 16  # fixed-point denominator bits of the drift-slope schedule
+QOFF_NUM_HALF = 1 << (QOFF_SHIFT - 1)  # num for slope 0: centre_q=(a-diag)/2
+
+
+def make_qoff_num(L: int, T: int, W: int, diag: int, num) -> "jax.Array":
+    """Drift-slope band schedule (role of the reference's drift-following
+    Guide, GuidedAlign.h:104 AlignmentToGuide): the band centre follows
+    ``t = (1 + slope) q + diag`` with ``num = round(2^16 / (2 + slope))``,
+    so systematic ins/del drift (PacBio ins-rate > del-rate) stays centred
+    and the band can be narrow. ``num`` may be a traced scalar (estimated
+    per batch from the anchor chains on device); the identical integer
+    formula is evaluated by the traceback walk
+    (ops/traceback_device.walk_arrows_device) so DP and walk agree exactly.
+
+    num = QOFF_NUM_HALF reproduces make_qoff bit-for-bit.
+    """
+    S = L + T - 1
+    a = jnp.arange(S, dtype=jnp.int32)
+    centre_q = ((a - jnp.int32(diag)) * jnp.asarray(num, jnp.int32)) >> QOFF_SHIFT
+    return jnp.clip(centre_q - W // 2, 0, max(0, L - W)).astype(jnp.int32)
+
+
 def qv_scaled_costs(base: jax.Array, qual: jax.Array) -> jax.Array:
     """QV-scaled penalty (role of QualityValueScoreFunction.h:65,80-84:
     penalties proportional to the base's quality value — confident bases

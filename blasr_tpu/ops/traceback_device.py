@@ -76,9 +76,9 @@ def packed_width(S: int) -> int:
     return (S2 + 3) // 4
 
 
-@functools.partial(jax.jit, static_argnames=("qoff_params",))
+@functools.partial(jax.jit, static_argnames=("qoff_params", "pack"))
 def walk_arrows_device(
-    arrows: jax.Array,   # (S, IA, W) uint8
+    arrows: jax.Array,   # (S, IA, W) uint8 (pack>1: (S, IA//pack, W*pack))
     qoff: jax.Array,     # (S,) int32
     best_a: jax.Array,   # (I,) int32
     best_w: jax.Array,   # (I,) int32
@@ -87,6 +87,8 @@ def walk_arrows_device(
     target: jax.Array,   # (I, T) uint8
     item_idx: jax.Array | None = None,  # (I,) int32 column of each walk in arrows
     qoff_params: tuple[int, int, int] | None = None,  # (diag, W_band, L_q)
+    qoff_num: jax.Array | None = None,  # traced slope numerator (QOFF_SHIFT fp)
+    pack: int = 1,
 ) -> DeviceTraceback:
     """Walk I paths through an (S, IA, W) arrow tensor.
 
@@ -94,9 +96,19 @@ def walk_arrows_device(
     selected subset reads the full-candidate arrow tensor in place.
     qoff_params, when given, must describe the make_qoff schedule that
     produced ``qoff`` — the walk then computes band offsets analytically
-    (two fewer gathers per serial step).
+    (two fewer gathers per serial step); with ``qoff_num`` the analytic
+    form is the drift-slope schedule (banded_align.make_qoff_num) with the
+    identical fixed-point arithmetic.
+
+    ``pack`` mirrors the Pallas kernel's item packing: pack items share an
+    arrow row with band lanes interleaved (lane = pack*w + item%pack).
     """
-    S, IA, W = arrows.shape
+    if pack > 1:
+        S, IAr, WL = arrows.shape
+        IA = IAr * pack
+        W = WL // pack
+    else:
+        S, IA, W = arrows.shape
     I = best_a.shape[0]
     L = query.shape[1]
     T = target.shape[1]
@@ -108,9 +120,20 @@ def walk_arrows_device(
         diag, Wb, Lq = qoff_params
         hi = max(0, Lq - Wb)
 
-        def qoff_at(a):
-            # floor-div of possibly-negative (a - diag); jnp // floors
-            return jnp.clip((a - diag) // 2 - Wb // 2, 0, hi).astype(jnp.int32)
+        if qoff_num is not None:
+            from blasr_tpu.ops.banded_align import QOFF_SHIFT
+
+            numc = jnp.asarray(qoff_num, jnp.int32)
+
+            def qoff_at(a):
+                cq = ((a - diag) * numc) >> QOFF_SHIFT  # arithmetic shift floors
+                return jnp.clip(cq - Wb // 2, 0, hi).astype(jnp.int32)
+
+        else:
+
+            def qoff_at(a):
+                # floor-div of possibly-negative (a - diag); jnp // floors
+                return jnp.clip((a - diag) // 2 - Wb // 2, 0, hi).astype(jnp.int32)
 
         def s1_at(a):
             return qoff_at(a) - qoff_at(a - 1)
@@ -135,7 +158,14 @@ def walk_arrows_device(
         nmatch, nmis, nins, ndel = stats
         ac = jnp.clip(a, 0, S - 1)
         wc = jnp.clip(w, 0, W - 1)
-        byte = flat[(ac * IA + ii) * W + wc].astype(jnp.int32)
+        if pack > 1:
+            # interleaved lanes: row ii//pack, lane pack*w + ii%pack
+            byte = flat[
+                (ac * (IA // pack) + ii // pack) * (W * pack)
+                + wc * pack + (ii % pack)
+            ].astype(jnp.int32)
+        else:
+            byte = flat[(ac * IA + ii) * W + wc].astype(jnp.int32)
         src = byte & 7
         ebit = (byte >> 3) & 1
         fbit = (byte >> 4) & 1

@@ -51,7 +51,17 @@ class MappingParams:
     random_seed: int = 0              # -randomSeed
     # ---- TPU shape bounds (static; chosen per batch bucket) ----
     max_read_len: int = 2048          # padded query length L
-    band_width: int = 128             # DP band (lane dim multiple of 128)
+    band_width: int = 128             # DP band: multiple of 128 lanes, or
+                                      # 64/32 (packed: 128//W items share a
+                                      # lane row, ops/banded_pallas.py)
+    narrow_band: int = 64             # use this band for buckets with
+                                      # L <= narrow_band_max (0 = off); the
+                                      # drift-slope qoff schedule keeps the
+                                      # narrow band centred (make_qoff_num)
+    narrow_band_max: int = 1536       # longest bucket served by narrow_band
+    candidate_win: int = 128          # diagonal window width for candidate
+                                      # selection/weights (decoupled from
+                                      # the DP band width)
     target_pad: int = 256             # extra target window beyond read length
     max_anchors_per_read: int = 512   # A: anchors kept per read-strand
     diag_bucket_log2: int = 8         # diagonal bin width = 256
@@ -111,9 +121,20 @@ class MappingParams:
     def with_read_len(self, max_read_len: int) -> "MappingParams":
         return dataclasses.replace(self, max_read_len=max_read_len)
 
+    def band_width_for(self, read_len: int) -> int:
+        """DP band for a bucket cap: narrow (packed) band when the drift
+        schedule can track it, full band otherwise."""
+        if self.narrow_band and read_len <= self.narrow_band_max:
+            return self.narrow_band
+        return self.band_width
+
     def validate(self) -> None:
-        if self.band_width % 128 != 0:
-            raise ValueError("band_width must be a multiple of 128 (TPU lanes)")
+        if self.band_width % 128 != 0 and self.band_width not in (32, 64):
+            raise ValueError(
+                "band_width must be a multiple of 128 (TPU lanes) or 32/64 "
+                "(packed lanes)")
+        if self.narrow_band and self.narrow_band not in (32, 64, 128):
+            raise ValueError("narrow_band must be 0, 32, 64 or 128")
         if not (1 <= self.min_match_length <= 30):
             # 2 bits/base: int32 keys to k=15, split int64 keys to k=30
             raise ValueError("min_match_length must be in [1, 30]")

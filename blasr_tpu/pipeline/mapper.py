@@ -29,7 +29,14 @@ import numpy as np
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.ops.anchors import find_anchors, find_anchors_wide
 from blasr_tpu.ops.fm_search import find_anchors_fm
-from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+from blasr_tpu.ops.banded_align import (
+    QOFF_NUM_HALF,
+    QOFF_SHIFT,
+    AlignScores,
+    banded_align,
+    make_qoff,
+    make_qoff_num,
+)
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 from blasr_tpu.ops.mapqv import map_qv_reference
@@ -319,7 +326,10 @@ def _map_batch_impl(
     B, L = codes.shape
     C = params.n_candidates
     T = L + params.target_pad
-    W = params.band_width
+    W = params.band_width_for(L)
+    if use_pallas and W < 128:
+        W = params.band_width  # packed narrow-band kernel lands next
+    CW = params.candidate_win
     G = genome_len
 
     # ---- strands ----
@@ -381,10 +391,10 @@ def _map_batch_impl(
         )
 
     # ---- candidate windows ----
-    aw = anchor_weights(anh, avalid, G, W, params.pval_type)
+    aw = anchor_weights(anh, avalid, G, CW, params.pval_type)
     cand = select_candidates(
         at, aq, aw, avalid,
-        n_candidates=C, win=W, k=k,
+        n_candidates=C, win=CW, k=k,
     )                                                       # (2B, C)
 
     # ---- cross-strand DP-candidate selection: keep only the CD best
@@ -432,7 +442,38 @@ def _map_batch_impl(
         affine_extend=params.affine_extend,
         matrix=params.score_matrix,
     )
-    qoff = jnp.asarray(make_qoff(L, T, W, params.target_pad // 2))
+    # ---- drift-slope band schedule (role of GuidedAlign.h:104's
+    # drift-following Guide): fit per-item chain slope d(q) over the
+    # window's anchors, take the batch median, and bias the shared band
+    # schedule so systematic ins/del drift stays centred. This is what
+    # lets the narrow (packed) band replace the reference's band-16 guide.
+    if W < 128:
+        atr = at[row]                                       # (I, A)
+        aqr = aq[row]
+        avr = avalid[row]
+        din = atr - aqr - d0[:, None]
+        m = avr & (jnp.abs(din) <= CW)
+        mf = m.astype(jnp.float32)
+        qf = aqr.astype(jnp.float32) * mf
+        df = din.astype(jnp.float32) * mf
+        n_a = mf.sum(1)
+        sq = qf.sum(1)
+        sd = df.sum(1)
+        sqq = (qf * qf * jnp.where(m, 1.0, 0.0)).sum(1)
+        sqd = (qf * df).sum(1)
+        denom = n_a * sqq - sq * sq
+        ok = (n_a >= 3) & (denom > 1e3)
+        slope_i = jnp.where(ok, (n_a * sqd - sq * sd) / jnp.maximum(denom, 1.0), jnp.nan)
+        slope_med = jnp.nan_to_num(
+            jnp.nanmedian(jnp.where(cvalid, slope_i, jnp.nan)), nan=0.0
+        )
+        slope_med = jnp.clip(slope_med, -0.15, 0.15)
+        qoff_num = jnp.round(
+            jnp.float32(1 << QOFF_SHIFT) / (2.0 + slope_med)
+        ).astype(jnp.int32)
+    else:
+        qoff_num = jnp.int32(QOFF_NUM_HALF)
+    qoff = make_qoff_num(L, T, W, params.target_pad // 2, qoff_num)
 
     # ---- ONE DP pass with traceback over every candidate; the arrow
     # tensor stays in HBM and the walk below reads only the winners' paths.
@@ -453,6 +494,8 @@ def _map_batch_impl(
         res1.arrows, qoff, res1.best_a, res1.best_w,
         cscore, qitems, tcodes,
         qoff_params=(params.target_pad // 2, W, L),
+        qoff_num=qoff_num,
+        pack=(128 // W) if (use_pallas and W < 128) else 1,
     )
 
     sc = cscore.reshape(B, CD)
