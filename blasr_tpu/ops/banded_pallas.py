@@ -2,14 +2,14 @@
 
 Same contract and cell semantics as ops/banded_align.py (the XLA-scan
 reference implementation, kept as the CPU/test oracle) — see that module
-for the recurrence. The kernel maps the band (W=128) onto the lane dim,
-an item tile onto sublanes, and walks anti-diagonals as the minor grid
-dimension with the H/E/F wavefront carried in VMEM scratch; arrow bytes
-stream straight to HBM one (IT, W) tile per step.
+for the recurrence. The kernel maps the band onto the lane dim, an item
+tile onto sublanes, and walks anti-diagonals as the minor grid dimension
+with the H/E/F wavefront carried in VMEM scratch; arrow bytes stream
+straight to HBM one (IT, LW) tile per step.
 
 Role of reference KBandAlign.h / GuidedAlign.h / AffineKBandAlign.h inner
 loops (row-sequential, pointer-chasing) — re-derived as a vector program:
-per step everything is elementwise on (IT, W) int32 registers; the only
+per step everything is elementwise on (IT, LW) int32 registers; the only
 non-elementwise ops are the dynamic window rotations (Mosaic supports a
 traced lane rotate but not unaligned dynamic vector loads) and three
 lane shifts (selected among static shifts because the band offset moves
@@ -18,6 +18,18 @@ by 0/1).
 U anti-diagonals advance per grid iteration: the band offset moves at
 most one lane per step, so one rotation serves U sub-steps via static
 sub-slices — rotation cost and grid overhead amortize U-fold.
+
+**Packed narrow bands (W = 64 / 32).** Mosaic tiles the lane dim at 128,
+so a narrower band would waste lanes. Instead P = 128 // W items share one
+lane row with their bands INTERLEAVED: lane = P*w + p holds band index w
+of item (P*row + p). Band-position shifts become lane shifts of P (never
+crossing parity), window extraction stays one contiguous rotate (packed
+column = P * band column), and per-item scalars become precomputed
+interleaved (row, 128) vectors. The DP runs at full lane utilization with
+1/P the rows — W=64 costs half of W=128. Pairs share the band schedule
+(the drift-slope qoff of banded_align.make_qoff_num), which all items of a
+batch share anyway. The arrow tensor keeps the packed layout; the device
+walk (ops/traceback_device.py) indexes it with the same lane formula.
 """
 
 from __future__ import annotations
@@ -52,34 +64,35 @@ UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
 # sweep history (I=256, L=1024, W=128, real v5e via tunnel): with
 # block-staged windows IT=32/U=2 23.6 ms, IT=64/U=4 20.4, IT=128/U=2 16.5,
 # IT=256/U=2 15.6, IT=256/U=8 16.9 — large item tiles amortize grid
-# overhead now that per-iter VMEM is 6 (IT, W) blocks, not full rows
+# overhead now that per-iter VMEM is 6 (IT, LW) blocks, not full rows
 
 
 def _shift(
-    x: jax.Array, dlt: jax.Array, IT: int, W: int, fill=INF,
+    x: jax.Array, dlt: jax.Array, LW: int, P: int, fill=INF,
     lo: int = -1, hi: int = 1,
 ) -> jax.Array:
     """Value at band index w + dlt for traced dlt in {lo..hi} ⊆ {-1,0,+1}.
 
-    The band offset moves 0 or 1 per anti-diagonal, so each use site knows
-    a 2-element range for its delta (e.g. s1-1 in {-1,0}) — selecting
-    between 2 statically-shifted views instead of 3 saves a pad column and
-    a vector select on every use."""
-    padl = 1 if lo < 0 else 0
-    padr = 1 if hi > 0 else 0
+    Band-position deltas are lane deltas of P (packed items never mix:
+    a P-lane shift maps parity to itself). The band offset moves 0 or 1
+    per anti-diagonal, so each use site knows a 2-element range for its
+    delta — selecting between 2 statically-shifted views instead of 3
+    saves a pad column and a vector select on every use."""
+    padl = P if lo < 0 else 0
+    padr = P if hi > 0 else 0
     xp = jnp.pad(x, ((0, 0), (padl, padr)), constant_values=fill)
-    out = xp[:, padl + lo : padl + lo + W]
+    out = xp[:, padl + lo * P : padl + lo * P + LW]
     for d in range(lo + 1, hi + 1):
-        out = jnp.where(dlt == d, xp[:, padl + d : padl + d + W], out)
+        out = jnp.where(dlt == d, xp[:, padl + d * P : padl + d * P + LW], out)
     return out
 
 
-def _subwin(rolled: jax.Array, off: jax.Array, W: int, max_off: int) -> jax.Array:
-    """rolled[:, off : off + W] for traced off in {0..max_off} (selected
-    among static slices)."""
-    out = rolled[:, 0:W]
+def _subwin(rolled: jax.Array, off: jax.Array, LW: int, P: int, max_off: int) -> jax.Array:
+    """rolled[:, P*off : P*off + LW] for traced band offset off in
+    {0..max_off} (selected among static slices)."""
+    out = rolled[:, 0:LW]
     for o in range(1, max_off + 1):
-        out = jnp.where(off == o, rolled[:, o : o + W], out)
+        out = jnp.where(off == o, rolled[:, o * P : o * P + LW], out)
     return out
 
 
@@ -110,7 +123,7 @@ def _cell_dtype_for(scores: AlignScores, L: int, T: int):
 
 
 def _make_kernel(
-    scores: AlignScores, S: int, W: int, IT: int, Tp: int,
+    scores: AlignScores, S: int, W: int, P: int, IT: int, Tp: int,
     with_traceback: bool, with_qual: bool, cdt, inf_k,
 ):
     m_sc = cdt(scores.match)
@@ -121,12 +134,13 @@ def _make_kernel(
     go = cdt(scores.affine_open)
     ge = cdt(scores.affine_extend)
     U = UNROLL
+    LW = W * P
 
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
-        qa_ref, qb_ref, qc_ref,            # (IT, W) int32 query window blocks
-        ta_ref, tb_ref, tc_ref,            # (IT, W) int32 rev-target blocks
-        qlen_ref, tlo_ref, thi_ref,        # (IT, 1) int32
+        qa_ref, qb_ref, qc_ref,            # (IT, LW) int32 query window blocks
+        ta_ref, tb_ref, tc_ref,            # (IT, LW) int32 rev-target blocks
+        qlen_ref, tlo_ref, thi_ref,        # (IT, 1) / packed (IT, LW) int32
         # with_qual: 3 qual block refs precede outputs
         *refs,
     ):
@@ -145,36 +159,36 @@ def _make_kernel(
 
         @pl.when(it == 0)
         def _init():
-            H1s[:] = jnp.full((IT, W), inf_k, cdt)
-            H2s[:] = jnp.full((IT, W), inf_k, cdt)
-            E1s[:] = jnp.full((IT, W), inf_k, cdt)
-            F1s[:] = jnp.full((IT, W), inf_k, cdt)
-            R1s[:] = jnp.zeros((IT, W), cdt)
-            R2s[:] = jnp.zeros((IT, W), cdt)
-            bests[:] = jnp.zeros((IT, 3), jnp.int32)
+            H1s[:] = jnp.full((IT, LW), inf_k, cdt)
+            H2s[:] = jnp.full((IT, LW), inf_k, cdt)
+            E1s[:] = jnp.full((IT, LW), inf_k, cdt)
+            F1s[:] = jnp.full((IT, LW), inf_k, cdt)
+            R1s[:] = jnp.zeros((IT, LW), cdt)
+            R2s[:] = jnp.zeros((IT, LW), cdt)
+            bests[:] = jnp.zeros((IT, 3 * P), jnp.int32)
 
         a0 = it * U
         qo0 = qoff_ref[a0]
-        # The input specs deliver the 3 W-wide blocks covering the current
+        # The input specs deliver the 3 LW-wide blocks covering the current
         # window (index maps read the same prefetched scalars), so the
-        # dynamic extraction is a small (IT, 3W) rotate instead of rolling
+        # dynamic extraction is a small (IT, 3*LW) rotate instead of rolling
         # the full padded rows; one rotation serves all U sub-steps (the
-        # band offset moves <= 1/step).
+        # band offset moves <= 1/step). Packed columns = P * band columns.
         qin = (qo0 // W) * W
         qcat = jnp.concatenate([qa_ref[:], qb_ref[:], qc_ref[:]], axis=1)
-        qroll = pltpu.roll(qcat, shift=(3 * W - (qo0 - qin)) % (3 * W), axis=1)
+        qroll = pltpu.roll(qcat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1)
         tstart0 = (Tp - 1 - W) - (a0 - qo0)
         tbase = tstart0 - (U - 1)
         tin = (tbase // W) * W
         tcat = jnp.concatenate([ta_ref[:], tb_ref[:], tc_ref[:]], axis=1)
-        troll = pltpu.roll(tcat, shift=(3 * W - (tbase - tin)) % (3 * W), axis=1)
+        troll = pltpu.roll(tcat, shift=(3 * LW - P * (tbase - tin)) % (3 * LW), axis=1)
         quroll = None
         if with_qual:
             qucat = jnp.concatenate(
                 [qua_ref[:], qub_ref[:], quc_ref[:]], axis=1
             )
             quroll = pltpu.roll(
-                qucat, shift=(3 * W - (qo0 - qin)) % (3 * W), axis=1
+                qucat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
             )
 
         H1 = H1s[:]
@@ -183,11 +197,12 @@ def _make_kernel(
         F1 = F1s[:]
         R1 = R1s[:]
         R2 = R2s[:]
-        best = bests[:, 0:1]
-        besta = bests[:, 1:2]
-        bestw = bests[:, 2:3]
+        best = bests[:, 0:P]
+        besta = bests[:, P:2 * P]
+        bestw = bests[:, 2 * P:3 * P]
 
-        w_ar = jax.lax.broadcasted_iota(jnp.int32, (IT, W), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (IT, LW), 1)
+        w_ar = lane // P if P > 1 else lane         # band index per lane
         inf = jnp.asarray(inf_k)
         # int16 mode: masks must be born in the (16,128)-tile domain —
         # Mosaic cannot relayout an (8,128) i1 mask from int32 compares
@@ -210,10 +225,10 @@ def _make_kernel(
             if u > 0:
                 qd = qd + s1
             qo = qo0 + qd
-            qwin = _subwin(qroll, qd, W, U - 1)
+            qwin = _subwin(qroll, qd, LW, P, U - 1)
             # tstart(a) - tbase = (U - 1) + (qd - u), in {0..U-1}
             toff = (U - 1) + qd - u
-            twin = _subwin(troll, toff, W, U - 1)
+            twin = _subwin(troll, toff, LW, P, U - 1)
 
             qwin = cast(qwin)
             twin = cast(twin)
@@ -228,7 +243,7 @@ def _make_kernel(
             )
 
             if with_qual:
-                quwin = _subwin(quroll, qd, W, U - 1)
+                quwin = _subwin(quroll, qd, LW, P, U - 1)
                 qv = jnp.clip(quwin, 4, 30)
                 x_cell = cast(jnp.maximum((jnp.int32(x_sc) * qv + 7) // 15, 1))
                 ins_cell = cast(jnp.maximum((jnp.int32(ins_sc) * qv + 7) // 15, 1))
@@ -245,12 +260,12 @@ def _make_kernel(
                 anyn = (qwin >= 4) | (twin >= 4)
                 sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
-            H1_up = _shift(H1, s1 - 1, IT, W, fill=inf_k)
-            H1_left = _shift(H1, s1, IT, W, fill=inf_k)
-            E1_left = _shift(E1, s1, IT, W, fill=inf_k)
-            F1_up = _shift(F1, s1 - 1, IT, W, fill=inf_k)
-            H2_diag = _shift(H2, s1 + s2 - 1, IT, W, fill=inf_k)
-            R2_diag = _shift(R2, s1 + s2 - 1, IT, W, fill=cdt(0))
+            H1_up = _shift(H1, s1 - 1, LW, P, fill=inf_k)
+            H1_left = _shift(H1, s1, LW, P, fill=inf_k)
+            E1_left = _shift(E1, s1, LW, P, fill=inf_k)
+            F1_up = _shift(F1, s1 - 1, LW, P, fill=inf_k)
+            H2_diag = _shift(H2, s1 + s2 - 1, LW, P, fill=inf_k)
+            R2_diag = _shift(R2, s1 + s2 - 1, LW, P, fill=cdt(0))
 
             e_open = H1_left + go
             E_new = jnp.minimum(E1_left, e_open) + ge
@@ -301,13 +316,31 @@ def _make_kernel(
                 ).astype(jnp.uint8)
 
             # Mosaic lacks int16 reductions and integer argmin: reduce a
-            # widened copy (one cast), argmin as min over masked iota
+            # widened copy (one cast), argmin as min over masked iota.
+            # P > 1: reduce each parity's lanes separately -> (IT, P)
             H32 = H_new if cdt == np.int32 else H_new.astype(jnp.int32)
-            row_min32 = jnp.min(H32, axis=1, keepdims=True)       # (IT, 1)
-            row_arg = jnp.min(
-                jnp.where(H32 == row_min32, w_ar, jnp.int32(W)),
-                axis=1, keepdims=True,
-            )
+            if P == 1:
+                row_min32 = jnp.min(H32, axis=1, keepdims=True)   # (IT, 1)
+                row_arg = jnp.min(
+                    jnp.where(H32 == row_min32, w_ar, jnp.int32(W)),
+                    axis=1, keepdims=True,
+                )
+            else:
+                mins = []
+                args = []
+                par = lane - w_ar * P                             # lane % P
+                big = jnp.int32(INF)
+                for p in range(P):
+                    Hp = jnp.where(par == p, H32, big)
+                    mp = jnp.min(Hp, axis=1, keepdims=True)
+                    ap = jnp.min(
+                        jnp.where(Hp == mp, w_ar, jnp.int32(W)),
+                        axis=1, keepdims=True,
+                    )
+                    mins.append(mp)
+                    args.append(ap)
+                row_min32 = jnp.concatenate(mins, axis=1)         # (IT, P)
+                row_arg = jnp.concatenate(args, axis=1)
             better = row_min32 < best
             best = jnp.minimum(best, row_min32)
             besta = jnp.where(better, a, besta)
@@ -326,9 +359,9 @@ def _make_kernel(
         F1s[:] = F1
         R1s[:] = R1
         R2s[:] = R2
-        bests[:, 0:1] = best
-        bests[:, 1:2] = besta
-        bests[:, 2:3] = bestw
+        bests[:, 0:P] = best
+        bests[:, P:2 * P] = besta
+        bests[:, 2 * P:3 * P] = bestw
 
         @pl.when(it == pl.num_programs(1) - 1)
         def _finish():
@@ -337,6 +370,12 @@ def _make_kernel(
             bestw_ref[:] = bestw
 
     return kernel
+
+
+def _interleave(x: jax.Array, P: int) -> jax.Array:
+    """(I, N) -> (I//P, N*P) with column P*j+p = x[P*r+p, j]."""
+    I, N = x.shape
+    return x.reshape(I // P, P, N).transpose(0, 2, 1).reshape(I // P, N * P)
 
 
 @functools.partial(
@@ -361,9 +400,12 @@ def banded_align_pallas(
     S = int(qoff.shape[0])
     assert S == L + T - 1
     W = band_width
+    P = 128 // W if W < 128 else 1      # packed items per lane row
+    LW = W * P
     tlo = jnp.maximum(tlo, 0)  # kernel relies on tlo >= 0 (see valid mask)
-    IT = min(ITEM_TILE, I0)
-    I = -(-I0 // IT) * IT
+    # rows after packing must tile; items pad to IT*P
+    IT = min(ITEM_TILE, max(1, -(-I0 // P)))
+    I = -(-I0 // (IT * P)) * (IT * P)
     if I != I0:  # pad items up to a tile multiple; padded rows align nothing
         pad_i = I - I0
         query = jnp.pad(query, ((0, pad_i), (0, 0)), constant_values=4)
@@ -373,6 +415,7 @@ def banded_align_pallas(
         thi = jnp.pad(thi, (0, pad_i))
         if qual is not None:
             qual = jnp.pad(qual, ((0, pad_i), (0, 0)), constant_values=15)
+    R = I // P
 
     # rows sized to a whole number of W-wide blocks: the grid fetches the
     # 3 blocks covering the moving window (scalar-prefetch index maps), so
@@ -405,26 +448,50 @@ def banded_align_pallas(
         quext = jnp.pad(
             qual.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=15
         )
+    if P > 1:
+        qext = _interleave(qext, P)
+        trev = _interleave(trev, P)
+        if with_qual:
+            quext = _interleave(quext, P)
+
+        def _scal(x):  # (I,) -> (R, LW) interleaved broadcast
+            return jnp.broadcast_to(
+                x.astype(jnp.int32).reshape(R, 1, P), (R, W, P)
+            ).reshape(R, LW)
+
+        qlen_in = _scal(qlen)
+        tlo_in = _scal(tlo)
+        thi_in = _scal(thi)
+        scal_spec = pl.BlockSpec(
+            (IT, LW), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        qlen_in = qlen.astype(jnp.int32)[:, None]
+        tlo_in = tlo.astype(jnp.int32)[:, None]
+        thi_in = thi.astype(jnp.int32)[:, None]
+        scal_spec = pl.BlockSpec(
+            (IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+        )
     cdt, inf_k = _cell_dtype_for(scores, L, T)
     kernel = _make_kernel(
-        scores, S, W, IT, Tp, with_traceback, with_qual, cdt, inf_k
+        scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # best
-        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # besta
-        jax.ShapeDtypeStruct((I, 1), jnp.int32),   # bestw
+        jax.ShapeDtypeStruct((R, P), jnp.int32),   # best
+        jax.ShapeDtypeStruct((R, P), jnp.int32),   # besta
+        jax.ShapeDtypeStruct((R, P), jnp.int32),   # bestw
     ]
     out_specs = [
-        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
     ]
     if with_traceback:
-        out_shapes = [jax.ShapeDtypeStruct((S2p, I, W), jnp.uint8)] + out_shapes
+        out_shapes = [jax.ShapeDtypeStruct((S2p, R, LW), jnp.uint8)] + out_shapes
         out_specs = [
             pl.BlockSpec(
-                (UNROLL, IT, W), lambda i, s, *_: (s, i, 0),
+                (UNROLL, IT, LW), lambda i, s, *_: (s, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ] + out_specs
@@ -432,10 +499,10 @@ def banded_align_pallas(
     U = UNROLL
 
     def _wspec(block_off):
-        # query window block: covers [jq*W, (jq+1)*W) with jq from the
-        # prefetched band offset of this grid step
+        # query window block: covers band cols [jq*W, (jq+1)*W) (packed
+        # cols [jq*LW, (jq+1)*LW)) with jq from the prefetched band offset
         return pl.BlockSpec(
-            (IT, W),
+            (IT, LW),
             lambda i, s, qoff, s1, s2, _o=block_off: (i, qoff[s * U] // W + _o),
             memory_space=pltpu.VMEM,
         )
@@ -445,29 +512,27 @@ def banded_align_pallas(
             tb = (Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)
             return (i, tb // W + _o)
 
-        return pl.BlockSpec((IT, W), _map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(I // IT, NIT),
+        grid=(R // IT, NIT),
         in_specs=[
             _wspec(0), _wspec(1), _wspec(2),
             _tspec(0), _tspec(1), _tspec(2),
-            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            scal_spec, scal_spec, scal_spec,
         ] + (
             [_wspec(0), _wspec(1), _wspec(2)] if with_qual else []
         ),
         out_specs=tuple(out_specs),
         scratch_shapes=[
-            pltpu.VMEM((IT, W), cdt),        # H1
-            pltpu.VMEM((IT, W), cdt),        # H2
-            pltpu.VMEM((IT, W), cdt),        # E1
-            pltpu.VMEM((IT, W), cdt),        # F1
-            pltpu.VMEM((IT, W), cdt),        # R1
-            pltpu.VMEM((IT, W), cdt),        # R2
-            pltpu.VMEM((IT, 3), jnp.int32),  # best/besta/bestw
+            pltpu.VMEM((IT, LW), cdt),        # H1
+            pltpu.VMEM((IT, LW), cdt),        # H2
+            pltpu.VMEM((IT, LW), cdt),        # E1
+            pltpu.VMEM((IT, LW), cdt),        # F1
+            pltpu.VMEM((IT, LW), cdt),        # R1
+            pltpu.VMEM((IT, LW), cdt),        # R2
+            pltpu.VMEM((IT, 3 * P), jnp.int32),  # best/besta/bestw
         ],
     )
 
@@ -479,18 +544,17 @@ def banded_align_pallas(
     )(
         qoff_p, s1_p, s2_p,
         qext, qext, qext, trev, trev, trev,
-        qlen.astype(jnp.int32)[:, None],
-        tlo.astype(jnp.int32)[:, None],
-        thi.astype(jnp.int32)[:, None],
+        qlen_in, tlo_in, thi_in,
         *([quext, quext, quext] if with_qual else []),
     )
     if with_traceback:
         arrows, best, besta, bestw = outs
         if S2p != S:
             arrows = arrows[:S]
-        if I != I0:
-            arrows = arrows[:, :I0]
     else:
         best, besta, bestw = outs
         arrows = None
-    return BandedResult(best[:I0, 0], besta[:I0, 0], bestw[:I0, 0], arrows)
+    best = best.reshape(-1)[:I0]
+    besta = besta.reshape(-1)[:I0]
+    bestw = bestw.reshape(-1)[:I0]
+    return BandedResult(best, besta, bestw, arrows)

@@ -327,8 +327,6 @@ def _map_batch_impl(
     C = params.n_candidates
     T = L + params.target_pad
     W = params.band_width_for(L)
-    if use_pallas and W < 128:
-        W = params.band_width  # packed narrow-band kernel lands next
     CW = params.candidate_win
     G = genome_len
 

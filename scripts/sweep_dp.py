@@ -25,7 +25,8 @@ def run_one() -> None:
     from blasr_tpu.ops.banded_align import AlignScores, make_qoff
     from blasr_tpu.ops.banded_pallas import ITEM_TILE, UNROLL, banded_align_pallas
 
-    I, L, W, TP = 256, 1024, 128, 256
+    I, L, TP = 256, 1024, 256
+    W = int(os.environ.get("BLASR_SWEEP_W", "128"))
     T = L + TP
     rng = np.random.default_rng(0)
     Q = rng.integers(0, 4, (I, L)).astype(np.uint8)
@@ -66,7 +67,7 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "one":
         run_one()
         return
-    variants = [(128, 2), (128, 4), (256, 2), (256, 4), (256, 8)]
+    variants = [(256, 2)]
     for it, u in variants:
         env = dict(os.environ)
         env["BLASR_DP_ITEM_TILE"] = str(it)

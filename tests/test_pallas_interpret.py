@@ -46,3 +46,83 @@ def test_pallas_interpret_score_only():
     ref = banded_align(*args, None, with_traceback=False)
     got = banded_align_pallas(*args, None, with_traceback=False, interpret=True)
     np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
+
+
+def _problem_w(seed, W, I=8, L=96, T=140, num=None):
+    from blasr_tpu.ops.banded_align import make_qoff_num
+
+    rng = np.random.default_rng(seed)
+    Q = rng.integers(0, 4, (I, L)).astype(np.uint8)
+    Tc = rng.integers(0, 4, (I, T)).astype(np.uint8)
+    for i in range(I):
+        Tc[i, 10 : 10 + L - 20] = Q[i, : L - 20]
+    qlen = np.full(I, L, np.int32)
+    if num is None:
+        qoff = jnp.asarray(make_qoff(L, T, W, (T - L) // 2))
+    else:
+        qoff = make_qoff_num(L, T, W, (T - L) // 2, num)
+    return (
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff,
+    )
+
+
+def test_pallas_interpret_packed_narrow_bands():
+    """Packed narrow bands (P = 128//W items interleaved per lane row)
+    match the XLA oracle bit-exactly, including the walked paths through
+    the interleaved arrow tensor."""
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    for W, seed in ((64, 2), (32, 3)):
+        args = _problem_w(seed, W, I=8)
+        ref = banded_align(*args, None, with_traceback=True, band_width=W)
+        got = banded_align_pallas(
+            *args, None, with_traceback=True, band_width=W, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
+        np.testing.assert_array_equal(np.asarray(ref.best_a), np.asarray(got.best_a))
+        np.testing.assert_array_equal(np.asarray(ref.best_w), np.asarray(got.best_w))
+
+        # walk both arrow tensors (packed layout for the pallas one)
+        Q, qlen, Tc, tlo, thi, qoff = args
+        P = 128 // W
+        wr = walk_arrows_device(ref.arrows, qoff, ref.best_a, ref.best_w,
+                                ref.score, Q, Tc)
+        wg = walk_arrows_device(got.arrows, qoff, got.best_a, got.best_w,
+                                got.score, Q, Tc, pack=P)
+        for f in ("nops", "q_start", "q_end", "t_start", "t_end",
+                  "n_match", "n_mismatch", "n_ins", "n_del"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(wr, f)), np.asarray(getattr(wg, f)), err_msg=f
+            )
+        np.testing.assert_array_equal(
+            np.asarray(wr.moves_dense), np.asarray(wg.moves_dense)
+        )
+
+
+def test_pallas_interpret_sloped_qoff():
+    """Drift-slope schedule (make_qoff_num) through the packed kernel and
+    the walk's rational analytic qoff agree with the oracle."""
+    from blasr_tpu.ops.banded_align import QOFF_SHIFT
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    num = jnp.int32(round((1 << QOFF_SHIFT) / (2.0 - 0.04)))
+    W = 64
+    args = _problem_w(5, W, I=8, num=num)
+    ref = banded_align(*args, None, with_traceback=True, band_width=W)
+    got = banded_align_pallas(
+        *args, None, with_traceback=True, band_width=W, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
+    Q, qlen, Tc, tlo, thi, qoff = args
+    L, T = Q.shape[1], Tc.shape[1]
+    # analytic rational qoff must equal the table-driven walk
+    wt = walk_arrows_device(ref.arrows, qoff, ref.best_a, ref.best_w,
+                            ref.score, Q, Tc)
+    wa = walk_arrows_device(ref.arrows, qoff, ref.best_a, ref.best_w,
+                            ref.score, Q, Tc,
+                            qoff_params=((T - L) // 2, W, L), qoff_num=num)
+    for f in ("nops", "q_start", "q_end", "t_start", "t_end", "n_match"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(wt, f)), np.asarray(getattr(wa, f)), err_msg=f
+        )
