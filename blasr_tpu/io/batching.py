@@ -25,6 +25,10 @@ class Read:
     codes: np.ndarray            # uint8 [n]
     qual: Optional[np.ndarray] = None  # uint8 [n] phred, or None (FASTA)
     index: int = -1              # position in the input stream
+    # supplemental QV tracks (the samqv set, SAMSupplementalQVList.h:7-9):
+    # 'iq' 'dq' 'sq' 'mq' -> uint8 phred arrays, 'st' 'dt' -> uint8 base
+    # codes; populated from SAM optional fields, echoed back on SAM output
+    qvs: Optional[dict] = None
 
     def __len__(self) -> int:
         return len(self.codes)

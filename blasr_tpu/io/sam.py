@@ -147,14 +147,32 @@ def sam_records_to_reads(sam: SAMFile):
         seen.add(rec.qname)
         codes = seq_to_codes(rec.seq.encode())
         qual = rec.qual
+        # supplemental QV tracks (samqv tags, SAMAlignment.h:280-296 /
+        # SAMSupplementalQVList.h): iq/dq/sq/mq are phred+33 strings,
+        # st/dt nucleotide strings; restore read orientation with the seq
+        qvs = {}
+        for tag in ("iq", "dq", "sq", "mq"):
+            v = rec.tags.get(tag)
+            if v is not None and len(v) == len(codes):
+                qvs[tag] = np.frombuffer(v.encode(), np.uint8) - 33
+        for tag in ("st", "dt"):
+            v = rec.tags.get(tag)
+            if v is not None and len(v) == len(codes):
+                qvs[tag] = seq_to_codes(v.encode())
         if rec.is_reverse:
             codes = revcomp_codes(codes)
             qual = qual[::-1].copy() if qual is not None else None
+            for tag in ("iq", "dq", "sq", "mq"):
+                if tag in qvs:
+                    qvs[tag] = qvs[tag][::-1].copy()
+            for tag in ("st", "dt"):
+                if tag in qvs:
+                    qvs[tag] = revcomp_codes(qvs[tag])
         # strip a whole-read /0_<len> suffix (the reference's SMRTSequence
         # naming, re-appended on output) so round-trips are stable
         name = rec.qname
         base, _, tail = name.rpartition("/")
         if base and tail.startswith("0_") and tail[2:].isdigit() and int(tail[2:]) == len(codes):
             name = base
-        out.append(Read(name, codes, qual, len(out)))
+        out.append(Read(name, codes, qual, len(out), qvs=qvs or None))
     return out

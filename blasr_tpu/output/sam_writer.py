@@ -204,6 +204,23 @@ def format_sam_record(
     if clipping in ("soft", "subread", "hard"):
         # read.qs/qe (SMRTSequence subread bounds; 1..len+1 for whole reads)
         tags += [f"qs:i:{1}", f"qe:i:{n + 1}"]
+    if read.qvs:
+        # echo supplemental QV tracks (SAMPrinter.h:534-549 /
+        # SAMSupplementalQVList::PrintQVOptionalFields): oriented with the
+        # emitted SEQ and clipped like it
+        for tag in ("iq", "dq", "sq", "mq", "st", "dt"):
+            tr = read.qvs.get(tag)
+            if tr is None or len(tr) != n:
+                continue
+            if rec.tstrand == 1:
+                tr = revcomp_codes(tr) if tag in ("st", "dt") else tr[::-1]
+            if clipping == "hard":
+                tr = tr[p.q_start : p.q_end]
+            if tag in ("st", "dt"):
+                tags.append(f"{tag}:Z:{codes_to_seq(tr)}")
+            else:
+                s = (np.minimum(np.asarray(tr), 93) + 33).astype(np.uint8)
+                tags.append(f"{tag}:Z:{s.tobytes().decode()}")
     tags += [
         f"zm:i:{_parse_zmw(rec.qname)}",
         f"XL:i:{p.q_end - p.q_start}",

@@ -70,3 +70,55 @@ def test_read_records_dispatch(tmp_path):
     write_fastq(p, [("x", seq_to_codes("AC"), np.array([1, 2], dtype=np.uint8))])
     recs = read_records(p)
     assert recs[0].qual is not None
+
+
+def test_sam_qv_tracks_roundtrip(tmp_path):
+    """samqv supplemental tracks (iq/dq/sq/mq/st/dt) survive SAM input ->
+    Read -> SAM output, with orientation restored on reverse-strand records
+    (SAMAlignment.h:280-296 parse, SAMPrinter.h:534-549 emission)."""
+    import numpy as np
+
+    from blasr_tpu.core.encode import codes_to_seq, revcomp_codes, seq_to_codes
+    from blasr_tpu.io.sam import read_sam, sam_records_to_reads
+
+    rng = np.random.default_rng(21)
+    n = 40
+    codes = rng.integers(0, 4, n).astype(np.uint8)
+    iq = rng.integers(5, 40, n).astype(np.uint8)
+    dt = rng.integers(0, 4, n).astype(np.uint8)
+    seq_rc = codes_to_seq(revcomp_codes(codes))
+    iq_s = (iq[::-1] + 33).tobytes().decode()          # stored in SAM orientation
+    dt_s = codes_to_seq(revcomp_codes(dt))
+    sam = tmp_path / "r.sam"
+    sam.write_text(
+        "@HD\tVN:1.5\n@SQ\tSN:chr1\tLN:1000\n"
+        f"read1\t16\tchr1\t1\t30\t{n}M\t*\t0\t0\t{seq_rc}\t*\t"
+        f"iq:Z:{iq_s}\tdt:Z:{dt_s}\n"
+    )
+    reads = sam_records_to_reads(read_sam(str(sam)))
+    assert len(reads) == 1
+    rd = reads[0]
+    # orientation restored: tracks are in original-read coordinates
+    assert np.array_equal(rd.codes, codes)
+    assert np.array_equal(rd.qvs["iq"], iq)
+    assert np.array_equal(rd.qvs["dt"], dt)
+
+    # writer echoes the tags oriented with the emitted SEQ
+    from blasr_tpu.output.sam_writer import format_sam_record
+    from blasr_tpu.pipeline.runner import AlignmentRecord
+    from blasr_tpu.pipeline.traceback import AlignmentPath
+
+    ops = np.full(n, 1, np.uint8)
+    path = AlignmentPath(0, n, 0, n, ops, -100, n_match=n)
+    rec = AlignmentRecord(
+        qname=rd.name, tname="chr1", score=-100, pct_similarity=100.0,
+        qstrand=0, qstart=0, qend=n, qlength=n, tstrand=1, tstart=0,
+        tend=n, tlength=1000, mapqv=254, contig_index=0, tstart_fwd=0,
+        tend_fwd=n, path=path, read_index=0,
+    )
+    line = format_sam_record(rec, rd)
+    fields = dict(
+        f.split(":", 2)[0::2] for f in line.split("\t")[11:] if ":" in f
+    )
+    assert fields["iq"] == iq_s
+    assert fields["dt"] == dt_s
