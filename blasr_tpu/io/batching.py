@@ -172,6 +172,15 @@ def batch_reads(
     for cap in sorted(buckets):
         group = buckets[cap]
         has_qual = any(r.qual is not None for r in group)
+        # IDS scoring (IDSScoreFunction.h role): when supplemental samqv
+        # tracks are present, the batch carries TWO phred streams packed in
+        # uint16 — low byte scales mismatches (sq, falling back to the
+        # primary qual), high byte scales insertions (iq) — which the DP
+        # kernels unpack per cell
+        has_ids = any(
+            r.qvs is not None and ("sq" in r.qvs or "iq" in r.qvs)
+            for r in group
+        )
         for ofs in range(0, len(group), batch_size):
             chunk = group[ofs : ofs + batch_size]
             b = len(chunk)
@@ -181,16 +190,32 @@ def batch_reads(
             names = [""] * batch_size
             # neutral phred 15 (= unscaled penalties) for rows/reads
             # without quality values in a mixed batch
-            qual = (
-                np.full((batch_size, cap), 15, dtype=np.uint8)
-                if has_qual else None
-            )
+            if has_ids:
+                qual = np.full(
+                    (batch_size, cap), 15 | (15 << 8), dtype=np.uint16
+                )
+            elif has_qual:
+                qual = np.full((batch_size, cap), 15, dtype=np.uint8)
+            else:
+                qual = None
             for j, r in enumerate(chunk):
                 n = min(len(r), cap)
                 codes[j, :n] = r.codes[:n]
                 lengths[j] = n
                 indices[j] = r.index
                 names[j] = r.name
-                if qual is not None and r.qual is not None:
-                    qual[j, :n] = r.qual[:n]
+                if qual is None:
+                    continue
+                base = r.qual[:n] if r.qual is not None else np.full(n, 15, np.uint8)
+                if has_ids:
+                    qvs = r.qvs or {}
+                    sub = qvs.get("sq")
+                    ins = qvs.get("iq")
+                    sub = sub[:n] if sub is not None else base
+                    ins = ins[:n] if ins is not None else base
+                    qual[j, :n] = sub.astype(np.uint16) | (
+                        ins.astype(np.uint16) << 8
+                    )
+                elif r.qual is not None:
+                    qual[j, :n] = base
             yield ReadBatch(codes, lengths, names, indices, qual)

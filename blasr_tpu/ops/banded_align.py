@@ -156,7 +156,14 @@ def banded_align(
     inf = jnp.int32(INF)
     qext = jnp.pad(query, ((0, 0), (0, W)), constant_values=4).astype(jnp.int8)
     quext = None
-    if qual is not None:
+    qual_dual = qual is not None and qual.dtype == jnp.uint16
+    if qual_dual:
+        # two packed phred streams (IDS scoring, IDSScoreFunction.h role):
+        # low byte scales mismatches (sq), high byte insertions (iq)
+        quext = jnp.pad(
+            qual, ((0, 0), (0, W)), constant_values=15 | (15 << 8)
+        ).astype(jnp.uint16)
+    elif qual is not None:
         quext = jnp.pad(qual, ((0, 0), (0, W)), constant_values=15).astype(jnp.uint8)
     # reversed padded target: trev[:, j] = tpad[:, Tp-1-j]; see offset math below
     tpad = jnp.pad(target, ((0, 0), (W, W)), constant_values=5).astype(jnp.int8)
@@ -195,8 +202,13 @@ def banded_align(
         twin = jax.lax.dynamic_slice_in_dim(trev, tstart, W, axis=1)
         if quext is not None:
             quwin = jax.lax.dynamic_slice_in_dim(quext, qo, W, axis=1)
-            x_cell = qv_scaled_costs(x_sc, quwin)
-            ins_cell = qv_scaled_costs(ins_sc, quwin)
+            if qual_dual:
+                qi = quwin.astype(jnp.int32)
+                x_cell = qv_scaled_costs(x_sc, qi & 255)
+                ins_cell = qv_scaled_costs(ins_sc, qi >> 8)
+            else:
+                x_cell = qv_scaled_costs(x_sc, quwin)
+                ins_cell = qv_scaled_costs(ins_sc, quwin)
         else:
             x_cell = x_sc
             ins_cell = ins_sc

@@ -125,6 +125,7 @@ def _cell_dtype_for(scores: AlignScores, L: int, T: int):
 def _make_kernel(
     scores: AlignScores, S: int, W: int, P: int, IT: int, Tp: int,
     with_traceback: bool, with_qual: bool, cdt, inf_k,
+    qual_dual: bool = False,
 ):
     m_sc = cdt(scores.match)
     x_sc = cdt(scores.mismatch)
@@ -244,9 +245,15 @@ def _make_kernel(
 
             if with_qual:
                 quwin = _subwin(quroll, qd, LW, P, U - 1)
-                qv = jnp.clip(quwin, 4, 30)
-                x_cell = cast(jnp.maximum((jnp.int32(x_sc) * qv + 7) // 15, 1))
-                ins_cell = cast(jnp.maximum((jnp.int32(ins_sc) * qv + 7) // 15, 1))
+                if qual_dual:
+                    # IDS dual streams: low byte = sq (mismatch scale),
+                    # high byte = iq (insertion scale)
+                    qv_x = jnp.clip(quwin & 255, 4, 30)
+                    qv_i = jnp.clip(quwin >> 8, 4, 30)
+                else:
+                    qv_x = qv_i = jnp.clip(quwin, 4, 30)
+                x_cell = cast(jnp.maximum((jnp.int32(x_sc) * qv_x + 7) // 15, 1))
+                ins_cell = cast(jnp.maximum((jnp.int32(ins_sc) * qv_i + 7) // 15, 1))
             else:
                 x_cell = x_sc
                 ins_cell = ins_sc
@@ -443,10 +450,12 @@ def banded_align_pallas(
     s2_p = jnp.pad(s2, (0, pad_s))
 
     with_qual = qual is not None
+    qual_dual = with_qual and qual.dtype == jnp.uint16
     quext = None
     if with_qual:
         quext = jnp.pad(
-            qual.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=15
+            qual.astype(jnp.int32), ((0, 0), (0, Lq - L)),
+            constant_values=(15 | (15 << 8)) if qual_dual else 15,
         )
     if P > 1:
         qext = _interleave(qext, P)
@@ -474,7 +483,8 @@ def banded_align_pallas(
         )
     cdt, inf_k = _cell_dtype_for(scores, L, T)
     kernel = _make_kernel(
-        scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k
+        scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k,
+        qual_dual,
     )
 
     out_shapes = [

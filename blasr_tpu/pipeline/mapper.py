@@ -339,7 +339,8 @@ def _map_batch_impl(
         # reverse (no complement) per-row, keeping left alignment
         idxq = lens2[B:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
         qrc = jnp.take_along_axis(qual, jnp.clip(idxq, 0, L - 1), axis=1)
-        qrc = jnp.where(idxq >= 0, qrc, jnp.uint8(15))
+        neutral = 15 | (15 << 8) if qual.dtype == jnp.uint16 else 15
+        qrc = jnp.where(idxq >= 0, qrc, jnp.asarray(neutral, qual.dtype))
         qual2 = jnp.concatenate([qual, qrc], axis=0)
 
     # ---- anchoring ----

@@ -87,3 +87,56 @@ def test_fastq_end_to_end(tmp_path):
     )
     for a, b in zip(recs2, recs3):
         assert a.score == b.score
+
+
+def test_dual_stream_ids_scoring():
+    """uint16 dual-phred stream (IDS role): low byte scales mismatches,
+    high byte scales insertions, independently."""
+    rng = np.random.default_rng(2)
+    t = rng.integers(0, 4, 80).astype(np.uint8)
+    q = t[10:70].copy()
+    q[30] = (q[30] + 1) % 4  # one mismatch
+    base = run(q, t)
+
+    # sub stream hot (30), ins stream neutral (15): mismatch would cost 12,
+    # so the optimal path re-routes through ins+del (5+5=10) -> +4. The
+    # single-stream case scales BOTH (ins 10, mismatch 12 < 20) and keeps
+    # the mismatch — exactly the asymmetry IDS scoring exists to express.
+    dual = (np.full(60, 30, np.uint16)) | (np.uint16(15) << 8)
+    assert run(q, t, dual) == base + 4
+
+    # sub neutral, ins hot: mismatch unscaled (no insertions in this path)
+    dual2 = (np.full(60, 15, np.uint16)) | (np.uint16(30) << 8)
+    assert run(q, t, dual2) == base
+
+    qi = np.insert(t[10:70].copy(), 30, (t[40] + 1) % 4)  # one insertion
+    basei = run(qi, t)
+    # ins stream cheap (5): insertion cost 5 -> 2
+    dual3 = (np.full(61, 15, np.uint16)) | (np.uint16(5) << 8)
+    assert run(qi, t, dual3) == basei - 3
+
+
+def test_dual_stream_interpret_pallas_equal():
+    from blasr_tpu.ops.banded_pallas import banded_align_pallas
+
+    rng = np.random.default_rng(4)
+    I, L, T = 8, 96, 140
+    Q = rng.integers(0, 4, (I, L)).astype(np.uint8)
+    Tc = rng.integers(0, 4, (I, T)).astype(np.uint8)
+    for i in range(I):
+        Tc[i, 10 : 10 + L - 20] = Q[i, : L - 20]
+    dual = (
+        rng.integers(4, 40, (I, L)).astype(np.uint16)
+        | (rng.integers(4, 40, (I, L)).astype(np.uint16) << 8)
+    )
+    args = (
+        jnp.asarray(Q), jnp.full(I, L, jnp.int32), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32),
+        jnp.asarray(make_qoff(L, T, 64, (T - L) // 2)),
+    )
+    ref = banded_align(*args, jnp.asarray(dual), with_traceback=True,
+                       band_width=64)
+    got = banded_align_pallas(*args, jnp.asarray(dual), with_traceback=True,
+                              band_width=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
+    np.testing.assert_array_equal(np.asarray(ref.best_a), np.asarray(got.best_a))
