@@ -330,6 +330,14 @@ def main(argv=None) -> int:
             want.update(int(x) for x in args.readIndices.split(","))
         reads = [r for r in reads if r.index in want]
 
+    if args.titleTable:
+        with open(args.titleTable, "w") as f:
+            for name in index.seqdb.names:
+                f.write(name + "\n")
+        # ResetTableToIntegers (Blasr.cpp:4495, TitleTable.h role): output
+        # refers to contigs by their table index; the table file maps back
+        index.seqdb.names = [str(i) for i in range(len(index.seqdb.names))]
+
     t0 = time.time()
     if args.resume and args.out != "-" and not params.piecewise:
         records, unmapped = _run_resumable(args, params, index, reads, fm)
@@ -382,11 +390,6 @@ def main(argv=None) -> int:
 
         with open(args.anchors, "w") as f:
             dump_anchors(index, reads, params, f, fm=fm)
-
-    if args.titleTable:
-        with open(args.titleTable, "w") as f:
-            for name in index.seqdb.names:
-                f.write(name + "\n")
 
     if args.metrics:
         from blasr_tpu.pipeline import runner as _runner
