@@ -67,28 +67,65 @@ def run_mapping_host_part(
     process_id: int = 0,
     num_processes: int = 1,
     fm=None,
+    fmt: str = "m4",
+    clipping: str = "soft",
+    movie_name: str = "default",
 ) -> tuple[list[AlignmentRecord], list[str]]:
-    """Map this host's shard and write its m4 part file (read_index-tagged
-    so the merge can restore global order)."""
-    from blasr_tpu.output.m4 import format_m4
-
+    """Map this host's shard and write its part file (read_index-tagged so
+    the merge can restore global order). ``fmt`` is "m4" or "sam"; SAM
+    parts are headerless record lines — merge_host_parts writes the header
+    once (the multi-host analogue of the writer-semaphore ordering)."""
     mine = host_shard(reads, process_id, num_processes)
     recs, unmapped = run_mapping(index, mine, params, fm=fm)
     with open(part_path(out_prefix, process_id), "w") as f:
-        for rec in recs:
-            # read_index is the GLOBAL stream index (Read.index survives
-            # batching), so duplicate read names stay correctly ordered
-            f.write(f"{rec.read_index}\t{format_m4(rec)}\n")
+        if fmt == "m4":
+            from blasr_tpu.output.m4 import format_m4
+
+            for rec in recs:
+                # read_index is the GLOBAL stream index (Read.index survives
+                # batching), so duplicate read names stay correctly ordered
+                f.write(f"{rec.read_index}\t{format_m4(rec)}\n")
+        elif fmt == "sam":
+            from blasr_tpu.output.sam_writer import (
+                format_sam_record,
+                format_unmapped,
+                read_group_id,
+            )
+
+            rgid = read_group_id(movie_name)
+            by_index: dict[int, list[AlignmentRecord]] = {}
+            for rec in recs:
+                by_index.setdefault(rec.read_index, []).append(rec)
+            unm = set(unmapped)
+            for rd in mine:
+                rr = by_index.get(rd.index)
+                if rr:
+                    best = min(range(len(rr)), key=lambda j: rr[j].score)
+                    for j, rec in enumerate(rr):
+                        line = format_sam_record(
+                            rec, rd, clipping, rgid=rgid,
+                            genome=index.genome,
+                            genome_start=int(index.seqdb.starts[rec.contig_index])
+                            if rec.contig_index >= 0 else 0,
+                            is_primary=(j == best),
+                        )
+                        f.write(f"{rd.index}\t{line}\n")
+                elif rd.name in unm:
+                    f.write(f"{rd.index}\t{format_unmapped(rd, rgid=rgid)}\n")
+        else:
+            raise ValueError(f"unknown part format {fmt!r}")
     return recs, unmapped
 
 
 def merge_host_parts(
-    out_prefix: str, out_path: str, num_processes: Optional[int] = None
+    out_prefix: str, out_path: str, num_processes: Optional[int] = None,
+    header_lines: Optional[Sequence[str]] = None,
 ) -> int:
-    """Merge part files into one m4 in global read order; returns the
+    """Merge part files into one output in global read order; returns the
     record count. Pass ``num_processes`` to read exactly that many parts
     (guards against stale part files from a previous differently-sized
-    run); None globs whatever exists."""
+    run); None globs whatever exists. ``header_lines`` (e.g. a SAM header
+    from output.sam_writer.sam_header) are written once before the body."""
     if num_processes is not None:
         paths = [part_path(out_prefix, i) for i in range(num_processes)]
         missing = [p for p in paths if not os.path.exists(p)]
@@ -104,6 +141,8 @@ def merge_host_parts(
                 rows.append((int(gi), rest.rstrip("\n")))
     rows.sort(key=lambda x: x[0])
     with open(out_path, "w") as f:
+        for line in header_lines or ():
+            f.write(line + "\n")
         for _, rest in rows:
             f.write(rest + "\n")
     return len(rows)

@@ -86,3 +86,44 @@ def test_multihost_parts_merge_to_single_host_output(tmp_path):
     s0 = {r.name for r in host_shard(reads, 0, 2)}
     s1 = {r.name for r in host_shard(reads, 1, 2)}
     assert not (s0 & s1) and len(s0 | s1) == len(reads)
+
+
+def test_multihost_sam_parts_merge(tmp_path):
+    """SAM part files (headerless, index-tagged) merge with a single header
+    to the 1-host write_sam output byte-for-byte."""
+    import io
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.output.sam_writer import sam_header, write_sam
+    from blasr_tpu.parallel.multihost import (
+        merge_host_parts, run_mapping_host_part,
+    )
+
+    g = simulate_genome(60_000, seed=71, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 16, mean_len=400, seed=72)
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    prefix = str(tmp_path / "mhs")
+    unmapped_all: list[str] = []
+    for pid_ in range(2):
+        _, unm = run_mapping_host_part(
+            index, reads, params, prefix, pid_, 2, fmt="sam",
+            movie_name="reads.fa",
+        )
+        unmapped_all.extend(unm)
+    merged = str(tmp_path / "merged.sam")
+    merge_host_parts(
+        prefix, merged, num_processes=2,
+        header_lines=sam_header(seqdb, "blasr_tpu", ["reads.fa"]),
+    )
+
+    ref_recs, ref_unm = run_mapping(index, reads, params)
+    buf = io.StringIO()
+    write_sam(ref_recs, reads, seqdb, buf, program_line="blasr_tpu",
+              unmapped=ref_unm, movie_name="reads.fa", genome=index.genome)
+    got = open(merged).read()
+    assert got == buf.getvalue()
