@@ -438,6 +438,147 @@ def _cmd_printgaps(argv) -> int:
     return 0
 
 
+def _cmd_svrealign(argv) -> int:
+    """Consolidate fragmented SV gaps in SAM alignments.
+
+    Role of reference ``samutils/SVRealigner.cpp:143-280``: when a long
+    indel is split by the aligner into several gap runs separated by tiny
+    match blocks, re-align the region so the SV becomes ONE clean gap. The
+    reference smushes the interior blocks and fits them against the gap's
+    prefix/suffix with two dense SWAligns; here the same contract is one
+    ``onegap_align`` call (ops/onegap.py) — query across left+gap+right —
+    which places the breakpoint optimally instead of prefix-or-suffix.
+    Insertion SVs swap the roles (gap in the query) and invert I/D.
+    """
+    p = argparse.ArgumentParser(prog="tools svrealign")
+    p.add_argument("genome")
+    p.add_argument("sam")
+    p.add_argument("-out", default="-")
+    p.add_argument("-minGapLength", type=int, default=100)
+    p.add_argument("-minMatch", type=int, default=10,
+                   help="flanking match run that ends a gappy window")
+    p.add_argument("-maxRealignLength", type=int, default=10000)
+    args = p.parse_args(argv)
+
+    import numpy as np
+
+    from blasr_tpu.core.encode import seq_to_codes
+    from blasr_tpu.io.fasta import read_fasta
+    from blasr_tpu.io.sam import SAMRecord
+    from blasr_tpu.ops.banded_align import AlignScores
+    from blasr_tpu.ops.onegap import onegap_align
+    from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M
+
+    genome = {name: codes for name, codes in read_fasta(args.genome)}
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    sc = AlignScores()
+    OPQ = {"M": (1, 1), "=": (1, 1), "X": (1, 1), "I": (1, 0), "D": (0, 1),
+           "S": (1, 0), "H": (0, 0), "N": (0, 1), "P": (0, 0)}
+
+    def _ops_to_runs(ops):
+        runs = []
+        for op in ops:
+            ch = "M" if op == OP_M else ("I" if op == OP_I else "D")
+            if runs and runs[-1][0] == ch:
+                runs[-1][1] += 1
+            else:
+                runs.append([ch, 1])
+        return [(c, n) for c, n in runs]
+
+    n_realigned = 0
+    for line in open(args.sam):
+        line = line.rstrip("\n")
+        if not line or line.startswith("@"):
+            out.write(line + "\n")
+            continue
+        f = line.split("\t")
+        rec = SAMRecord(f[0], int(f[1]), f[2], int(f[3]), int(f[4]), f[5],
+                        f[9], None, {})
+        if rec.is_unmapped or rec.rname not in genome or rec.seq == "*":
+            out.write(line + "\n")
+            continue
+        tcodes = genome[rec.rname]
+        qcodes = seq_to_codes(rec.seq.encode())
+        runs = rec.cigar_runs()
+        anchors = [
+            i for i, (op, ln) in enumerate(runs)
+            if op in "M=X" and ln >= args.minMatch
+        ]
+        new_runs: list[tuple[str, int]] = []
+        qpos = 0
+        tpos = rec.pos - 1
+        i = 0
+        changed = False
+        while i < len(runs):
+            # find the gappy window ending at the next anchor
+            if i in anchors or runs[i][0] in "SHNP":
+                op, ln = runs[i]
+                new_runs.append((op, ln))
+                dq, dt = OPQ.get(op, (0, 0))
+                qpos += dq * ln
+                tpos += dt * ln
+                i += 1
+                continue
+            j = i
+            gap_total = 0
+            n_gap_runs = 0
+            while j < len(runs) and j not in anchors and runs[j][0] not in "SHNP":
+                if runs[j][0] in "ID":
+                    gap_total += runs[j][1]
+                    n_gap_runs += 1
+                j += 1
+            qlen = sum(ln for op, ln in runs[i:j] if OPQ[op][0])
+            tlen = sum(ln for op, ln in runs[i:j] if OPQ[op][1])
+            if (
+                gap_total < args.minGapLength or n_gap_runs < 2
+                or max(qlen, tlen) >= args.maxRealignLength
+            ):
+                for op, ln in runs[i:j]:
+                    new_runs.append((op, ln))
+            else:
+                qseg = qcodes[qpos : qpos + qlen]
+                tseg = np.asarray(tcodes[tpos : tpos + tlen], np.uint8)
+                # split the long side at its midpoint: the free gap must
+                # cross the split, which a window-dominating SV always does;
+                # left+distance(0)+right == full span keeps CIGAR lengths
+                # exact
+                if tlen >= qlen:
+                    # deletion SV: one long gap in the target span
+                    h = (tlen + 1) // 2
+                    res = onegap_align(qseg, tseg[:h], tseg[h:], 0, sc)
+                    seg_runs = _ops_to_runs(res.path.ops)
+                else:
+                    # insertion SV: gap lives in the query; swap and invert
+                    h = (qlen + 1) // 2
+                    res = onegap_align(tseg, qseg[:h], qseg[h:], 0, sc)
+                    seg_runs = [
+                        ("M" if c == "M" else ("I" if c == "D" else "D"), n)
+                        for c, n in _ops_to_runs(res.path.ops)
+                    ]
+                new_runs.extend(seg_runs)
+                changed = True
+                n_realigned += 1
+            qpos += qlen
+            tpos += tlen
+            i = j
+        if changed:
+            # fuse adjacent same-op runs from window boundaries
+            fused: list[tuple[str, int]] = []
+            for op, ln in new_runs:
+                if fused and fused[-1][0] == op:
+                    fused[-1] = (op, fused[-1][1] + ln)
+                else:
+                    fused.append((op, ln))
+            f[5] = "".join(f"{ln}{op}" for op, ln in fused)
+            out.write("\t".join(f) + "\n")
+        else:
+            out.write(line + "\n")
+    print(f"realigned {n_realigned} gap window(s)", file=sys.stderr)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def _cmd_samtom0(argv) -> int:
     """SAM -> human-readable stick alignment (reference samutils/SamToM0.cpp:
     replay each record's CIGAR against the genome and print the m0 block
@@ -804,6 +945,7 @@ COMMANDS = {
     "onegap": _cmd_onegap,
     "saquery": _cmd_saquery,
     "saprint": _cmd_saprint,
+    "svrealign": _cmd_svrealign,
     "samcoverage": _cmd_samcoverage,
     "samconsensus": _cmd_samconsensus,
     "printgaps": _cmd_printgaps,

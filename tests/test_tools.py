@@ -257,3 +257,44 @@ def test_saquery_saprint(tmp_path, capsys):
     for line in out[1:6]:
         pos, seq = line.split()
         assert seq == codes_to_seq(g[int(pos) : int(pos) + 50])
+
+
+def test_svrealign_consolidates_fragmented_gap(tmp_path, capsys):
+    """A 200-base deletion fragmented into two gap runs split by a tiny
+    match block becomes one clean 200D after realignment
+    (SVRealigner.cpp role via onegap_align)."""
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(2_000, seed=55)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chr1", g)])
+    # fragmented CIGAR consistent with the sequences: 300M 90D 3M 107D 297M
+    # (3 "M" bases inside the gap pair up with arbitrary genome bases);
+    # the true structure is one ~200-base deletion
+    frag = np.concatenate([g[100:400], g[490:493], g[600:897]])
+    cigar = "300M90D3M107D297M"
+    sam = str(tmp_path / "a.sam")
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.5\n@SQ\tSN:chr1\tLN:2000\n")
+        f.write(
+            f"r1\t0\tchr1\t101\t254\t{cigar}\t*\t0\t0\t"
+            f"{codes_to_seq(frag)}\t*\n"
+        )
+    outp = str(tmp_path / "out.sam")
+    assert tools_main(["svrealign", gp, sam, "-out", outp]) == 0
+    body = [l for l in open(outp) if not l.startswith("@")]
+    assert len(body) == 1
+    new_cigar = body[0].split("\t")[5]
+    # consumed lengths unchanged
+    import re
+
+    runs = re.findall(r"(\d+)([MIDSH])", new_cigar)
+    q_len = sum(int(n) for n, op in runs if op in "MIS")
+    t_len = sum(int(n) for n, op in runs if op in "MD")
+    assert q_len == len(frag) and t_len == 797
+    # the gap is now consolidated: a single D run of ~197-200
+    d_runs = [int(n) for n, op in runs if op == "D"]
+    assert len(d_runs) == 1 and d_runs[0] >= 190, new_cigar
