@@ -735,6 +735,73 @@ def _cmd_samcoverage(argv) -> int:
     return 0
 
 
+def _cmd_maxalignedread(argv) -> int:
+    """Per-bin anchor-depth track from SAM alignments.
+
+    Role of reference ``samutils/PrintMaxAlignedRead.cpp:77-141``
+    (StoreLengths): at every covered reference position, keep the maximum
+    over alignments of the distance to that alignment's NEARER end (how
+    deeply the position is embedded in a read) — the support track SV
+    callers use to tell well-anchored breakpoints from alignment tails;
+    plus plain coverage counts. Output per reference under -outDir:
+    [binSize int32][length int32][counts uint32 x length]
+    [support uint32 x length] (WriteValues, :22-33). -text for tsv.
+    """
+    p = argparse.ArgumentParser(prog="tools maxalignedread")
+    p.add_argument("-sam", nargs="+", required=True)
+    p.add_argument("-outDir", required=True)
+    p.add_argument("-bin", type=int, default=10, dest="bin_size")
+    p.add_argument("-q", type=int, default=30, dest="min_mapq")
+    p.add_argument("-l", type=int, default=0, dest="min_align_length")
+    p.add_argument("-unique", action="store_true")
+    p.add_argument("-text", action="store_true")
+    args = p.parse_args(argv)
+
+    import os
+
+    import numpy as np
+
+    os.makedirs(args.outDir, exist_ok=True)
+    counts: dict[str, np.ndarray] = {}
+    support: dict[str, np.ndarray] = {}
+    bs = args.bin_size
+    for sam, rec, t0, t1 in _sam_ref_spans(args.sam, args.unique,
+                                           min_mapq=args.min_mapq):
+        if t1 - t0 < args.min_align_length:
+            continue
+        if rec.rname not in counts:
+            ln = sam.ref_lengths.get(rec.rname, 0)
+            nb = ln // bs + (1 if ln % bs else 0) or 1
+            counts[rec.rname] = np.zeros(nb, np.uint32)
+            support[rec.rname] = np.zeros(nb, np.uint32)
+        cnt = counts[rec.rname]
+        sup = support[rec.rname]
+        pos = np.arange(t0, min(t1, len(sup) * bs), dtype=np.int64)
+        # distance to the nearer alignment end (PrintMaxAlignedRead.cpp
+        # :126-133: first half measures from the start, second from the end)
+        depth = np.minimum(pos - t0, t1 - pos).astype(np.uint32)
+        bins = pos // bs
+        np.maximum.at(sup, bins, depth)
+        np.add.at(cnt, bins, 1)
+    for name in counts:
+        path = os.path.join(
+            args.outDir, name + (".tsv" if args.text else ".data")
+        )
+        if args.text:
+            with open(path, "w") as f:
+                for i in range(len(counts[name])):
+                    f.write(
+                        f"{name}\t{i * bs}\t{counts[name][i]}\t"
+                        f"{support[name][i]}\n"
+                    )
+        else:
+            with open(path, "wb") as f:
+                np.array([bs, len(counts[name])], np.int32).tofile(f)
+                counts[name].astype(np.uint32).tofile(f)
+                support[name].astype(np.uint32).tofile(f)
+    return 0
+
+
 def _cmd_samconsensus(argv) -> int:
     """Binned M/D/I event counts from SAM alignments.
 
@@ -948,6 +1015,7 @@ COMMANDS = {
     "svrealign": _cmd_svrealign,
     "samcoverage": _cmd_samcoverage,
     "samconsensus": _cmd_samconsensus,
+    "maxalignedread": _cmd_maxalignedread,
     "printgaps": _cmd_printgaps,
     "samtom0": _cmd_samtom0,
     "samfilter": _cmd_samfilter,

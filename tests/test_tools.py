@@ -298,3 +298,32 @@ def test_svrealign_consolidates_fragmented_gap(tmp_path, capsys):
     # the gap is now consolidated: a single D run of ~197-200
     d_runs = [int(n) for n, op in runs if op == "D"]
     assert len(d_runs) == 1 and d_runs[0] >= 190, new_cigar
+
+
+def test_maxalignedread_support_track(tmp_path):
+    """Anchor-depth track (PrintMaxAlignedRead role): positions deep inside
+    a read get higher support than alignment tails."""
+    import struct
+
+    from blasr_tpu.cli.tools import main as tools_main
+
+    sam = str(tmp_path / "a.sam")
+    with open(sam, "w") as f:
+        f.write("@HD\tVN:1.5\n@SQ\tSN:chr1\tLN:1000\n")
+        # one 400-base alignment at pos 101 (0-based 100..500)
+        f.write("r1\t0\tchr1\t101\t254\t400M\t*\t0\t0\t" + "A" * 400 + "\t*\n")
+    outd = str(tmp_path / "out")
+    assert tools_main(["maxalignedread", "-sam", sam, "-outDir", outd,
+                       "-bin", "10"]) == 0
+    raw = open(outd + "/chr1.data", "rb").read()
+    bs, n = struct.unpack("<ii", raw[:8])
+    assert bs == 10 and n == 100
+    import numpy as np
+
+    counts = np.frombuffer(raw[8 : 8 + 4 * n], np.uint32)
+    support = np.frombuffer(raw[8 + 4 * n :], np.uint32)
+    assert counts[15] == 10          # fully covered bin
+    assert counts[5] == 0            # before the alignment
+    # support peaks at the middle (~200) and tapers at the ends
+    assert support[30] == 200 or support[29] == 199
+    assert support[10] < 15 and support[49] < 15
