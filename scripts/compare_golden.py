@@ -34,7 +34,62 @@ def parse_m4(path, strip_subread):
     return out
 
 
+def parse_m4_all(path, strip_subread):
+    """All records per read (for -bestn N set comparison)."""
+    out = {}
+    for line in open(path):
+        f = line.split()
+        if len(f) < 13:
+            continue
+        name = f[0]
+        if strip_subread and name.count("/") >= 1:
+            base, _, tail = name.rpartition("/")
+            if "_" in tail:
+                name = base
+        out.setdefault(name, []).append(
+            (f[1], int(f[8]), int(f[9]), int(f[10]))
+        )
+    return out
+
+
+def compare_sets(ours_path, ref_path):
+    """-bestn>1 mode: per-read set equality of (tname, strand, locus)
+    placements with 90% reciprocal-overlap matching."""
+    ours = parse_m4_all(ours_path, True)
+    ref = parse_m4_all(ref_path, True)
+    common = set(ours) & set(ref)
+    equal = sub = sup = diff = 0
+    for n in sorted(common):
+        a, b = ours[n], ref[n]
+
+        def match(x, y):
+            if x[0] != y[0] or x[1] != y[1]:
+                return False
+            lo, hi = max(x[2], y[2]), min(x[3], y[3])
+            return (hi - lo) / max(x[3] - x[2], y[3] - y[2], 1) >= 0.9
+
+        a_in_b = all(any(match(x, y) for y in b) for x in a)
+        b_in_a = all(any(match(y, x) for x in a) for y in b)
+        if a_in_b and b_in_a:
+            equal += 1
+        elif a_in_b:
+            sub += 1
+        elif b_in_a:
+            sup += 1
+        else:
+            diff += 1
+    n = len(common)
+    print(f"common reads: {n}")
+    print(
+        f"placement sets: equal {equal} ({100.0*equal/max(n,1):.1f}%)  "
+        f"ours-subset {sub}  ours-superset {sup}  divergent {diff}"
+    )
+
+
 def main():
+    if sys.argv[1] == "-sets":
+        compare_sets(sys.argv[2], sys.argv[3])
+        return
     # both sides now emit the reference /0_<len> whole-read suffix
     ours = parse_m4(sys.argv[1], strip_subread=True)
     ref = parse_m4(sys.argv[2], strip_subread=True)
@@ -43,6 +98,7 @@ def main():
     only_ref = len(set(ref) - set(ours))
     agree = strand_bad = locus_bad = 0
     score_deltas = []
+    mapq_close = mapq_total = 0
     for n in sorted(common):
         a, b = ours[n], ref[n]
         if a["tname"] != b["tname"] or a["tstrand"] != b["tstrand"]:
@@ -55,6 +111,9 @@ def main():
         if inter / denom >= 0.9:
             agree += 1
             score_deltas.append(a["score"] - b["score"])
+            mapq_total += 1
+            if abs(a["mapqv"] - b["mapqv"]) <= 1:
+                mapq_close += 1
         else:
             locus_bad += 1
     n = len(common)
@@ -68,6 +127,11 @@ def main():
             f"score delta (ours - ref): mean {statistics.mean(score_deltas):.1f} "
             f"median {statistics.median(score_deltas):.1f} "
             f"(negative = ours better under min-score)"
+        )
+    if mapq_total:
+        print(
+            f"mapQV within +-1 on agreeing reads: {mapq_close}/{mapq_total} "
+            f"= {100.0 * mapq_close / mapq_total:.2f}%"
         )
 
 

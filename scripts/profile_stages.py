@@ -188,7 +188,7 @@ def main():
     t_anchor = (time.time() - t0) / N
     print(f"[stage] anchors:    {t_anchor*1e3:.1f} ms/batch")
 
-    W = params.band_width
+    W = params.band_width_for(cap)
     G = di.genome_len
 
     @jax.jit
@@ -278,6 +278,7 @@ def main():
         return walk_arrows_device(
             arrows, qoff, best_a, best_w, score, Q, Tc,
             qoff_params=(params.target_pad // 2, W, L),
+            pack=(128 // W) if W < 128 else 1,
         )
 
     tb = stage_walk(r.arrows, r.best_a, r.best_w, jnp.minimum(r.score, -1), Q, Tc)
