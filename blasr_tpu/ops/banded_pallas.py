@@ -154,7 +154,7 @@ def _make_kernel(
         else:
             best_ref, besta_ref, bestw_ref = refs[:3]
             scratch = refs[3:]
-        H1s, H2s, E1s, F1s, R1s, R2s, bests = scratch
+        H1s, H2s, E1s, F1s, R1s, R2s, Hbs, Abs_ = scratch
 
         it = pl.program_id(1)
 
@@ -166,7 +166,12 @@ def _make_kernel(
             F1s[:] = jnp.full((IT, LW), inf_k, cdt)
             R1s[:] = jnp.zeros((IT, LW), cdt)
             R2s[:] = jnp.zeros((IT, LW), cdt)
-            bests[:] = jnp.zeros((IT, 3 * P), jnp.int32)
+            # per-lane running best + the step that achieved it: the
+            # cross-lane argmin happens ONCE at the end instead of per
+            # sub-step (the old per-step reduction dominated narrow-band
+            # kernel time)
+            Hbs[:] = jnp.zeros((IT, LW), cdt)
+            Abs_[:] = jnp.zeros((IT, LW), jnp.int32)
 
         a0 = it * U
         qo0 = qoff_ref[a0]
@@ -198,9 +203,8 @@ def _make_kernel(
         F1 = F1s[:]
         R1 = R1s[:]
         R2 = R2s[:]
-        best = bests[:, 0:P]
-        besta = bests[:, P:2 * P]
-        bestw = bests[:, 2 * P:3 * P]
+        Hb = Hbs[:]
+        Ab = Abs_[:]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (IT, LW), 1)
         w_ar = lane // P if P > 1 else lane         # band index per lane
@@ -322,36 +326,12 @@ def _make_kernel(
                     src | (ebit << 3) | (fbit << 4) | (R_new << 5)
                 ).astype(jnp.uint8)
 
-            # Mosaic lacks int16 reductions and integer argmin: reduce a
-            # widened copy (one cast), argmin as min over masked iota.
-            # P > 1: reduce each parity's lanes separately -> (IT, P)
-            H32 = H_new if cdt == np.int32 else H_new.astype(jnp.int32)
-            if P == 1:
-                row_min32 = jnp.min(H32, axis=1, keepdims=True)   # (IT, 1)
-                row_arg = jnp.min(
-                    jnp.where(H32 == row_min32, w_ar, jnp.int32(W)),
-                    axis=1, keepdims=True,
-                )
-            else:
-                mins = []
-                args = []
-                par = lane - w_ar * P                             # lane % P
-                big = jnp.int32(INF)
-                for p in range(P):
-                    Hp = jnp.where(par == p, H32, big)
-                    mp = jnp.min(Hp, axis=1, keepdims=True)
-                    ap = jnp.min(
-                        jnp.where(Hp == mp, w_ar, jnp.int32(W)),
-                        axis=1, keepdims=True,
-                    )
-                    mins.append(mp)
-                    args.append(ap)
-                row_min32 = jnp.concatenate(mins, axis=1)         # (IT, P)
-                row_arg = jnp.concatenate(args, axis=1)
-            better = row_min32 < best
-            best = jnp.minimum(best, row_min32)
-            besta = jnp.where(better, a, besta)
-            bestw = jnp.where(better, row_arg, bestw)
+            # elementwise per-lane best tracking (strictly-less update
+            # keeps the EARLIEST achieving step, matching the oracle's
+            # per-step "row_min < best" semantics lane-by-lane)
+            hit = H_new < Hb
+            Hb = jnp.minimum(Hb, H_new)
+            Ab = jnp.where(hit, a, Ab)
 
             H2 = H1
             H1 = H_new
@@ -366,15 +346,34 @@ def _make_kernel(
         F1s[:] = F1
         R1s[:] = R1
         R2s[:] = R2
-        bests[:, 0:P] = best
-        bests[:, P:2 * P] = besta
-        bests[:, 2 * P:3 * P] = bestw
+        Hbs[:] = Hb
+        Abs_[:] = Ab
 
         @pl.when(it == pl.num_programs(1) - 1)
         def _finish():
-            best_ref[:] = best
-            besta_ref[:] = besta
-            bestw_ref[:] = bestw
+            # one cross-lane reduction per parity: global min, then the
+            # earliest step among min lanes, then the smallest band index
+            # among (min, earliest-step) lanes — reproducing the oracle's
+            # (first step, then first lane) tie order exactly
+            H32 = Hb if cdt == np.int32 else Hb.astype(jnp.int32)
+            big = jnp.int32(INF)
+            par = lane - w_ar * P
+            mins, amins, wmins = [], [], []
+            for p in range(P):
+                Hp = jnp.where(par == p, H32, big) if P > 1 else H32
+                mp = jnp.min(Hp, axis=1, keepdims=True)
+                is_min = Hp == mp
+                ap = jnp.min(jnp.where(is_min, Ab, big), axis=1, keepdims=True)
+                wp = jnp.min(
+                    jnp.where(is_min & (Ab == ap), w_ar, jnp.int32(W)),
+                    axis=1, keepdims=True,
+                )
+                mins.append(mp)
+                amins.append(jnp.where(mp < 0, ap, 0))
+                wmins.append(jnp.where(mp < 0, wp, 0))
+            best_ref[:] = jnp.concatenate(mins, axis=1) if P > 1 else mins[0]
+            besta_ref[:] = jnp.concatenate(amins, axis=1) if P > 1 else amins[0]
+            bestw_ref[:] = jnp.concatenate(wmins, axis=1) if P > 1 else wmins[0]
 
     return kernel
 
@@ -542,7 +541,8 @@ def banded_align_pallas(
             pltpu.VMEM((IT, LW), cdt),        # F1
             pltpu.VMEM((IT, LW), cdt),        # R1
             pltpu.VMEM((IT, LW), cdt),        # R2
-            pltpu.VMEM((IT, 3 * P), jnp.int32),  # best/besta/bestw
+            pltpu.VMEM((IT, LW), cdt),        # Hb (per-lane running best)
+            pltpu.VMEM((IT, LW), jnp.int32),  # Ab (step achieving Hb)
         ],
     )
 
