@@ -22,13 +22,13 @@ coords). ``qoff`` is a static per-step offset array shared by all items
 (the candidate diagonal is normalised into the target window by the
 caller), so per-step band shifts are scalar selects, not gathers.
 
-Traceback is *stored, not walked*, on device: a packed arrow byte per cell
-(3 bits H-source, 1 bit E-extend, 1 bit F-extend, 3 bits match-run length)
+Traceback is *stored, not walked*, on device: a packed arrow word per cell
+(3 bits H-source, 1 bit E-extend, 1 bit F-extend, 6 bits match-run length)
 streams out per step; the device walk (ops/traceback_device.py) replays the
 path, mirroring the reference's split between DP and path recovery.
 
-The match-run field (bits 5-7) counts consecutive matching-diagonal moves
-starting at the cell, capped at 7: ``run >= 1`` iff the cell's move is a
+The match-run field (bits 5-10) counts consecutive matching-diagonal moves
+starting at the cell, capped at 63 (the move-slot count width): ``run >= 1`` iff the cell's move is a
 diagonal MATCH, so the walk can emit ``run`` match ops and jump the whole
 run in one serial step, and match/mismatch tallies come straight from the
 byte (a mismatch diagonal has run 0) — no post-hoc sequence gathers.
@@ -84,7 +84,7 @@ class BandedResult(NamedTuple):
     score: jax.Array    # (I,) int32 best local score (<= 0)
     best_a: jax.Array   # (I,) int32 anti-diagonal of alignment end cell
     best_w: jax.Array   # (I,) int32 band coord of alignment end cell
-    arrows: Optional[jax.Array]  # (S, I, W) uint8 or None
+    arrows: Optional[jax.Array]  # (S, I, W) uint16 arrow words or None
 
 
 def make_qoff(L: int, T: int, W: int, diag: int) -> np.ndarray:
@@ -264,9 +264,9 @@ def banded_align(
         F_new = jnp.where(valid, F_new, inf)
         src = jnp.where(valid, src, SRC_STOP)
         # match-run length: run >= 1 iff this cell's move is a matching
-        # diagonal (bits 5-7 of the arrow byte; see module docstring)
+        # diagonal (bits 5-10 of the arrow word; see module docstring)
         R_new = jnp.where(
-            (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 7), 0
+            (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 63), 0
         ).astype(jnp.int32)
 
         row_min = jnp.min(H_new, axis=1)
@@ -279,7 +279,7 @@ def banded_align(
         out = None
         if with_traceback:
             out = (src | (ebit << 3) | (fbit << 4) | (R_new << 5)).astype(
-                jnp.uint8
+                jnp.uint16
             )
         return (H_new, H1, E_new, F_new, R_new, R1, best, besta, bestw), out
 

@@ -314,17 +314,17 @@ def _make_kernel(
             E_out = jnp.where(valid, E_new, inf)
             F_out = jnp.where(valid, F_new, inf)
             src = jnp.where(valid, src, cdt(SRC_STOP))
-            # match-run length (bits 5-7): run >= 1 iff matching diagonal
+            # match-run length (bits 5-10): run >= 1 iff matching diagonal
             R_new = jnp.where(
                 (src == SRC_DIAG) & eq,
-                jnp.minimum(R2_diag + cdt(1), cdt(7)),
+                jnp.minimum(R2_diag + cdt(1), cdt(63)),
                 cdt(0),
             )
 
             if with_traceback:
                 arrows_ref[u] = (
                     src | (ebit << 3) | (fbit << 4) | (R_new << 5)
-                ).astype(jnp.uint8)
+                ).astype(jnp.uint16)
 
             # elementwise per-lane best tracking (strictly-less update
             # keeps the EARLIEST achieving step, matching the oracle's
@@ -497,7 +497,7 @@ def banded_align_pallas(
         pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
     ]
     if with_traceback:
-        out_shapes = [jax.ShapeDtypeStruct((S2p, R, LW), jnp.uint8)] + out_shapes
+        out_shapes = [jax.ShapeDtypeStruct((S2p, R, LW), jnp.uint16)] + out_shapes
         out_specs = [
             pl.BlockSpec(
                 (UNROLL, IT, LW), lambda i, s, *_: (s, i, 0),

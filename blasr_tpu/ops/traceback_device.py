@@ -15,7 +15,7 @@ away: the band-offset schedule is evaluated in closed form
 banded_align.make_qoff) instead of two table gathers; emitted ops are
 stored DENSELY at the loop-step column (one contiguous column write)
 instead of scattering at per-row ragged offsets; a whole run of matching
-diagonal moves (run field of the arrow byte, bits 5-7) is emitted as ONE
+diagonal moves (run field of the arrow word, bits 5-10) is emitted as ONE
 run-length slot and jumped in ONE sub-step; and match/mismatch tallies
 accumulate in-loop from the run field (run >= 1 iff matching diagonal), so
 no post-hoc query/target gathers are needed at all. Winner rows are
@@ -53,7 +53,7 @@ class DeviceTraceback(NamedTuple):
 
     moves_dense holds one RUN-LENGTH slot per WALK SUB-STEP in END->START
     order: ``op | (count << 2)`` with op in the low 2 bits (0 = empty
-    sub-step), count in bits 2-4 (1 for I/D slots, the match-run length
+    sub-step), count in bits 2-7 (1 for I/D slots, the match-run length
     for M slots). ``pack_moves_rows`` expands selected rows to the 2-bit
     per-op wire format. Spans are half-open local window coordinates like
     AlignmentPath; ``nops`` counts EXPANDED ops.
@@ -78,7 +78,7 @@ def packed_width(S: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("qoff_params", "pack"))
 def walk_arrows_device(
-    arrows: jax.Array,   # (S, IA, W) uint8 (pack>1: (S, IA//pack, W*pack))
+    arrows: jax.Array,   # (S, IA, W) uint16 (pack>1: (S, IA//pack, W*pack))
     qoff: jax.Array,     # (S,) int32
     best_a: jax.Array,   # (I,) int32
     best_w: jax.Array,   # (I,) int32
