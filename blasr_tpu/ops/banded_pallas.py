@@ -154,7 +154,7 @@ def _make_kernel(
         else:
             best_ref, besta_ref, bestw_ref = refs[:3]
             scratch = refs[3:]
-        H1s, H2s, E1s, F1s, R1s, R2s, Hbs, Abs_ = scratch
+        H1s, H2s, E1s, F1s, R1s, R2s, M1s, M2s, Hbs, Abs_ = scratch
 
         it = pl.program_id(1)
 
@@ -166,6 +166,8 @@ def _make_kernel(
             F1s[:] = jnp.full((IT, LW), inf_k, cdt)
             R1s[:] = jnp.zeros((IT, LW), cdt)
             R2s[:] = jnp.zeros((IT, LW), cdt)
+            M1s[:] = jnp.zeros((IT, LW), cdt)
+            M2s[:] = jnp.zeros((IT, LW), cdt)
             # per-lane running best + the step that achieved it: the
             # cross-lane argmin happens ONCE at the end instead of per
             # sub-step (the old per-step reduction dominated narrow-band
@@ -203,6 +205,8 @@ def _make_kernel(
         F1 = F1s[:]
         R1 = R1s[:]
         R2 = R2s[:]
+        M1 = M1s[:]
+        M2 = M2s[:]
         Hb = Hbs[:]
         Ab = Abs_[:]
 
@@ -277,6 +281,7 @@ def _make_kernel(
             F1_up = _shift(F1, s1 - 1, LW, P, fill=inf_k)
             H2_diag = _shift(H2, s1 + s2 - 1, LW, P, fill=inf_k)
             R2_diag = _shift(R2, s1 + s2 - 1, LW, P, fill=cdt(0))
+            M2_diag = _shift(M2, s1 + s2 - 1, LW, P, fill=cdt(0))
 
             e_open = H1_left + go
             E_new = jnp.minimum(E1_left, e_open) + ge
@@ -314,16 +319,23 @@ def _make_kernel(
             E_out = jnp.where(valid, E_new, inf)
             F_out = jnp.where(valid, F_new, inf)
             src = jnp.where(valid, src, cdt(SRC_STOP))
-            # match-run length (bits 5-10): run >= 1 iff matching diagonal
+            # diagonal-run length (bits 5-10) + in-run mismatch count
+            # (bits 11-15); chains restart before either field overflows
+            # (see banded_align.py docstring)
+            is_diag = src == cdt(SRC_DIAG)
+            mm = (~eq).astype(cdt)
+            restart = (R2_diag >= cdt(63)) | (M2_diag >= cdt(31))
             R_new = jnp.where(
-                (src == SRC_DIAG) & eq,
-                jnp.minimum(R2_diag + cdt(1), cdt(63)),
-                cdt(0),
+                is_diag, jnp.where(restart, cdt(1), R2_diag + cdt(1)), cdt(0)
+            )
+            M_new = jnp.where(
+                is_diag, jnp.where(restart, mm, M2_diag + mm), cdt(0)
             )
 
             if with_traceback:
                 arrows_ref[u] = (
                     src | (ebit << 3) | (fbit << 4) | (R_new << 5)
+                    | (M_new << 11)
                 ).astype(jnp.uint16)
 
             # elementwise per-lane best tracking (strictly-less update
@@ -339,6 +351,8 @@ def _make_kernel(
             F1 = F_out
             R2 = R1
             R1 = R_new
+            M2 = M1
+            M1 = M_new
 
         H1s[:] = H1
         H2s[:] = H2
@@ -346,6 +360,8 @@ def _make_kernel(
         F1s[:] = F1
         R1s[:] = R1
         R2s[:] = R2
+        M1s[:] = M1
+        M2s[:] = M2
         Hbs[:] = Hb
         Abs_[:] = Ab
 
@@ -541,6 +557,8 @@ def banded_align_pallas(
             pltpu.VMEM((IT, LW), cdt),        # F1
             pltpu.VMEM((IT, LW), cdt),        # R1
             pltpu.VMEM((IT, LW), cdt),        # R2
+            pltpu.VMEM((IT, LW), cdt),        # M1 (in-run mismatches)
+            pltpu.VMEM((IT, LW), cdt),        # M2
             pltpu.VMEM((IT, LW), cdt),        # Hb (per-lane running best)
             pltpu.VMEM((IT, LW), jnp.int32),  # Ab (step achieving Hb)
         ],

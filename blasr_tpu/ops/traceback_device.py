@@ -169,7 +169,8 @@ def walk_arrows_device(
         src = byte & 7
         ebit = (byte >> 3) & 1
         fbit = (byte >> 4) & 1
-        run = byte >> 5                              # match-run length
+        run = (byte >> 5) & 63                       # diagonal-run length
+        mcount = byte >> 11                          # mismatches in the run
         cs1 = s1_at(ac)
 
         is_h = st == 0
@@ -184,10 +185,13 @@ def walk_arrows_device(
 
         # a DIAG_START cell is always a match (mismatch/N substitutions
         # can't start a local alignment: their cost is >= 0, so SRC_STOP
-        # wins); a SRC_DIAG cell matches iff run >= 1. Whole runs jump in
-        # one sub-step: r matching-diagonal moves back.
+        # wins); a SRC_DIAG cell carries its diagonal-run length (>= 1)
+        # and the number of mismatches inside it. Whole runs — mismatches
+        # included — jump in one sub-step.
         is_start = is_h & (src == SRC_DIAG_START)
-        r_eff = jnp.where(diag, jnp.maximum(run, 1), 0).astype(jnp.int32)
+        r_eff = jnp.where(
+            diag, jnp.where(is_start, 1, jnp.maximum(run, 1)), 0
+        ).astype(jnp.int32)
         op = jnp.where(
             diag, OP_M,
             jnp.where(up | is_f, OP_I, jnp.where(left | is_e, OP_D, OP_NONE)),
@@ -210,9 +214,9 @@ def walk_arrows_device(
         slot = jnp.where(active, op | (cnt << 2), 0).astype(jnp.uint8)
         live = active.astype(jnp.int32)
         nmatch = nmatch + live * jnp.where(
-            is_start, 1, jnp.where(diag, run, 0)
+            is_start, 1, jnp.where(diag, r_eff - mcount, 0)
         )
-        nmis = nmis + live * (diag & ~is_start & (run == 0)).astype(jnp.int32)
+        nmis = nmis + live * jnp.where(diag & ~is_start, mcount, 0)
         nins = nins + live * (up | is_f).astype(jnp.int32)
         ndel = ndel + live * (left | is_e).astype(jnp.int32)
         a = jnp.where(active, a + da, a)

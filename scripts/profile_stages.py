@@ -43,7 +43,11 @@ def main():
     t0 = time.time()
     index = load_index(genome_fa, k=14)
     reads = read_records(reads_fa)
-    params = MappingParams(batch_size=64, max_read_len=3072, n_candidates=4, best_n=1)
+    import os as _os
+    params = MappingParams(
+        batch_size=int(_os.environ.get("BLASR_PROF_B", "64")),
+        max_read_len=3072, n_candidates=4, best_n=1,
+    )
     print(f"load: {time.time()-t0:.1f}s  backend={jax.default_backend()}")
 
     batches = [
