@@ -520,20 +520,44 @@ def _map_batch_impl(
     better = (d_(sc) < c_(sc)) | (
         (d_(sc) == c_(sc)) & (idx_cd[:, :, None] < idx_cd[:, None, :])
     )
+    # ---- RemoveContained (WeightedInterval.h:128-181, called
+    # Blasr.cpp:2499): drop a candidate whose FORWARD-READ span is
+    # contained in a better candidate's span (containment implies
+    # overlapRatio 1 > the 0.9 gate) — this is what collapses repeat
+    # placements of the same read interval before -bestn emission,
+    # regardless of strand or contig.
+    rlen_ = lengths[:, None].astype(jnp.int32)
+    rq_lo = tb.q_start.reshape(B, CD)
+    rq_hi = tb.q_end.reshape(B, CD)
+    is_rc_ = dp_strand == 1
+    rq_lo, rq_hi = (
+        jnp.where(is_rc_, rlen_ - rq_hi, rq_lo),
+        jnp.where(is_rc_, rlen_ - rq_lo, rq_hi),
+    )
+    contains_read = (
+        (d_(rq_lo) <= c_(rq_lo))
+        & (d_(rq_hi) >= c_(rq_hi))
+        & d_(sv) & c_(sv)
+        & (idx_cd[:, :, None] != idx_cd[:, None, :])
+    )
     removed = jnp.any(contains & better, axis=1)            # (B, CD)
     sv = sv & ~removed
+    # read-span containment gates EMISSION only; MAPQ keeps the full
+    # competitor set (ambiguity must still be visible to the logsumexp)
+    removed_read = jnp.any(contains_read & better, axis=1)
+    sv_emit = sv & ~removed_read
 
     # ---- per-read best_n selection over the surviving candidates,
     # reference order: score ascending, ties by global target position
     # (SortAlignmentPointersByScore, Blasr.cpp:226-236) — two stable
     # argsorts give the lexicographic (score, tpos) order.
     BIG = jnp.int32(2**30)
-    o1 = jnp.argsort(jnp.where(sv, gt_lo, BIG), axis=1, stable=True)
-    sc_o1 = jnp.take_along_axis(jnp.where(sv, sc, BIG), o1, axis=1)
+    o1 = jnp.argsort(jnp.where(sv_emit, gt_lo, BIG), axis=1, stable=True)
+    sc_o1 = jnp.take_along_axis(jnp.where(sv_emit, sc, BIG), o1, axis=1)
     o2 = jnp.argsort(sc_o1, axis=1, stable=True)
     order_cd = jnp.take_along_axis(o1, o2, axis=1)          # (B, CD)
     topi = order_cd[:, : params.best_n]                    # (B, best_n)
-    topv = -jnp.take_along_axis(jnp.where(sv, sc, BIG), topi, axis=1)
+    topv = -jnp.take_along_axis(jnp.where(sv_emit, sc, BIG), topi, axis=1)
     sel_item = (b_ar * CD + topi).reshape(-1)               # (I2,) into DP items
     sel_strand = jnp.take_along_axis(dp_strand, topi, axis=1)
     sel_valid = (topv > -BIG).reshape(-1) & (topv.reshape(-1) > 0)
