@@ -123,6 +123,115 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="write per-stage timing/counter metrics JSON")
     p.add_argument("-V", "-v", dest="verbosity", type=int, default=0, nargs="?",
                    const=1)
+    p.add_argument("-version", action="version", version="blasr-tpu 2.0")
+    # ---- long-tail flags with direct semantics ----
+    p.add_argument("-match", type=int, default=None,
+                   help="match score (<= 0; min-score convention)")
+    p.add_argument("-mismatch", type=int, default=None)
+    p.add_argument("-sdpTupleSize", type=int, default=11)
+    p.add_argument("-forwardOnly", action="store_true",
+                   help="map the forward strand only")
+    p.add_argument("-minMapQV", type=int, default=0)
+    p.add_argument("-maxPctIdentity", type=float, default=100.0)
+    p.add_argument("-minAvgQual", type=float, default=0.0)
+    p.add_argument("-minAlignLength", dest="minAlnLength2", type=int,
+                   default=None, help="alias of -minAlnLength")
+    p.add_argument("-minSubreadLength", type=int, default=None,
+                   help="alias of -minReadLength (whole reads = subreads "
+                        "without region tables)")
+    p.add_argument("-maxReadIndex", type=int, default=None,
+                   help="map only reads with stream index < this")
+    p.add_argument("-printOnlyBest", action="store_true",
+                   help="equivalent to -bestn 1")
+    p.add_argument("-samqv", nargs="+", default=None, metavar="NAME",
+                   help="QV tags to emit in SAM (InsertionQV DeletionQV "
+                        "SubstitutionQV MergeQV SubstitutionTag DeletionTag)")
+    p.add_argument("-bandSize", "-guidedAlignBandSize", dest="bandSize",
+                   type=int, default=0,
+                   help="DP band half-width; rounds up to the TPU lane "
+                        "quantum (32/64/128)")
+    p.add_argument("-indelRate", type=float, default=0.3)
+    p.add_argument("-removeContained", action="store_true",
+                   help="(always on: read-span containment gates -bestn)")
+    # ---- accepted-for-compatibility flags (semantics subsumed by the
+    # TPU design; see PARITY.md; each lists its coverage) ----
+    _compat_int = [
+        ("maxLCPLength", "anchor length cap: fixed-k seeding bounds this"),
+        ("maxExtendDropoff", "window pad + local clamp subsume extension"),
+        ("extendBandSize", "same"),
+        ("maxAnchorGap", "diagonal-window clustering bounds gaps"),
+        ("maxGap", "same"),
+        ("minInterval", "candidate weighting covers interval size"),
+        ("branchExpand", "-minExpand/-maxExpand are the expand cascade"),
+        ("nbranch", "same"),
+        ("contextAlignLength", "not used outside HDF context"),
+        ("recurseOver", "SDP recursion threshold (pipeline/sdp.py fixed)"),
+        ("sdpIns", "SDP path uses the global -indel costs"),
+        ("sdpDel", "same"),
+        ("sdpindel", "same"),
+        ("sdpMaxAnchorsPerPosition", "SDP seeding caps internally"),
+        ("globalChainType", "one chaining algorithm by design"),
+        ("sdpFilterType", "same"),
+        ("maxRefine", "single-pass full-band refinement"),
+        ("stopMappingOnceUnique", "anchor compaction covers the heuristic"),
+        ("advanceHalf", "same"),
+        ("saLookupTableLength", "direct 4^k table is built automatically"),
+        ("maxMatch", "fixed-k seeding"),
+        ("scoreType", "one score model + -scoreMatrix"),
+        ("quallc", "low-complexity masking not needed for FASTA/FASTQ/SAM"),
+    ]
+    _compat_flag = [
+        ("extend", "local 0-clamp + window pad extend alignments natively"),
+        ("global", "piecewise path covers whole-query alignment"),
+        ("noRefineAlignments", "single-pass design has no second stage"),
+        ("noRefineAlign", "same"),
+        ("refineBetweenAnchorsOnly", "piecewise/-alignContigs does this"),
+        ("rbao", "same"),
+        ("useGuidedAlign", "drift-slope narrow band IS the guided band"),
+        ("noUseGuidedAlign", "full band used for long buckets anyway"),
+        ("guidedAlign", "same"),
+        ("useDetailedSDP", "SDP gap fill is always exact"),
+        ("nouseDetailedSDP", "same"),
+        ("sdpbypass", "anchors feed the DP directly already"),
+        ("allowAdjacentIndels", "DP emits whatever is optimal"),
+        ("noFrontAlign", "local alignment trims ends by score"),
+        ("onegap", "tools onegap / svrealign cover the SV path"),
+        ("noSelf", "self-hits only arise in all-vs-all tooling"),
+        ("outputByThread", "single ordered writer"),
+        ("noStoreMapQV", "MAPQ is computed in the same fused program"),
+        ("sortRefinedAlignments", "selection already sorts by score"),
+        ("computeAlignProbability", "see -metrics JSON"),
+        ("fullMetrics", "-metrics carries the per-stage timings"),
+        ("useQuality", "QV scoring is on whenever input has qualities"),
+        ("preserveReadTitle", "titles are preserved verbatim already"),
+        ("noPrintSubreadTitle", "whole-read titles (no region tables)"),
+        ("forwardOnly2", None),
+        ("p", "progress goes to stderr"),
+        ("passthrough", "no daemon mode"),
+        ("streaming", "batched pipeline streams by construction"),
+        ("useTemp", "no temp files needed"),
+        ("divideByAdapter", "adapter regions are HDF5-only"),
+        ("ignoreRegions", "region tables are HDF5-only"),
+        ("ignoreHQRegions", "same"),
+    ]
+    grp = p.add_argument_group("accepted for reference compatibility")
+    for name, note in _compat_int:
+        grp.add_argument(f"-{name}", type=float, default=None,
+                        help=f"accepted; {note}")
+    for name, note in _compat_flag:
+        if name == "forwardOnly2":
+            continue
+        grp.add_argument(f"-{name}", action="store_true",
+                        help=f"accepted; {note}" if note else "accepted")
+    for name in ("accuracyPrior", "deletionPrior", "substitutionPrior",
+                 "idsIndel", "minFrac", "minRatio", "overlap"):
+        grp.add_argument(f"-{name}", type=float, default=None,
+                        help="accepted; probability-model priors are folded "
+                             "into the QV-scaled costs")
+    for name in ("ctab", "seqdb", "findex", "regionTable", "clusters",
+                 "lcpBounds", "fileType"):
+        grp.add_argument(f"-{name}", default=None, metavar="FILE",
+                        help="accepted; artifact auto-discovery covers this")
     return p
 
 
@@ -152,8 +261,48 @@ def params_from_args(args) -> MappingParams:
         # lower match threshold
         n_cand = max(n_cand, 10)
         min_match = min(min_match, 12)
+    best_n = 1 if args.printOnlyBest else best_n
+    min_aln = args.minAlnLength
+    if args.minAlnLength2 is not None:
+        min_aln = max(min_aln, int(args.minAlnLength2))
+    min_rd = args.minReadLength
+    if args.minSubreadLength is not None:
+        min_rd = max(min_rd, int(args.minSubreadLength))
+    # -bandSize/-guidedAlignBandSize: round the half-width up to the lane
+    # quantum the packed kernel supports
+    nb_kw = {}
+    if args.bandSize:
+        full = 2 * args.bandSize
+        nb = 32 if full <= 32 else (64 if full <= 64 else 128)
+        nb_kw = dict(narrow_band=nb)
+    samqv = None
+    if args.samqv is not None:
+        name_to_tag = {
+            "InsertionQV": "iq", "DeletionQV": "dq", "SubstitutionQV": "sq",
+            "MergeQV": "mq", "SubstitutionTag": "st", "DeletionTag": "dt",
+        }
+        bad = [n for n in args.samqv if n not in name_to_tag]
+        if bad:
+            raise SystemExit(f"-samqv: unknown QV names {bad}")
+        samqv = tuple(name_to_tag[n] for n in args.samqv)
+    match_kw = {}
+    if args.match is not None:
+        if args.match > 0:
+            raise SystemExit("-match must be <= 0 (min-score convention)")
+        match_kw["match_score"] = args.match
+    if args.mismatch is not None:
+        match_kw["mismatch_score"] = args.mismatch
     return MappingParams(
         min_match_length=min_match,
+        sdp_tuple_size=args.sdpTupleSize,
+        forward_only=args.forwardOnly,
+        min_map_qv=args.minMapQV,
+        max_pct_identity=args.maxPctIdentity,
+        min_avg_qual=args.minAvgQual,
+        indel_rate=args.indelRate,
+        samqv=samqv,
+        **nb_kw,
+        **match_kw,
         max_anchors_per_position=args.maxAnchorsPerPosition,
         n_candidates=n_cand,
         best_n=best_n,
@@ -165,8 +314,8 @@ def params_from_args(args) -> MappingParams:
         score_matrix=score_matrix,
         max_score=args.maxScore,
         min_pct_similarity=args.minPctIdentity,
-        min_align_length=args.minAlnLength,
-        min_read_length=args.minReadLength,
+        min_align_length=min_aln,
+        min_read_length=min_rd,
         max_read_len=args.maxReadLen,
         batch_size=args.batchSize,
         place_repeats_randomly=args.placeRepeatsRandomly,
@@ -322,6 +471,8 @@ def main(argv=None) -> int:
         ]
     if args.maxReadLength:
         reads = [r for r in reads if len(r) <= args.maxReadLength]
+    if args.maxReadIndex is not None:
+        reads = [r for r in reads if r.index < args.maxReadIndex]
     if args.readIndex is not None or args.readIndices:
         want = set()
         if args.readIndex is not None:
@@ -359,7 +510,8 @@ def main(argv=None) -> int:
                           program_line=" ".join(sys.argv),
                           unmapped=unmapped,
                           movie_name=args.reads,
-                          genome=index.genome)
+                          genome=index.genome,
+                          samqv=params.samqv)
             elif args.m == 4:
                 write_m4(records, out, header=args.header)
             else:

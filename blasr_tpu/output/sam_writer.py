@@ -152,6 +152,7 @@ def format_sam_record(
     genome: np.ndarray | None = None,
     genome_start: int = 0,
     is_primary: bool = True,
+    samqv: tuple | None = None,
 ) -> str:
     n = len(read.codes)
     flag = FLAG_REVERSE if rec.tstrand else 0
@@ -208,7 +209,8 @@ def format_sam_record(
         # echo supplemental QV tracks (SAMPrinter.h:534-549 /
         # SAMSupplementalQVList::PrintQVOptionalFields): oriented with the
         # emitted SEQ and clipped like it
-        for tag in ("iq", "dq", "sq", "mq", "st", "dt"):
+        use = samqv if samqv is not None else ("iq", "dq", "sq", "mq", "st", "dt")
+        for tag in use:
             tr = read.qvs.get(tag)
             if tr is None or len(tr) != n:
                 continue
@@ -270,6 +272,7 @@ def write_sam(
     movie_name: str = "default",
     genome: np.ndarray | None = None,
     print_unmapped: bool = True,
+    samqv: tuple | None = None,
 ) -> None:
     for line in sam_header(seqdb, program_line, [movie_name]):
         out.write(line + "\n")
@@ -299,6 +302,7 @@ def write_sam(
                         genome_start=int(seqdb.starts[rec.contig_index])
                         if rec.contig_index >= 0 else 0,
                         is_primary=(j == best),
+                        samqv=samqv,
                     )
                     + "\n"
                 )

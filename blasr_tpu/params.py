@@ -45,6 +45,11 @@ class MappingParams:
                                       # (StringToScoreMatrix.h:9-44)
     max_score: int = -200             # -maxScore: report only score <= this
     min_pct_similarity: float = 0.0   # -minPctIdentity
+    max_pct_identity: float = 100.0   # -maxPctIdentity (screen out too-good)
+    min_map_qv: int = 0               # -minMapQV output filter
+    min_avg_qual: float = 0.0         # -minAvgQual FASTQ input filter
+    forward_only: bool = False        # -forwardOnly: skip the RC strand
+    samqv: Optional[tuple] = None     # -samqv: which QV tags to emit
     min_align_length: int = 0         # -minAlnLength
     min_read_length: int = 50         # -minReadLength (ref default 50)
     place_repeats_randomly: bool = False  # -placeRepeatsRandomly

@@ -404,6 +404,9 @@ def _map_batch_impl(
     CD = params.n_dp_candidates or C
     wgt2 = cand.weight.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
     vld2 = cand.valid.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    if params.forward_only:
+        # -forwardOnly: suppress the RC strand's candidates entirely
+        vld2 = vld2 & (jnp.arange(2 * C, dtype=jnp.int32)[None, :] < C)
     wneg = jnp.where(vld2, wgt2, jnp.float32(-1.0))
     topw, topj = jax.lax.top_k(wneg, CD)                    # (B, CD)
     dp_strand = (topj // C).astype(jnp.int32)               # 0 fwd / 1 rc

@@ -130,12 +130,22 @@ def run_mapping(
     mapper = Mapper(index, params, fm=fm)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
-    if params.min_read_length > 0:
-        # reference length filter (Blasr.cpp:3327-3343): short reads are
-        # reported unaligned without entering the pipeline
-        short = [r for r in reads if len(r) < params.min_read_length]
-        unmapped.extend(r.name for r in short)
-        reads = [r for r in reads if len(r) >= params.min_read_length]
+    if params.min_read_length > 0 or params.min_avg_qual > 0:
+        # reference length/quality input filters (Blasr.cpp:3327-3343):
+        # rejected reads are reported unaligned without entering the pipeline
+        def _ok(r):
+            if len(r) < params.min_read_length:
+                return False
+            if (
+                params.min_avg_qual > 0 and r.qual is not None
+                and len(r.qual) and float(r.qual.mean()) < params.min_avg_qual
+            ):
+                return False
+            return True
+
+        bad = [r for r in reads if not _ok(r)]
+        unmapped.extend(r.name for r in bad)
+        reads = [r for r in reads if _ok(r)]
     from concurrent.futures import ThreadPoolExecutor
 
     from blasr_tpu.pipeline.mapper import WireResult
@@ -318,7 +328,11 @@ def _finalize_batch(
             continue
         if path.pct_similarity < params.min_pct_similarity:
             continue
+        if path.pct_similarity > params.max_pct_identity:
+            continue
         if path.n_aligned < params.min_align_length:
+            continue
+        if int(mapqv[i2]) < params.min_map_qv:
             continue
         g_start = int(t0[i2]) + path.t_start
         g_end = int(t0[i2]) + path.t_end

@@ -252,3 +252,52 @@ def test_expand_retry_rescues_dense_error_read(sim):
     assert not un2 and recs2
     best = min(recs2, key=lambda x: x.score)
     assert best.tstrand == 0 and abs(best.tstart_fwd - start) < 50
+
+
+def test_long_tail_flags(tmp_path, capsys):
+    """Long-tail reference flags: real semantics for -forwardOnly /
+    -minMapQV / -match/-mismatch / -maxReadIndex; compat flags accepted."""
+    import numpy as np
+
+    from blasr_tpu.cli.blasr import build_arg_parser, params_from_args
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    p = build_arg_parser()
+    a = p.parse_args([
+        "r.fa", "g.fa", "-forwardOnly", "-minMapQV", "20", "-match", "-4",
+        "-mismatch", "7", "-bandSize", "20", "-samqv", "InsertionQV",
+        "-useGuidedAlign", "-extend", "-noRefineAlignments",
+        "-maxLCPLength", "15", "-printOnlyBest", "-bestn", "5",
+    ])
+    params = params_from_args(a)
+    assert params.forward_only and params.min_map_qv == 20
+    assert params.match_score == -4 and params.mismatch_score == 7
+    assert params.narrow_band == 64  # 2*20 -> 64 lane quantum
+    assert params.samqv == ("iq",)
+    assert params.best_n == 1  # -printOnlyBest wins
+
+    # forwardOnly end-to-end: RC-strand reads go unmapped
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import parse_truth
+
+    g = simulate_genome(50_000, seed=81, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 24, mean_len=400, seed=82)
+    base = MappingParams(batch_size=16, max_read_len=1024, n_candidates=2,
+                         best_n=1, min_match_length=13)
+    import dataclasses
+
+    fwd = dataclasses.replace(base, forward_only=True)
+    recs, unm = run_mapping(index, reads, fwd)
+    # no record may use the RC strand; true-forward reads still map well
+    assert all(r.tstrand == 0 for r in recs)
+    strong = {r.qname for r in recs if r.score < -1000}
+    for rd in reads:
+        _, _, strand = parse_truth(rd.name)
+        if strand == 0:
+            assert rd.name in strong
