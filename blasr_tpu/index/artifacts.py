@@ -67,8 +67,11 @@ class GenomeIndex:
     def genome_length(self) -> int:
         return int(self.genome.shape[0])
 
-    def save(self, path: str) -> None:
-        np.savez_compressed(
+    def save(self, path: str, compress: bool = True) -> None:
+        # sharded caches save uncompressed: a 200 Mb shard's zlib decompress
+        # costs ~a minute per serve-time load, dwarfing the disk read
+        savez = np.savez_compressed if compress else np.savez
+        savez(
             path,
             version=np.int64(INDEX_VERSION),
             genome=self.genome,

@@ -195,7 +195,7 @@ def build_or_load_shards(
         idx = build_shard_index(genome, seqdb, spec, k)
         if path:
             try:
-                idx.save(path)
+                idx.save(path, compress=False)
             except OSError:
                 pass
         out.append(idx)
@@ -256,7 +256,7 @@ def run_mapping_sharded(
             return GenomeIndex.load(path)
         idx = build_shard_index(genome, seqdb, specs[s], k)
         try:
-            idx.save(path)
+            idx.save(path, compress=False)
         except OSError:
             pass
         return idx

@@ -68,6 +68,17 @@ class DeviceIndex(NamedTuple):
     lut_meta: tuple | None = None  # (shift, max_steps) for the SA prefix LUT
 
 
+def _pad_starts(starts: np.ndarray) -> np.ndarray:
+    """Contig boundary array padded to a multiple-of-8 length with the
+    total length repeated (shape-uniform across shard indexes)."""
+    s = np.asarray(starts, np.int32)
+    n = len(s)
+    target = -(-n // 8) * 8
+    if target == n:
+        return s
+    return np.concatenate([s, np.full(target - n, s[-1], np.int32)])
+
+
 def make_device_index(
     idx: GenomeIndex, params: MappingParams, fm=None
 ) -> DeviceIndex:
@@ -182,7 +193,12 @@ def make_device_index(
     di = DeviceIndex(
         genome_pad=jnp.asarray(gp),
         arrays=arrays,
-        starts=jnp.asarray(idx.seqdb.starts.astype(np.int32)),
+        # pad the boundary array to a multiple of 8 (repeat the final
+        # boundary): searchsorted(side='right')-1 lands on the true contig
+        # regardless of trailing duplicates, and the UNIFORM shape means
+        # shard indexes with different contig counts share one compiled
+        # program (16 per-shard recompiles -> 1 on the sharded path)
+        starts=jnp.asarray(_pad_starts(idx.seqdb.starts)),
         pad=pad,
         k=idx.k,
         genome_len=idx.genome_length,

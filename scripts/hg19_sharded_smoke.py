@@ -181,7 +181,7 @@ def _build_one(args):
     # only this shard's block in this worker
     t0 = __import__("time").time()
     idx = build_shard_index(genome, seqdb, spec, k)
-    idx.save(shard_cache_path(gpath, n_shards, k, s))
+    idx.save(shard_cache_path(gpath, n_shards, k, s), compress=False)
     return s, __import__("time").time() - t0
 
 
