@@ -50,6 +50,10 @@ class MappingParams:
     min_avg_qual: float = 0.0         # -minAvgQual FASTQ input filter
     forward_only: bool = False        # -forwardOnly: skip the RC strand
     samqv: Optional[tuple] = None     # -samqv: which QV tags to emit
+    remove_contained: bool = True     # read-span RemoveContained gate on
+                                      # -bestn emission (piecewise segment
+                                      # mapping disables it: the colinear
+                                      # DP needs the repeat alternatives)
     min_align_length: int = 0         # -minAlnLength
     min_read_length: int = 50         # -minReadLength (ref default 50)
     place_repeats_randomly: bool = False  # -placeRepeatsRandomly

@@ -563,8 +563,11 @@ def _map_batch_impl(
     sv = sv & ~removed
     # read-span containment gates EMISSION only; MAPQ keeps the full
     # competitor set (ambiguity must still be visible to the logsumexp)
-    removed_read = jnp.any(contains_read & better, axis=1)
-    sv_emit = sv & ~removed_read
+    if params.remove_contained:
+        removed_read = jnp.any(contains_read & better, axis=1)
+        sv_emit = sv & ~removed_read
+    else:
+        sv_emit = sv
 
     # ---- per-read best_n selection over the surviving candidates,
     # reference order: score ascending, ties by global target position

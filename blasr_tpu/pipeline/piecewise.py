@@ -253,6 +253,53 @@ def _merge_run(
     )
 
 
+def _select_colinear(
+    by_si: dict[int, list[AlignmentRecord]],
+    max_gap: int,
+    indel_rate: float,
+    break_pen: int,
+) -> list[AlignmentRecord]:
+    """Choose one placement per segment minimizing total alignment score
+    plus a penalty per chain break (joint colinear selection over each
+    segment's top placements)."""
+    sis = sorted(by_si)
+    prev_dp: list[int] = []
+    prev_cands: list[AlignmentRecord] = []
+    back: list[list[int]] = []
+    for si in sis:
+        cands = by_si[si]
+        dp_row: list[int] = []
+        back_row: list[int] = []
+        for c in cands:
+            if not prev_cands:
+                dp_row.append(c.score)
+                back_row.append(-1)
+                continue
+            best_v = None
+            best_j = -1
+            for j, p in enumerate(prev_cands):
+                pen = 0 if _try_stitch(p, c, max_gap, indel_rate) else break_pen
+                v = prev_dp[j] + pen + c.score
+                if best_v is None or v < best_v:
+                    best_v = v
+                    best_j = j
+            dp_row.append(best_v)
+            back_row.append(best_j)
+        back.append(back_row)
+        prev_dp = dp_row
+        prev_cands = cands
+    # backtrack
+    chosen: list[AlignmentRecord] = []
+    j = min(range(len(prev_dp)), key=lambda x: prev_dp[x]) if prev_dp else -1
+    for i in range(len(sis) - 1, -1, -1):
+        cands = by_si[sis[i]]
+        chosen.append(cands[j])
+        j = back[i][j]  # -1 only at i == 0 (loop ends)
+    chosen.reverse()
+    chosen.sort(key=lambda r: r.qstart)
+    return chosen
+
+
 def run_mapping_piecewise(
     index: GenomeIndex,
     reads: Sequence[Read],
@@ -269,21 +316,29 @@ def run_mapping_piecewise(
     seg_len = min(params.segment_length, params.max_read_len)
     seg_reads, parents = split_long_reads(reads, seg_len, split_if_longer)
     base_params = dataclasses.replace(params, auto_segment=False)
-    if params.best_n == 1:
-        # single pipeline run: segments and pass-through reads share it
-        recs, unmapped = run_mapping(index, seg_reads, base_params, fm=fm)
-    else:
-        # pass-through reads keep the caller's best_n; segments collapse
-        # to best_n=1 (one placement per segment before stitching)
-        pass_through = [r for r in seg_reads if SEG_SEP not in r.name]
-        segments = [r for r in seg_reads if SEG_SEP in r.name]
-        seg_params = dataclasses.replace(base_params, best_n=1)
-        recs, unmapped = run_mapping(index, pass_through, base_params, fm=fm)
-        recs2, unm2 = run_mapping(index, segments, seg_params, fm=fm)
-        recs = list(recs) + list(recs2)
-        unmapped = list(unmapped) + list(unm2)
+    pass_through = [r for r in seg_reads if SEG_SEP not in r.name]
+    segments = [r for r in seg_reads if SEG_SEP in r.name]
+    # segments carry their top-3 placements: a segment inside a genomic
+    # repeat would otherwise pick a copy independently and shatter the
+    # chain; the colinear DP below re-selects jointly (role of the
+    # reference's joint chaining across a contig, PiecewiseMatch.h:11-400,
+    # vs per-segment best)
+    SEG_BESTN = max(1, min(3, base_params.n_candidates))
+    recs: list[AlignmentRecord] = []
+    unmapped: list[str] = []
+    if pass_through:
+        r1, u1 = run_mapping(index, pass_through, base_params, fm=fm)
+        recs += list(r1)
+        unmapped += list(u1)
+    if segments:
+        seg_params = dataclasses.replace(
+            base_params, best_n=SEG_BESTN, remove_contained=False
+        )
+        r2, u2 = run_mapping(index, segments, seg_params, fm=fm)
+        recs += list(r2)
+        unmapped += list(u2)
 
-    by_parent: dict[str, list[tuple[int, int, AlignmentRecord]]] = {}
+    by_parent: dict[str, dict[int, list[AlignmentRecord]]] = {}
     out: list[AlignmentRecord] = []
     for rec in recs:
         if SEG_SEP not in rec.qname:
@@ -302,14 +357,17 @@ def run_mapping_piecewise(
             qend=rec.qend + ofs,
             qlength=n_parent,
         )
-        by_parent.setdefault(pname, []).append((int(si), ofs, shifted))
+        by_parent.setdefault(pname, {}).setdefault(int(si), []).append(shifted)
 
     max_gap = params.piecewise_max_gap
-    for pname, items in by_parent.items():
-        items.sort(key=lambda x: (x[0], x[2].score))
-        segs = [rec for _, _, rec in items]
-        # order by forward-read position of the segment
-        segs.sort(key=lambda r: r.qstart)
+    # a chain break costs the equivalent of ~800 matched bases: enough to
+    # override repeat-copy score ties, small enough that a true structural
+    # break (inversion/translocation, no colinear candidate) still splits
+    BREAK_PEN = 800 * abs(params.match_score)
+    for pname, by_si in by_parent.items():
+        segs = _select_colinear(
+            by_si, max_gap, params.indel_rate, BREAK_PEN
+        )
         run: list[AlignmentRecord] = []
         for rec in segs:
             if run and _try_stitch(run[-1], rec, max_gap, params.indel_rate):

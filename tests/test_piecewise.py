@@ -114,3 +114,30 @@ def test_piecewise_rc_path_consistent():
             ti += 1
     assert n_mm <= 2, f"path inconsistent: {n_mm} mismatches on error-free read"
     assert n_match >= 2_900
+
+
+def test_colinear_selection_survives_repeat_segments():
+    """A contig whose middle segment lies inside a genomic repeat must
+    stitch into ONE record: joint colinear selection (PiecewiseMatch role)
+    picks the in-chain copy even when an out-of-chain copy scores equally."""
+    rng = np.random.default_rng(91)
+    g = rng.integers(0, 4, 200_000).astype(np.uint8)
+    # plant an exact repeat: copy [50k, 53k) to [150k, 153k)
+    g[150_000:153_000] = g[50_000:53_000]
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    # contig = [46k, 58k): segments inside [50k,53k) are ambiguous
+    contig = g[46_000:58_000].copy()
+    reads = [Read("ctg", contig, None, 0)]
+    params = MappingParams(
+        batch_size=16, max_read_len=2048, n_candidates=4, best_n=1,
+        min_match_length=13, piecewise=True, segment_length=1024,
+    )
+    recs, unm = run_mapping_piecewise(index, reads, params)
+    assert len(recs) == 1, [
+        (r.qstart, r.qend, r.tstart_fwd, r.score) for r in recs
+    ]
+    r = recs[0]
+    assert r.qstart == 0 and r.qend == len(contig)
+    assert abs(r.tstart_fwd - 46_000) < 50
+    assert r.pct_similarity > 99.9
