@@ -122,3 +122,31 @@ def test_sam_qv_tracks_roundtrip(tmp_path):
     )
     assert fields["iq"] == iq_s
     assert fields["dt"] == dt_s
+
+
+def test_samqv_tag_selection(tmp_path):
+    """-samqv limits which supplemental tracks the SAM writer emits
+    (SupplementalQVList::UseQV role)."""
+    import numpy as np
+
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.output.sam_writer import format_sam_record
+    from blasr_tpu.pipeline.runner import AlignmentRecord
+    from blasr_tpu.pipeline.traceback import AlignmentPath
+
+    n = 20
+    rng = np.random.default_rng(5)
+    rd = Read("r", rng.integers(0, 4, n).astype(np.uint8), None, 0,
+              qvs={"iq": np.full(n, 10, np.uint8),
+                   "dq": np.full(n, 11, np.uint8)})
+    path = AlignmentPath(0, n, 0, n, np.full(n, 1, np.uint8), -50, n_match=n)
+    rec = AlignmentRecord(
+        qname="r", tname="c", score=-50, pct_similarity=100.0, qstrand=0,
+        qstart=0, qend=n, qlength=n, tstrand=0, tstart=0, tend=n,
+        tlength=100, mapqv=254, contig_index=0, tstart_fwd=0, tend_fwd=n,
+        path=path, read_index=0,
+    )
+    line_all = format_sam_record(rec, rd)
+    assert "iq:Z:" in line_all and "dq:Z:" in line_all
+    line_iq = format_sam_record(rec, rd, samqv=("iq",))
+    assert "iq:Z:" in line_iq and "dq:Z:" not in line_iq
