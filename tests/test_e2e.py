@@ -301,3 +301,42 @@ def test_long_tail_flags(tmp_path, capsys):
         _, _, strand = parse_truth(rd.name)
         if strand == 0:
             assert rd.name in strong
+
+
+def test_narrow_band_tracks_deletion_heavy_reads():
+    """The drift-slope schedule is fitted per batch from anchor chains, so
+    a DELETION-heavy error profile (opposite drift sign from PacBio's
+    insertion bias) must map just as accurately under the narrow band."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import parse_truth, simulate_genome, simulate_reads
+
+    g = simulate_genome(200_000, seed=95, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(
+        g, 32, mean_len=900, seed=96, ins_rate=0.03, del_rate=0.09
+    )
+    params = MappingParams(
+        batch_size=32, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13, narrow_band=64,
+    )
+    recs, unm = run_mapping(index, reads, params)
+    byname = {}
+    for r in recs:
+        c = byname.get(r.qname)
+        if c is None or r.score < c.score:
+            byname[r.qname] = r
+    ok = 0
+    for rd in reads:
+        rec = byname.get(rd.name)
+        if rec is None:
+            continue
+        s, e, st = parse_truth(rd.name)
+        if rec.tstrand == st and abs(rec.tstart_fwd - s) < 100:
+            ok += 1
+    assert ok >= 31, (ok, len(unm))
