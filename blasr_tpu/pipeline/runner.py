@@ -43,6 +43,8 @@ class MappingMetrics:
     dispatch_seconds: float = 0.0   # host time enqueueing device work
     finalize_seconds: float = 0.0   # host time draining + formatting
     wall_seconds: float = 0.0
+    buckets: dict = dataclasses.field(default_factory=dict)
+                                    # bucket cap -> [n_batches, n_reads]
 
     def to_dict(self) -> dict:
         d = dataclasses.asdict(self)
@@ -188,6 +190,9 @@ def run_mapping(
         res = mapper.map_batch(batch.codes, batch.lengths, batch.qual)
         inflight.append((bi, batch, fetch_pool.submit(_fetch, res)))
         met.dispatch_seconds += _time.time() - t0
+        bk = met.buckets.setdefault(int(batch.codes.shape[1]), [0, 0])
+        bk[0] += 1
+        bk[1] += int((batch.indices >= 0).sum())
         met.total_dp_cells += (
             (2 * batch.max_len + params.target_pad - 1)
             * params.band_width
