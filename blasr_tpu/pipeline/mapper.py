@@ -34,7 +34,6 @@ from blasr_tpu.ops.banded_align import (
     QOFF_SHIFT,
     AlignScores,
     banded_align,
-    make_qoff,
     make_qoff_num,
 )
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
@@ -726,10 +725,3 @@ class Mapper:
             rcols=2 * p.dp_candidates,
         )
 
-    def qoff_for(self, read_len: int) -> np.ndarray:
-        return make_qoff(
-            read_len,
-            read_len + self.params.target_pad,
-            self.params.band_width,
-            self.params.target_pad // 2,
-        )
