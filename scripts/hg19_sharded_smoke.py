@@ -140,12 +140,29 @@ def main():
         if rec.tstrand == st and abs(g_start - s) < 100:
             n_ok += 1
         else:
-            # duplication ambiguity vs real miss: identical sequence at the
-            # mapped locus means the placement is equally valid
+            # duplication ambiguity vs real miss: equal ALIGNMENT score at
+            # the mapped locus means the placement is equally valid (exact
+            # window compare is too strict when the duplication carries a
+            # few mutations or the read head is error-dense)
             w = min(200, e - s)
             dup = bool(
                 np.array_equal(genome[s : s + w], genome[g_start : g_start + w])
             )
+            if not dup:
+                from blasr_tpu.oracle import local_affine_score
+                from blasr_tpu.ops.banded_align import AlignScores
+
+                sc_ = AlignScores()
+                probe = rd.codes[:400]
+                n_ = len(probe) + 100
+                s_true = local_affine_score(
+                    probe, np.asarray(genome[s : s + n_], np.uint8), sc_
+                )
+                s_map = local_affine_score(
+                    probe, np.asarray(genome[g_start : g_start + n_], np.uint8),
+                    sc_,
+                )
+                dup = s_map <= s_true
             if dup:
                 n_dup += 1
             else:
