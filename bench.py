@@ -58,7 +58,7 @@ def main():
     reads = read_records(READS_FA)
     params = MappingParams(
         batch_size=int(os.environ.get("BLASR_BENCH_B", "64")),
-        max_read_len=3072,
+        max_read_len=int(os.environ.get("BLASR_BENCH_MAXL", "3328")),
         n_candidates=int(os.environ.get("BLASR_BENCH_NC", "4")),
         n_dp_candidates=int(os.environ.get("BLASR_BENCH_CD", "2")),
         anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "2")),

@@ -147,6 +147,10 @@ class MappingParams:
         if not (1 <= self.min_match_length <= 30):
             # 2 bits/base: int32 keys to k=15, split int64 keys to k=30
             raise ValueError("min_match_length must be in [1, 30]")
+        if self.n_dp_candidates and self.best_n > self.n_dp_candidates:
+            raise ValueError(
+                "best_n cannot exceed n_dp_candidates (the emission selects "
+                "from the DP'd windows)")
         if self.best_n > self.n_candidates:
             raise ValueError("best_n must be <= n_candidates")
 

@@ -323,7 +323,8 @@ def run_mapping_piecewise(
     # chain; the colinear DP below re-selects jointly (role of the
     # reference's joint chaining across a contig, PiecewiseMatch.h:11-400,
     # vs per-segment best)
-    SEG_BESTN = max(1, min(3, base_params.n_candidates))
+    SEG_BESTN = max(1, min(3, base_params.n_candidates,
+                           base_params.dp_candidates))
     recs: list[AlignmentRecord] = []
     unmapped: list[str] = []
     if pass_through:
