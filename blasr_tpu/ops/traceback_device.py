@@ -27,6 +27,7 @@ Alignment stats mirror ComputeAlignmentStats (AlignmentUtils.h:536).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -45,7 +46,8 @@ from blasr_tpu.ops.banded_align import (
 
 OP_NONE, OP_M, OP_I, OP_D = 0, 1, 2, 3
 
-WALK_UNROLL = 8  # sub-steps per while iteration (amortizes cond overhead)
+WALK_UNROLL = int(os.environ.get("BLASR_WALK_UNROLL", "8"))  # sub-steps per
+# while iteration (amortizes cond overhead); env for hardware sweeps
 
 
 class DeviceTraceback(NamedTuple):
