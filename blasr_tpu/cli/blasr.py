@@ -15,6 +15,7 @@ Usage: python -m blasr_tpu.cli.blasr <reads> <genome> [options]
 from __future__ import annotations
 
 import argparse
+import os
 import json
 import sys
 import time
@@ -509,7 +510,7 @@ def main(argv=None) -> int:
                           clipping=args.clipping,
                           program_line=" ".join(sys.argv),
                           unmapped=unmapped,
-                          movie_name=args.reads,
+                          movie_name=os.path.basename(args.reads),
                           genome=index.genome,
                           samqv=params.samqv)
             elif args.m == 4:

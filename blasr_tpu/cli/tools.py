@@ -374,7 +374,7 @@ def _cmd_printgaps(argv) -> int:
     gap_fa = open(args.printGapFasta, "w") if args.printGapFasta else None
 
     OPQ = {"M": (1, 1), "=": (1, 1), "X": (1, 1), "I": (1, 0), "D": (0, 1),
-           "S": (0, 0), "H": (0, 0), "N": (0, 1), "P": (0, 0)}
+           "S": (1, 0), "H": (0, 0), "N": (0, 1), "P": (0, 0)}
     for sam_path in args.sam:
         sam = read_sam(sam_path)
         for rec in sam.records:
@@ -718,7 +718,7 @@ def _cmd_samcoverage(argv) -> int:
         # the final /binSize matches the reference's per-base increments
         for b in range(max(b0, 0), b1 + 1):
             lo = max(t0, b * args.bin_size)
-            hi = min(t1 - 1, (b + 1) * args.bin_size)
+            hi = min(t1, (b + 1) * args.bin_size)
             if hi > lo:
                 arr[b] += hi - lo
     for name, arr in counts.items():

@@ -37,9 +37,10 @@ def read_sa_file(path: str, genome_len: int | None = None) -> np.ndarray:
     with open(path, "rb") as f:
         magic = np.fromfile(f, dtype="<u4", count=1)
         if magic.size != 1 or int(magic[0]) != SA_MAGIC:
+            got = f"{int(magic[0]):#x}" if magic.size else "EOF"
             raise ValueError(
-                f"{path}: not a reference .sa file (magic "
-                f"{int(magic[0]) if magic.size else 'EOF':#x} != {SA_MAGIC:#x})"
+                f"{path}: not a reference .sa file (magic {got} != "
+                f"{SA_MAGIC:#x})"
             )
         comp = np.fromfile(f, dtype="<i4", count=2)
         if comp.size != 2:

@@ -133,6 +133,11 @@ def _expand_select_compact(
                              # KH < 255), so the interval width needs no
                              # second lut_valid gather; requires expand == 0
                              # (i.e. qk_lo_key == qk_hi_key)
+    nh_valid: jax.Array | None = None,  # (B, L) valid-hit counts per position:
+                             # positions whose hits are ALL masked (pos_ok
+                             # false / non-owned shard range) must not occupy
+                             # top-P priority slots — they would crowd out
+                             # anchor-bearing positions when L > A
 ):
     """Slot-exact hit expansion over the seed-valid compacted SA.
 
@@ -148,6 +153,8 @@ def _expand_select_compact(
     Gv = sa_valid.shape[0]
     NK = lut_valid.shape[0]
     pos_has = has_key & (nh > 0) & (nh <= KH)
+    if nh_valid is not None:
+        pos_has = pos_has & (nh_valid > 0)
 
     stride = max(1, (2 * L * KH) // max(A, 1) // 2)
     base = jnp.int32(1 << 20)
@@ -289,9 +296,16 @@ def find_anchors(
                 ctab[jnp.clip(qk, 0, ctab.shape[0] - 1)].astype(jnp.int32),
                 0,
             )
+            nh_v = jnp.where(
+                qk >= 0,
+                ctab_valid[jnp.clip(qk, 0, ctab_valid.shape[0] - 1)].astype(
+                    jnp.int32
+                ),
+                0,
+            )
             return _expand_select_compact(
                 sa, lut_valid, qk_lo_key, qk_hi_key, nh, qk >= 0,
-                B, L, KH, A, ST, ctab_valid=ctab_valid,
+                B, L, KH, A, ST, ctab_valid=ctab_valid, nh_valid=nh_v,
             )
         # full-resolution direct-address table (lut.shape == 4^k + 1):
         # lo and the interval width come from two gathers, no bisection

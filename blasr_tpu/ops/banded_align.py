@@ -276,8 +276,13 @@ def banded_align(
         R_new = jnp.where(
             is_diag, jnp.where(restart, 1, R2_diag + 1), 0
         ).astype(jnp.int32)
+        # DIAG_START cells also record their own (mis)match bit: with a
+        # -scoreMatrix carrying negative off-diagonals a local alignment
+        # can legally START on a mismatch, and the walk needs the bit for
+        # exact n_match/n_mismatch
         M_new = jnp.where(
-            is_diag, jnp.where(restart, mm, M2_diag + mm), 0
+            is_diag, jnp.where(restart, mm, M2_diag + mm),
+            jnp.where(src == SRC_DIAG_START, mm, 0),
         ).astype(jnp.int32)
 
         row_min = jnp.min(H_new, axis=1)

@@ -329,7 +329,8 @@ def _make_kernel(
                 is_diag, jnp.where(restart, cdt(1), R2_diag + cdt(1)), cdt(0)
             )
             M_new = jnp.where(
-                is_diag, jnp.where(restart, mm, M2_diag + mm), cdt(0)
+                is_diag, jnp.where(restart, mm, M2_diag + mm),
+                jnp.where(src == cdt(SRC_DIAG_START), mm, cdt(0)),
             )
 
             if with_traceback:

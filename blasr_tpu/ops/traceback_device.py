@@ -215,10 +215,10 @@ def walk_arrows_device(
 
         slot = jnp.where(active, op | (cnt << 2), 0).astype(jnp.uint8)
         live = active.astype(jnp.int32)
-        nmatch = nmatch + live * jnp.where(
-            is_start, 1, jnp.where(diag, r_eff - mcount, 0)
-        )
-        nmis = nmis + live * jnp.where(diag & ~is_start, mcount, 0)
+        # r_eff is 1 for DIAG_START cells, whose arrow word carries its
+        # own mismatch bit — uniform (run - mcount) match accounting
+        nmatch = nmatch + live * jnp.where(diag, r_eff - mcount, 0)
+        nmis = nmis + live * jnp.where(diag, mcount, 0)
         nins = nins + live * (up | is_f).astype(jnp.int32)
         ndel = ndel + live * (left | is_e).astype(jnp.int32)
         a = jnp.where(active, a + da, a)

@@ -89,8 +89,9 @@ def build_shard_index(
         names.append(seqdb.names[ci])
         cuts.append(min(e, spec.block_hi))
     starts_local = np.asarray(cuts, dtype=np.int64) - spec.block_lo
-    # carry the TRUE per-contig MD5s (SAM @SQ integrity across shards)
-    md5s = [seqdb.md5s[seqdb.names.index(n)] for n in names]
+    # carry the TRUE per-contig MD5s (SAM @SQ integrity across shards);
+    # indexed by contig position, not name (duplicate names are legal)
+    md5s = [seqdb.md5s[ci0 + i] for i in range(len(names))]
     seg_db = SeqDB(names, starts_local, md5s)
 
     proj = (block & 3).astype(np.uint8)
@@ -164,8 +165,14 @@ def _merge_mapqv(records: list[AlignmentRecord]) -> None:
         r.mapqv = min(r.mapqv, cross)
 
 
-def shard_cache_path(genome_path: str, n_shards: int, k: int, s: int) -> str:
-    return f"{genome_path}.btshard{n_shards}k{k}.{s}.npz"
+def shard_cache_path(
+    genome_path: str, n_shards: int, k: int, s: int, overlap: int = 0
+) -> str:
+    # overlap participates in the key: block bounds depend on it, and a
+    # stale cache built for different bounds would silently shift every
+    # _globalize coordinate by the overlap delta
+    ov = f"o{overlap}" if overlap else ""
+    return f"{genome_path}.btshard{n_shards}k{k}{ov}.{s}.npz"
 
 
 def build_or_load_shards(
@@ -174,6 +181,7 @@ def build_or_load_shards(
     specs: Sequence[ShardSpec],
     k: int,
     genome_path: Optional[str] = None,
+    overlap: int = 0,
 ) -> list[GenomeIndex]:
     """Shard indexes with on-disk caching (role of the reference's .sa
     auto-discovery, Blasr.cpp:4375-4394 — per shard). Building SA-IS over
@@ -184,7 +192,7 @@ def build_or_load_shards(
     out = []
     for s, spec in enumerate(specs):
         path = (
-            shard_cache_path(genome_path, len(specs), k, s)
+            shard_cache_path(genome_path, len(specs), k, s, overlap)
             if genome_path else None
         )
         if path and os.path.exists(path) and (
@@ -241,7 +249,9 @@ def run_mapping_sharded(
         if len(devs) < len(specs):
             concurrent = False
     elif shard_indexes is None:
-        shard_indexes = build_or_load_shards(genome, seqdb, specs, k, genome_path)
+        shard_indexes = build_or_load_shards(
+            genome, seqdb, specs, k, genome_path, overlap
+        )
 
     per_read: dict[str, list[AlignmentRecord]] = {}
     all_names = [r.name for r in reads]
@@ -251,7 +261,7 @@ def run_mapping_sharded(
             return shard_indexes[s]
         import os
 
-        path = shard_cache_path(genome_path, len(specs), k, s)
+        path = shard_cache_path(genome_path, len(specs), k, s, overlap)
         if os.path.exists(path):
             return GenomeIndex.load(path)
         idx = build_shard_index(genome, seqdb, specs[s], k)

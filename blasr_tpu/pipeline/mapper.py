@@ -561,9 +561,13 @@ def _map_batch_impl(
     removed = jnp.any(contains & better, axis=1)            # (B, CD)
     sv = sv & ~removed
     # read-span containment gates EMISSION only; MAPQ keeps the full
-    # competitor set (ambiguity must still be visible to the logsumexp)
+    # competitor set (ambiguity must still be visible to the logsumexp).
+    # Containers must themselves have SURVIVED the genomic removal
+    # (reference order: RemoveOverlapping at Blasr.cpp:2618 acts on the
+    # already-filtered list) — a dead candidate cannot suppress others.
     if params.remove_contained:
-        removed_read = jnp.any(contains_read & better, axis=1)
+        alive = sv[:, :, None]                              # container axis
+        removed_read = jnp.any(contains_read & better & alive, axis=1)
         sv_emit = sv & ~removed_read
     else:
         sv_emit = sv

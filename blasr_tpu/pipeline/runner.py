@@ -195,7 +195,7 @@ def run_mapping(
         bk[1] += int((batch.indices >= 0).sum())
         met.total_dp_cells += (
             (2 * batch.max_len + params.target_pad - 1)
-            * params.band_width
+            * params.band_width_for(batch.max_len)
             * params.dp_candidates
             * batch.batch_size
         )
@@ -204,6 +204,7 @@ def run_mapping(
     while inflight:
         drain_one()
     fetch_pool.shutdown(wait=False)
+    stream_extra: list[AlignmentRecord] = []
     if params.max_expand > params.min_expand and unmapped:
         # expand-retry cascade (Blasr.cpp:2263,2554-2578 do/while +
         # CheckForSufficientMatch at :1974): reads with no sufficient match
@@ -219,6 +220,7 @@ def run_mapping(
             )
             r2, u2 = run_mapping(index, retry_reads, pe, fm=fm)
             out.extend(r2)
+            stream_extra.extend(r2)
             got = {rec.qname for rec in r2}
             unmapped = [u for u in unmapped if u not in got]
             still = set(u2)
@@ -257,7 +259,17 @@ def run_mapping(
             out = [
                 r for r in out if r.qname not in use_retry
             ] + [r for r in r2 if r.qname in use_retry]
+            # streaming writers already flushed earlier batches, so only
+            # NEW reads (no prior record) can be appended there;
+            # score-improving replacements reach the in-memory result only
+            stream_extra.extend(
+                r for r in r2 if r.qname in use_retry and r.qname not in best1
+            )
             unmapped = [u for u in unmapped if u not in best2]
+    if on_batch is not None and stream_extra:
+        # retry-recovered records reach batch-streaming consumers too
+        # (bi=-1: appended without advancing the resume manifest)
+        on_batch(-1, stream_extra, [])
     order = {r.name: i for i, r in enumerate(reads)}
     if params.place_repeats_randomly:
         # -placeRepeatsRandomly (Blasr.cpp:3041-3086): tied-best alignments

@@ -91,7 +91,7 @@ def main():
     specs = make_shards(G, n_shards, overlap)
     todo = [
         s for s in range(len(specs))
-        if not os.path.exists(shard_cache_path(gpath, len(specs), k, s))
+        if not os.path.exists(shard_cache_path(gpath, len(specs), k, s, overlap))
     ]
     t0 = time.time()
     if todo:
@@ -105,7 +105,7 @@ def main():
                 print(f"  shard {s}: SA-IS build {dt:.0f}s", flush=True)
     build_s = time.time() - t0
     cache_bytes = sum(
-        os.path.getsize(shard_cache_path(gpath, len(specs), k, s))
+        os.path.getsize(shard_cache_path(gpath, len(specs), k, s, overlap))
         for s in range(len(specs))
     )
     print(
@@ -198,7 +198,7 @@ def _build_one(args):
     # only this shard's block in this worker
     t0 = __import__("time").time()
     idx = build_shard_index(genome, seqdb, spec, k)
-    idx.save(shard_cache_path(gpath, n_shards, k, s), compress=False)
+    idx.save(shard_cache_path(gpath, n_shards, k, s, overlap), compress=False)
     return s, __import__("time").time() - t0
 
 
