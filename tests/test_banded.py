@@ -293,3 +293,72 @@ def test_score_matrix_substitution():
     )
     np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score))
     np.testing.assert_array_equal(np.asarray(ref.arrows), np.asarray(got.arrows))
+
+
+def test_walk_stats_with_negative_offdiagonal_matrix():
+    """-scoreMatrix with a negative off-diagonal lets local alignments START
+    on a mismatch; the arrow word's DIAG_START mismatch bit must keep
+    n_match/n_mismatch exact (review fix)."""
+    import numpy as np
+
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    # A<->C substitution scores -2 (negative off-diagonal)
+    mat = [
+        -5, -2, 6, 6, 0,
+        -2, -5, 6, 6, 0,
+        6, 6, -5, 6, 0,
+        6, 6, 6, -5, 0,
+        0, 0, 0, 0, 0,
+    ]
+    sc = AlignScores(matrix=tuple(mat))
+    rng = np.random.default_rng(31)
+    I, L, T = 8, 120, 180
+    Q = rng.integers(0, 4, (I, L)).astype(np.uint8)
+    Tc = rng.integers(0, 4, (I, T)).astype(np.uint8)
+    for i in range(I):
+        c = Q[i, :100].copy()
+        mut = rng.random(100) < 0.15
+        c[mut] = (c[mut] + rng.integers(1, 4, 100)[mut]) % 4
+        Tc[i, 30:130] = c
+    qoff = jnp.asarray(make_qoff(L, T, 128, (T - L) // 2))
+    res = banded_align(
+        jnp.asarray(Q), jnp.full(I, L, jnp.int32), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff,
+        scores=sc, with_traceback=True,
+    )
+    tb = walk_arrows_device(
+        res.arrows, qoff, res.best_a, res.best_w,
+        jnp.minimum(res.score, -1), jnp.asarray(Q), jnp.asarray(Tc),
+    )
+    from blasr_tpu.ops.traceback_device import pack_moves_rows, packed_width
+    from blasr_tpu.ops.traceback_device import unpack_moves
+
+    S = L + T - 1
+    packed = np.asarray(pack_moves_rows(tb.moves_dense, packed_width(S)))
+    for i in range(I):
+        qs, qe = int(tb.q_start[i]), int(tb.q_end[i])
+        ts, te = int(tb.t_start[i]), int(tb.t_end[i])
+        nm = int(tb.n_match[i])
+        nmm = int(tb.n_mismatch[i])
+        ni, nd = int(tb.n_ins[i]), int(tb.n_del[i])
+        # op-count identities
+        assert (qe - qs) == (nm + nmm + ni)
+        assert (te - ts) == (nm + nmm + nd)
+        assert int(tb.nops[i]) == nm + nmm + ni + nd
+        # replay the move string against the sequences: the device tallies
+        # must equal ground truth even when alignments start on a mismatch
+        ops = unpack_moves(packed[i], int(tb.nops[i]))
+        qp, tp = qs, ts
+        true_nm = 0
+        for op in ops:
+            if op == 1:
+                true_nm += int(Q[i, qp] == Tc[i, tp])
+                qp += 1
+                tp += 1
+            elif op == 2:
+                qp += 1
+            else:
+                tp += 1
+        assert (qp, tp) == (qe, te)
+        assert true_nm == nm, (i, true_nm, nm)
