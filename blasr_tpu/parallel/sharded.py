@@ -175,6 +175,90 @@ def shard_cache_path(
     return f"{genome_path}.btshard{n_shards}k{k}{ov}.{s}.npz"
 
 
+SKETCH_K = 14
+
+
+def _revcomp_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse-complement of 2-bit-packed k-mers."""
+    x = keys.astype(np.int64) ^ ((1 << (2 * k)) - 1)     # complement (b^3)
+    # reverse the 2-bit groups within 32 positions, then shift down
+    m2 = 0x3333333333333333
+    m4 = 0x0F0F0F0F0F0F0F0F
+    m8 = 0x00FF00FF00FF00FF
+    m16 = 0x0000FFFF0000FFFF
+    x = ((x & m2) << 2) | ((x >> 2) & m2)
+    x = ((x & m4) << 4) | ((x >> 4) & m4)
+    x = ((x & m8) << 8) | ((x >> 8) & m8)
+    x = ((x & m16) << 16) | ((x >> 16) & m16)
+    x = ((x & 0xFFFFFFFF) << 32) | ((x >> 32) & 0xFFFFFFFF)
+    return x >> (64 - 2 * k)
+
+
+def _canonical_keys(keys: np.ndarray, k: int) -> np.ndarray:
+    rc = _revcomp_keys(keys, k)
+    return np.minimum(keys.astype(np.int64), rc)
+
+
+def build_shard_sketch(block: np.ndarray, k: int = SKETCH_K) -> np.ndarray:
+    """Canonical-k-mer presence bitmask of a genome block: 4^k bits packed
+    into a (4^k / 8,) uint8 array (~32 MB at k=14). Strand-canonical so one
+    probe covers both read orientations."""
+    from blasr_tpu.core.encode import pack_kmers
+
+    keys, valid = pack_kmers(np.asarray(block, np.uint8), k)
+    kk = _canonical_keys(keys[valid], k)
+    present = np.zeros(1 << (2 * k), bool)
+    present[kk] = True
+    return np.packbits(present, bitorder="little")
+
+
+def sketch_cache_path(
+    genome_path: str, n_shards: int, s: int, overlap: int
+) -> str:
+    return f"{genome_path}.btshard{n_shards}o{overlap}.{s}.sketch.npy"
+
+
+def route_reads(
+    reads: Sequence[Read],
+    sketches: Sequence[np.ndarray],
+    k: int = SKETCH_K,
+    max_probes: int = 512,
+) -> list[np.ndarray]:
+    """Which shards can contain each read? Probes the read's canonical
+    k-mers against every shard's presence sketch; a shard whose hit
+    fraction clears its own background rate (popcount density) by a
+    signal margin receives the read. Falls back to ALL shards when no
+    shard clears (short or ultra-noisy reads) — routing must never lose a
+    mapping, only skip hopeless shards."""
+    from blasr_tpu.core.encode import pack_kmers
+
+    n_shards = len(sketches)
+    all_ids = np.arange(n_shards)
+    # per-shard background hit rate for a random k-mer
+    fp = np.array([
+        np.unpackbits(sk, bitorder="little").mean() for sk in sketches
+    ])
+    out: list[np.ndarray] = []
+    for r in reads:
+        keys, valid = pack_kmers(np.asarray(r.codes, np.uint8), k)
+        kk = _canonical_keys(keys[valid], k)
+        if len(kk) > max_probes:
+            kk = kk[:: len(kk) // max_probes + 1]
+        n = len(kk)
+        if n < 64:
+            out.append(all_ids)
+            continue
+        byte = (kk >> 3).astype(np.int64)
+        bit = (kk & 7).astype(np.int64)
+        fracs = np.array([
+            ((sketches[s][byte] >> bit) & 1).mean() for s in range(n_shards)
+        ])
+        sigma = np.sqrt(np.maximum(fp * (1 - fp), 1e-6) / n)
+        hit = fracs >= fp + np.maximum(0.04, 4 * sigma)
+        out.append(all_ids[hit] if hit.any() else all_ids)
+    return out
+
+
 def build_or_load_shards(
     genome: np.ndarray,
     seqdb: SeqDB,
@@ -222,6 +306,7 @@ def run_mapping_sharded(
     genome_path: Optional[str] = None,
     concurrent: bool = True,
     lazy_load: bool = False,
+    route: bool = False,
 ) -> tuple[list[AlignmentRecord], list[str]]:
     """Map reads against an n_shards-way sharded index; merge on host.
 
@@ -256,6 +341,36 @@ def run_mapping_sharded(
     per_read: dict[str, list[AlignmentRecord]] = {}
     all_names = [r.name for r in reads]
 
+    # read routing (``route``): a canonical-k-mer presence sketch per
+    # shard decides which shards can contain each read, so a shard only
+    # maps (or, in lazy mode, only LOADS) for its candidates — the
+    # prefilter that turns all-shards broadcast into ~1-2 shard visits
+    shard_reads: list[Sequence[Read]] = [reads] * len(specs)
+    if route and len(specs) > 1:
+        import os
+
+        sketches = []
+        for s_i, spec in enumerate(specs):
+            sp = (
+                sketch_cache_path(genome_path, len(specs), s_i, overlap)
+                if genome_path else None
+            )
+            if sp and os.path.exists(sp):
+                sketches.append(np.load(sp))
+                continue
+            sk = build_shard_sketch(genome[spec.block_lo : spec.block_hi])
+            if sp:
+                try:
+                    np.save(sp, sk)
+                except OSError:
+                    pass
+            sketches.append(sk)
+        routes = route_reads(reads, sketches)
+        shard_reads = [
+            [r for r, rt in zip(reads, routes) if s_i in rt]
+            for s_i in range(len(specs))
+        ]
+
     def _load_shard(s: int) -> GenomeIndex:
         if shard_indexes is not None:
             return shard_indexes[s]
@@ -273,10 +388,13 @@ def run_mapping_sharded(
 
     def _run_shard(s: int):
         spec = specs[s]
+        my_reads = shard_reads[s]
+        if not my_reads:
+            return []
         idx = _load_shard(s)
         dev = devs[s % len(devs)]
         with jax.default_device(dev):
-            recs, _ = run_mapping(idx, reads, params)
+            recs, _ = run_mapping(idx, my_reads, params)
         out = []
         for rec in recs:
             g = _globalize(rec, spec, idx.seqdb, seqdb)

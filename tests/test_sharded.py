@@ -127,3 +127,40 @@ def test_multihost_sam_parts_merge(tmp_path):
               unmapped=ref_unm, movie_name="reads.fa", genome=index.genome)
     got = open(merged).read()
     assert got == buf.getvalue()
+
+
+def test_routed_sharded_equals_broadcast(tmp_path):
+    """route=True (canonical-k-mer sketch prefilter) produces the same
+    output as broadcasting every read to every shard, and actually prunes
+    shard visits on a non-repetitive genome."""
+    from blasr_tpu.parallel.sharded import (
+        build_shard_sketch, make_shards, route_reads, run_mapping_sharded,
+    )
+
+    g = simulate_genome(120_000, seed=77, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    reads, _ = simulate_reads(g, 24, mean_len=600, seed=78)
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    a, ua = run_mapping_sharded(g, seqdb, reads, params, n_shards=3, k=13)
+    b, ub = run_mapping_sharded(
+        g, seqdb, reads, params, n_shards=3, k=13, route=True
+    )
+    fmt = lambda rs: sorted(
+        (r.qname, r.tname, r.tstrand, r.tstart, r.tend, r.score) for r in rs
+    )
+    assert fmt(a) == fmt(b)
+    assert sorted(ua) == sorted(ub)
+
+    # the router prunes: on this non-repetitive genome most reads route to
+    # a single shard
+    overlap = params.max_read_len + params.target_pad
+    specs = make_shards(len(g), 3, overlap)
+    sketches = [
+        build_shard_sketch(g[sp.block_lo : sp.block_hi]) for sp in specs
+    ]
+    routes = route_reads(reads, sketches)
+    visits = sum(len(rt) for rt in routes)
+    assert visits < 2 * len(reads), visits
