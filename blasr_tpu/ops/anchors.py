@@ -314,9 +314,12 @@ def find_anchors(
         key_hi = jnp.clip(qk_hi_key + 1, 0, lut.shape[0] - 1)
         nh = jnp.where(qk >= 0, lut[key_hi] - lo, 0).astype(jnp.int32)
         if lut_valid is not None:
+            lo_v = lut_valid[jnp.clip(qk_lo_key, 0, lut_valid.shape[0] - 2)]
+            hi_v = lut_valid[jnp.clip(qk_hi_key + 1, 0, lut_valid.shape[0] - 1)]
+            nh_v = jnp.where(qk >= 0, hi_v - lo_v, 0).astype(jnp.int32)
             return _expand_select_compact(
                 sa, lut_valid, qk_lo_key, qk_hi_key, nh, qk >= 0,
-                B, L, KH, A, ST,
+                B, L, KH, A, ST, nh_valid=nh_v,
             )
     elif lut is not None and lut_meta is not None:
         shift, max_steps = lut_meta

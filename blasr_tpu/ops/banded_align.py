@@ -276,14 +276,17 @@ def banded_align(
         R_new = jnp.where(
             is_diag, jnp.where(restart, 1, R2_diag + 1), 0
         ).astype(jnp.int32)
-        # DIAG_START cells also record their own (mis)match bit: with a
-        # -scoreMatrix carrying negative off-diagonals a local alignment
-        # can legally START on a mismatch, and the walk needs the bit for
-        # exact n_match/n_mismatch
+        # carried M counts mismatches along SRC_DIAG chains only; a
+        # DIAG_START predecessor contributes 0 (its own bit is emitted in
+        # ITS arrow word and tallied by the walk's start branch — seeding
+        # it into the chain would double-count it in the successor run)
         M_new = jnp.where(
-            is_diag, jnp.where(restart, mm, M2_diag + mm),
-            jnp.where(src == SRC_DIAG_START, mm, 0),
+            is_diag, jnp.where(restart, mm, M2_diag + mm), 0
         ).astype(jnp.int32)
+        # emitted mcount: chain count, or the start cell's own bit (with a
+        # -scoreMatrix carrying negative off-diagonals a local alignment
+        # can legally START on a mismatch)
+        M_emit = jnp.where(src == SRC_DIAG_START, mm, M_new)
 
         row_min = jnp.min(H_new, axis=1)
         row_arg = jnp.argmin(H_new, axis=1).astype(jnp.int32)
@@ -295,7 +298,7 @@ def banded_align(
         out = None
         if with_traceback:
             out = (
-                src | (ebit << 3) | (fbit << 4) | (R_new << 5) | (M_new << 11)
+                src | (ebit << 3) | (fbit << 4) | (R_new << 5) | (M_emit << 11)
             ).astype(jnp.uint16)
         return (
             H_new, H1, E_new, F_new, R_new, R1, M_new, M1, best, besta, bestw

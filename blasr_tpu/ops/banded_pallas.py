@@ -329,14 +329,16 @@ def _make_kernel(
                 is_diag, jnp.where(restart, cdt(1), R2_diag + cdt(1)), cdt(0)
             )
             M_new = jnp.where(
-                is_diag, jnp.where(restart, mm, M2_diag + mm),
-                jnp.where(src == cdt(SRC_DIAG_START), mm, cdt(0)),
+                is_diag, jnp.where(restart, mm, M2_diag + mm), cdt(0)
             )
+            # see banded_align.py: start cells emit their own bit but must
+            # not seed the successor chain (double-count)
+            M_emit = jnp.where(src == cdt(SRC_DIAG_START), mm, M_new)
 
             if with_traceback:
                 arrows_ref[u] = (
                     src | (ebit << 3) | (fbit << 4) | (R_new << 5)
-                    | (M_new << 11)
+                    | (M_emit << 11)
                 ).astype(jnp.uint16)
 
             # elementwise per-lane best tracking (strictly-less update

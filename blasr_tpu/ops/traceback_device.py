@@ -185,10 +185,12 @@ def walk_arrows_device(
         to_f = is_h & (src == SRC_F)
         h_stop = is_h & (src == SRC_STOP)
 
-        # a DIAG_START cell is always a match (mismatch/N substitutions
-        # can't start a local alignment: their cost is >= 0, so SRC_STOP
-        # wins); a SRC_DIAG cell carries its diagonal-run length (>= 1)
-        # and the number of mismatches inside it. Whole runs — mismatches
+        # a DIAG_START cell carries its own (mis)match bit in mcount
+        # (under the default scores a local alignment can only start on a
+        # match, but a -scoreMatrix with negative off-diagonals can start
+        # one on a mismatch); a SRC_DIAG cell carries its diagonal-run
+        # length (>= 1) and the mismatches inside the run, which EXCLUDE
+        # any DIAG_START cell at the run's origin. Whole runs — mismatches
         # included — jump in one sub-step.
         is_start = is_h & (src == SRC_DIAG_START)
         r_eff = jnp.where(

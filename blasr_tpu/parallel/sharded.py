@@ -203,8 +203,6 @@ def build_shard_sketch(block: np.ndarray, k: int = SKETCH_K) -> np.ndarray:
     """Canonical-k-mer presence bitmask of a genome block: 4^k bits packed
     into a (4^k / 8,) uint8 array (~32 MB at k=14). Strand-canonical so one
     probe covers both read orientations."""
-    from blasr_tpu.core.encode import pack_kmers
-
     keys, valid = pack_kmers(np.asarray(block, np.uint8), k)
     kk = _canonical_keys(keys[valid], k)
     present = np.zeros(1 << (2 * k), bool)
@@ -226,17 +224,18 @@ def route_reads(
 ) -> list[np.ndarray]:
     """Which shards can contain each read? Probes the read's canonical
     k-mers against every shard's presence sketch; a shard whose hit
-    fraction clears its own background rate (popcount density) by a
-    signal margin receives the read. Falls back to ALL shards when no
-    shard clears (short or ultra-noisy reads) — routing must never lose a
-    mapping, only skip hopeless shards."""
-    from blasr_tpu.core.encode import pack_kmers
-
+    fraction clears its own background rate (bit density) by a signal
+    margin receives the read, and the TOP-signal shard is always included
+    so a marginal true shard cannot be dropped just because some repeat
+    copy elsewhere cleared its threshold. Falls back to ALL shards for
+    short reads (too few probes to discriminate)."""
     n_shards = len(sketches)
     all_ids = np.arange(n_shards)
-    # per-shard background hit rate for a random k-mer
+    # per-shard background hit rate for a random k-mer (one popcount per
+    # sketch, no 268 MB unpackbits temporaries)
+    _pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
     fp = np.array([
-        np.unpackbits(sk, bitorder="little").mean() for sk in sketches
+        float(_pop[sk].sum()) / (len(sk) * 8.0) for sk in sketches
     ])
     out: list[np.ndarray] = []
     for r in reads:
@@ -254,8 +253,10 @@ def route_reads(
             ((sketches[s][byte] >> bit) & 1).mean() for s in range(n_shards)
         ])
         sigma = np.sqrt(np.maximum(fp * (1 - fp), 1e-6) / n)
-        hit = fracs >= fp + np.maximum(0.04, 4 * sigma)
-        out.append(all_ids[hit] if hit.any() else all_ids)
+        excess = fracs - fp
+        hit = excess >= np.maximum(0.04, 4 * sigma)
+        hit[int(np.argmax(excess))] = True   # top-signal shard always runs
+        out.append(all_ids[hit])
     return out
 
 
@@ -355,7 +356,9 @@ def run_mapping_sharded(
                 sketch_cache_path(genome_path, len(specs), s_i, overlap)
                 if genome_path else None
             )
-            if sp and os.path.exists(sp):
+            if sp and os.path.exists(sp) and (
+                os.path.getmtime(sp) >= os.path.getmtime(genome_path)
+            ):
                 sketches.append(np.load(sp))
                 continue
             sk = build_shard_sketch(genome[spec.block_lo : spec.block_hi])

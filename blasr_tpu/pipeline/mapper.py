@@ -552,18 +552,14 @@ def _map_batch_impl(
         jnp.where(is_rc_, rlen_ - rq_hi, rq_lo),
         jnp.where(is_rc_, rlen_ - rq_lo, rq_hi),
     )
-    # overlap ratio per WeightedInterval.h:153-166 (2*inter / len sum);
-    # containment gives ratio 1, and near-complete overlaps (>0.9) are the
-    # repeat placements the reference's candidate-stage dedup never emits
-    inter_r = jnp.maximum(
-        jnp.minimum(d_(rq_hi), c_(rq_hi)) - jnp.maximum(d_(rq_lo), c_(rq_lo)),
-        0,
-    ).astype(jnp.float32)
-    len_sum = (
-        (d_(rq_hi) - d_(rq_lo)) + (c_(rq_hi) - c_(rq_lo))
-    ).astype(jnp.float32)
+    # STRICT read-span containment, verified against the reference:
+    # WeightedInterval.h:168 erases only when nextStart >= curStart and
+    # nextEnd <= curEnd (the 0.9-ratio branch is unreachable for partial
+    # overlaps) — a looser ratio gate would suppress records the
+    # reference emits
     contains_read = (
-        (2.0 * inter_r >= 0.9 * jnp.maximum(len_sum, 1.0))
+        (d_(rq_lo) <= c_(rq_lo))
+        & (d_(rq_hi) >= c_(rq_hi))
         & d_(sv) & c_(sv)
         & (idx_cd[:, :, None] != idx_cd[:, None, :])
     )

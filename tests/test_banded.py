@@ -362,3 +362,42 @@ def test_walk_stats_with_negative_offdiagonal_matrix():
                 tp += 1
         assert (qp, tp) == (qe, te)
         assert true_nm == nm, (i, true_nm, nm)
+
+
+def test_mismatch_start_run_not_double_counted():
+    """Deterministic repro from review: an alignment that STARTS on a
+    mismatch (negative off-diagonal matrix) then extends diagonally must
+    tally the start mismatch exactly once."""
+    import numpy as np
+
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    mat = [
+        -5, -2, 6, 6, 0,
+        -2, -5, 6, 6, 0,
+        6, 6, -5, 6, 0,
+        6, 6, 6, -5, 0,
+        0, 0, 0, 0, 0,
+    ]
+    sc = AlignScores(matrix=tuple(mat))
+    # query C + 20xG vs target A + 20xG: optimal local alignment starts on
+    # the C/A mismatch (-2) and runs 20 matching Gs
+    q = np.array([1] + [2] * 20, np.uint8)
+    t = np.array([0] + [2] * 20, np.uint8)
+    I, L, T = 1, len(q), len(t) + 8
+    Q = q[None, :]
+    Tc = np.full((I, T), 3, np.uint8)
+    Tc[0, : len(t)] = t
+    qoff = jnp.asarray(make_qoff(L, T, 128, (T - L) // 2))
+    res = banded_align(
+        jnp.asarray(Q), jnp.asarray([L], jnp.int32), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff,
+        scores=sc, with_traceback=True,
+    )
+    tb = walk_arrows_device(
+        res.arrows, qoff, res.best_a, res.best_w,
+        jnp.minimum(res.score, -1), jnp.asarray(Q), jnp.asarray(Tc),
+    )
+    assert int(res.score[0]) == -2 + 20 * -5
+    assert int(tb.n_match[0]) == 20, int(tb.n_match[0])
+    assert int(tb.n_mismatch[0]) == 1, int(tb.n_mismatch[0])
