@@ -1007,9 +1007,132 @@ def _cmd_saprint(argv) -> int:
     return 0
 
 
+def _cmd_masksequence(argv) -> int:
+    """Mask genome regions to N (role of sequtils/MaskSequence.cpp -table
+    mode: coordinate-pair tables; -reverse masks everything OUTSIDE)."""
+    p = argparse.ArgumentParser(prog="tools masksequence")
+    p.add_argument("genome")
+    p.add_argument("table", help="lines: <contig> <start> <end> (0-based)")
+    p.add_argument("out")
+    p.add_argument("-reverse", action="store_true")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import CODE_N
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+
+    seqs = {name: codes.copy() for name, codes in read_fasta(args.genome)}
+    masks = {name: np.zeros(len(c), bool) for name, c in seqs.items()}
+    for line in open(args.table):
+        f = line.split()
+        if len(f) < 3 or f[0] not in masks:
+            continue
+        masks[f[0]][int(f[1]) : int(f[2])] = True
+    out = []
+    for name, codes in seqs.items():
+        m = masks[name] if not args.reverse else ~masks[name]
+        codes[m] = CODE_N
+        out.append((name, codes))
+    write_fasta(args.out, out)
+    return 0
+
+
+def _cmd_exciserepeats(argv) -> int:
+    """Remove masked/listed regions from a sequence entirely
+    (role of sequtils/ExciseRepeats.cpp, with a coordinate table instead
+    of RepeatMasker .out parsing)."""
+    p = argparse.ArgumentParser(prog="tools exciserepeats")
+    p.add_argument("genome")
+    p.add_argument("table", help="lines: <contig> <start> <end> (0-based)")
+    p.add_argument("out")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+
+    out = []
+    for name, codes in read_fasta(args.genome):
+        keep = np.ones(len(codes), bool)
+        for line in open(args.table):
+            f = line.split()
+            if len(f) >= 3 and f[0] == name:
+                keep[int(f[1]) : int(f[2])] = False
+        out.append((name, codes[keep]))
+    write_fasta(args.out, out)
+    return 0
+
+
+def _cmd_extractseq(argv) -> int:
+    """Print a genome region (role of sequtils/ExtractSeq.cpp)."""
+    p = argparse.ArgumentParser(prog="tools extractseq")
+    p.add_argument("genome")
+    p.add_argument("region", help="<contig>:<start>-<end> (0-based)")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import read_fasta
+
+    name, _, span = args.region.rpartition(":")
+    lo, hi = (int(x) for x in span.split("-"))
+    for n, codes in read_fasta(args.genome):
+        if n == name or n.split()[0] == name:
+            print(f">{name}:{lo}-{hi}")
+            print(codes_to_seq(codes[lo:hi]))
+            return 0
+    print(f"contig {name!r} not found", file=sys.stderr)
+    return 1
+
+
+def _cmd_revcomp(argv) -> int:
+    """Reverse-complement every record
+    (role of sequtils/ReverseComplement.cpp /
+    PrintReverseComplements.cpp)."""
+    p = argparse.ArgumentParser(prog="tools revcomp")
+    p.add_argument("fasta")
+    p.add_argument("-out", default="-")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq, revcomp_codes
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+
+    recs = [(n, revcomp_codes(c)) for n, c in read_fasta(args.fasta)]
+    if args.out == "-":
+        for n, c in recs:
+            print(f">{n}")
+            print(codes_to_seq(c))
+    else:
+        write_fasta(args.out, recs)
+    return 0
+
+
+def _cmd_countnmers(argv) -> int:
+    """Count unique (frequency-1) k-mers
+    (role of sequtils/CountUniqueNMers.cpp: prints '<nUnique> <nKmers>')."""
+    p = argparse.ArgumentParser(prog="tools countnmers")
+    p.add_argument("fasta")
+    p.add_argument("-wordsize", type=int, default=14)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import pack_kmers
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome, _ = load_genome(args.fasta)
+    keys, valid = pack_kmers(genome, args.wordsize)
+    kk = np.sort(keys[valid])
+    if len(kk) == 0:
+        print("0 0")
+        return 0
+    uniq, counts = np.unique(kk, return_counts=True)
+    print(f"{int((counts == 1).sum())} {len(kk)}")
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "onegap": _cmd_onegap,
+    "masksequence": _cmd_masksequence,
+    "exciserepeats": _cmd_exciserepeats,
+    "extractseq": _cmd_extractseq,
+    "revcomp": _cmd_revcomp,
+    "countnmers": _cmd_countnmers,
     "saquery": _cmd_saquery,
     "saprint": _cmd_saprint,
     "svrealign": _cmd_svrealign,

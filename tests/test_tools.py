@@ -327,3 +327,43 @@ def test_maxalignedread_support_track(tmp_path):
     # support peaks at the middle (~200) and tapers at the ends
     assert support[30] == 200 or support[29] == 199
     assert support[10] < 15 and support[49] < 15
+
+
+def test_small_sequtils(tmp_path, capsys):
+    """masksequence / exciserepeats / extractseq / revcomp / countnmers
+    (sequtils roles)."""
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.core.encode import CODE_N, codes_to_seq, revcomp_codes
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 4, 500).astype(np.uint8)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chr1", g)])
+    tbl = str(tmp_path / "t.txt")
+    open(tbl, "w").write("chr1 100 150\nchr1 300 310\n")
+
+    mp = str(tmp_path / "m.fa")
+    assert tools_main(["masksequence", gp, tbl, mp]) == 0
+    m = dict(read_fasta(mp))["chr1"]
+    assert (m[100:150] == CODE_N).all() and (m[0:100] == g[0:100]).all()
+
+    ep = str(tmp_path / "e.fa")
+    assert tools_main(["exciserepeats", gp, tbl, ep]) == 0
+    e = dict(read_fasta(ep))["chr1"]
+    assert len(e) == 500 - 50 - 10
+    assert (e[:100] == g[:100]).all() and (e[100:250] == g[150:300]).all()
+
+    assert tools_main(["extractseq", gp, "chr1:10-20"]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert out[1] == codes_to_seq(g[10:20])
+
+    rp = str(tmp_path / "r.fa")
+    assert tools_main(["revcomp", gp, "-out", rp]) == 0
+    r = dict(read_fasta(rp))["chr1"]
+    assert (r == revcomp_codes(g)).all()
+
+    assert tools_main(["countnmers", gp, "-wordsize", "10"]) == 0
+    out = capsys.readouterr().out.split()
+    assert int(out[1]) == 500 - 10 + 1
+    assert 0 < int(out[0]) <= int(out[1])
