@@ -340,3 +340,29 @@ def test_narrow_band_tracks_deletion_heavy_reads():
         if rec.tstrand == st and abs(rec.tstart_fwd - s) < 100:
             ok += 1
     assert ok >= 31, (ok, len(unm))
+
+
+def test_min_avg_qual_filter():
+    """-minAvgQual rejects low-quality FASTQ reads at input
+    (Blasr.cpp:3327-3343 role)."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(30_000, seed=42, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    good = Read("good", g[1000:1500].copy(), np.full(500, 30, np.uint8), 0)
+    bad = Read("bad", g[2000:2500].copy(), np.full(500, 5, np.uint8), 1)
+    params = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13, min_avg_qual=10.0,
+    )
+    recs, unm = run_mapping(index, [good, bad], params)
+    assert "bad" in unm
+    assert any(r.qname == "good" for r in recs)
