@@ -1103,6 +1103,44 @@ def _cmd_revcomp(argv) -> int:
     return 0
 
 
+def _cmd_longestrepeat(argv) -> int:
+    """Longest exact repeat in a genome (role of
+    alignment/FindLongestRepeat.cpp:26-53: per-adjacent-SA-row character
+    loops) — here one vectorized adjacent-LCP pass (index/lcp.py), the
+    max of which IS the longest repeated substring length."""
+    p = argparse.ArgumentParser(prog="tools longestrepeat")
+    p.add_argument("genome")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.index.lcp import adjacent_lcp
+    from blasr_tpu.index.suffix_array import build_suffix_array
+    from blasr_tpu.io.seqdb import load_genome
+
+    genome, _ = load_genome(args.genome)
+    sa = build_suffix_array((genome & 3).astype(np.uint8))
+    lcp = adjacent_lcp((genome & 3).astype(np.uint8), sa)
+    # exclude pairs whose common prefix would span an N in the ORIGINAL
+    # sequence (reference skips N, :32-34): clip each pair's LCP at the
+    # first N in either suffix
+    isn = genome >= 4
+    if isn.any():
+        next_n = np.full(len(genome) + 1, len(genome), np.int64)
+        for i in range(len(genome) - 1, -1, -1):
+            next_n[i] = i if isn[i] else next_n[i + 1]
+        a = sa[:-1].astype(np.int64)
+        b = sa[1:].astype(np.int64)
+        cap = np.minimum(next_n[a] - a, next_n[b] - b)
+        lcp = np.minimum(lcp, np.maximum(cap, 0))
+    i = int(np.argmax(lcp))
+    ln = int(lcp[i])
+    pa, pb = int(sa[i]), int(sa[i + 1])
+    print(f"repeat length {ln} at {pa} and {pb}")
+    if ln:
+        print(codes_to_seq(genome[pa : pa + min(ln, 80)]))
+    return 0
+
+
 def _cmd_countnmers(argv) -> int:
     """Count unique (frequency-1) k-mers
     (role of sequtils/CountUniqueNMers.cpp: prints '<nUnique> <nKmers>')."""
@@ -1133,6 +1171,7 @@ COMMANDS = {
     "extractseq": _cmd_extractseq,
     "revcomp": _cmd_revcomp,
     "countnmers": _cmd_countnmers,
+    "longestrepeat": _cmd_longestrepeat,
     "saquery": _cmd_saquery,
     "saprint": _cmd_saprint,
     "svrealign": _cmd_svrealign,

@@ -367,3 +367,19 @@ def test_small_sequtils(tmp_path, capsys):
     out = capsys.readouterr().out.split()
     assert int(out[1]) == 500 - 10 + 1
     assert 0 < int(out[0]) <= int(out[1])
+
+
+def test_longestrepeat(tmp_path, capsys):
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.io.fasta import write_fasta
+
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 4, 3000).astype(np.uint8)
+    g[2000:2180] = g[500:680]  # plant a 180-base repeat
+    write_fasta(str(tmp_path / "g.fa"), [("c", g)])
+    assert tools_main(["longestrepeat", str(tmp_path / "g.fa")]) == 0
+    out = capsys.readouterr().out
+    ln = int(out.split("repeat length ")[1].split()[0])
+    assert ln >= 180, out
+    pos = out.splitlines()[0]
+    assert ("500" in pos and "2000" in pos) or ln > 180
