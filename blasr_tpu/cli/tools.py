@@ -1103,6 +1103,101 @@ def _cmd_revcomp(argv) -> int:
     return 0
 
 
+def _fit_adapter(ad: "np.ndarray", win: "np.ndarray"):
+    """Fit-align ``ad`` fully inside ``win`` (free start/end in the window):
+    returns (n_match, read_start, read_end). Row-sweep DP, maximizing
+    the SMRT weights (match +5, mismatch -6, indel -3 — the maximization
+    mirror of SMRTDistanceMatrix + the reference's -indel default). Note
+    the reference's own 0.60 default sits near the random-DNA noise floor
+    for a 45 bp adapter; 0.75+ discriminates cleanly."""
+    La, Lw = len(ad), len(win)
+    if La == 0 or Lw == 0:
+        return 0, 0, 0
+    NEG = -(10 ** 6)
+    H = np.zeros(Lw + 1, np.int32)          # row 0: free start anywhere
+    M = np.zeros(Lw + 1, np.int32)          # matches on best path
+    S = np.arange(Lw + 1, dtype=np.int32)   # window start of best path
+    for i in range(La):
+        sub = np.where(win == ad[i], 5, -6).astype(np.int32)
+        diag = H[:-1] + sub
+        up = H[1:] - 3
+        newH = np.empty(Lw + 1, np.int32)
+        newM = np.empty(Lw + 1, np.int32)
+        newS = np.empty(Lw + 1, np.int32)
+        newH[0] = H[0] - 1
+        newM[0] = M[0]
+        newS[0] = S[0]
+        take_d = diag >= up
+        newH[1:] = np.where(take_d, diag, up)
+        newM[1:] = np.where(take_d, M[:-1] + (sub > 0), M[1:])
+        newS[1:] = np.where(take_d, S[:-1], S[1:])
+        # in-row (deletion in adapter = skip window base) sequential pass
+        acc = newH[0]
+        accM = newM[0]
+        accS = newS[0]
+        for j in range(1, Lw + 1):
+            if acc - 3 > newH[j]:
+                newH[j] = acc - 3
+                newM[j] = accM
+                newS[j] = accS
+            acc, accM, accS = newH[j], newM[j], newS[j]
+        H, M, S = newH, newM, newS
+    j = int(np.argmax(H))
+    return int(M[j]), int(S[j]), j
+
+
+def _cmd_removeadapters(argv) -> int:
+    """Split SMRTBell reads at adapter hits (role of
+    alignment/RemoveAdapters.cpp:13-105 SplitRead: fit-align both adapters
+    into the read, split at the better hit when the match fraction clears
+    -pctSim, recurse on both halves; passes below -minLength drop)."""
+    p = argparse.ArgumentParser(prog="tools removeadapters")
+    p.add_argument("-ad1", required=True)
+    p.add_argument("-ad2", default=None)
+    p.add_argument("-reads", required=True)
+    p.add_argument("-readsout", required=True)
+    p.add_argument("-pctSim", type=float, default=0.60)
+    p.add_argument("-minLength", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from blasr_tpu.io.batching import read_records
+    from blasr_tpu.io.fasta import write_fasta
+
+    ads = [read_records(args.ad1)[0].codes]
+    if args.ad2:
+        ads.append(read_records(args.ad2)[0].codes)
+
+    def split(codes, lo, hi, out):
+        if hi - lo < args.minLength:
+            return
+        best = None
+        for ad in ads:
+            nm, ws, we = _fit_adapter(ad, codes[lo:hi])
+            if nm / max(len(ad), 1) >= args.pctSim:
+                if best is None or nm > best[0]:
+                    best = (nm, lo + ws, lo + we)
+        if best is None:
+            out.append((lo, hi))
+            return
+        _, a_lo, a_hi = best
+        if a_hi <= a_lo:  # degenerate span: stop recursion
+            out.append((lo, hi))
+            return
+        split(codes, lo, a_lo, out)
+        split(codes, a_hi, hi, out)
+
+    out_recs = []
+    for r in read_records(args.reads):
+        passes: list[tuple[int, int]] = []
+        split(r.codes, 0, len(r.codes), passes)
+        for i, (lo, hi) in enumerate(passes):
+            if hi - lo >= args.minLength:
+                print(f"read: {r.index} pass: {i} {lo} {hi - lo}")
+                out_recs.append((f"{r.name}/{lo}_{hi}", r.codes[lo:hi]))
+    write_fasta(args.readsout, out_recs)
+    return 0
+
+
 def _cmd_longestrepeat(argv) -> int:
     """Longest exact repeat in a genome (role of
     alignment/FindLongestRepeat.cpp:26-53: per-adjacent-SA-row character
@@ -1172,6 +1267,7 @@ COMMANDS = {
     "revcomp": _cmd_revcomp,
     "countnmers": _cmd_countnmers,
     "longestrepeat": _cmd_longestrepeat,
+    "removeadapters": _cmd_removeadapters,
     "saquery": _cmd_saquery,
     "saprint": _cmd_saprint,
     "svrealign": _cmd_svrealign,

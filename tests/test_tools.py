@@ -383,3 +383,29 @@ def test_longestrepeat(tmp_path, capsys):
     assert ln >= 180, out
     pos = out.splitlines()[0]
     assert ("500" in pos and "2000" in pos) or ln > 180
+
+
+def test_removeadapters_splits_smrtbell(tmp_path, capsys):
+    """SMRTBell read = insert + adapter + RC(insert): splitting at the
+    adapter yields two passes (RemoveAdapters.cpp SplitRead role)."""
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.core.encode import revcomp_codes
+    from blasr_tpu.io.fasta import read_fasta, write_fasta
+
+    rng = np.random.default_rng(8)
+    adapter = rng.integers(0, 4, 45).astype(np.uint8)
+    insert = rng.integers(0, 4, 400).astype(np.uint8)
+    read = np.concatenate([insert, adapter, revcomp_codes(insert)])
+    write_fasta(str(tmp_path / "ad.fa"), [("adapter", adapter)])
+    write_fasta(str(tmp_path / "r.fa"), [("zmw", read)])
+    outp = str(tmp_path / "out.fa")
+    assert tools_main([
+        "removeadapters", "-ad1", str(tmp_path / "ad.fa"),
+        "-reads", str(tmp_path / "r.fa"), "-readsout", outp,
+        "-pctSim", "0.8",
+    ]) == 0
+    passes = read_fasta(outp)
+    assert len(passes) == 2, [n for n, _ in passes]
+    (n1, c1), (n2, c2) = passes
+    assert abs(len(c1) - 400) <= 5 and abs(len(c2) - 400) <= 5
+    assert (c1[:380] == insert[:380]).all()
