@@ -366,3 +366,30 @@ def test_min_avg_qual_filter():
     recs, unm = run_mapping(index, [good, bad], params)
     assert "bad" in unm
     assert any(r.qname == "good" for r in recs)
+
+
+def test_output_invariant_to_batch_size():
+    """Per-read results must not depend on batch composition — the
+    per-batch drift-slope estimate may differ between batchings, but any
+    covering band yields the same optimal path (scores bit-equal)."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    g = simulate_genome(100_000, seed=51, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 40, mean_len=700, seed=52)
+    base = dict(max_read_len=1024, n_candidates=2, best_n=1,
+                min_match_length=13)
+    ra, _ = run_mapping(index, reads, MappingParams(batch_size=8, **base))
+    rb, _ = run_mapping(index, reads, MappingParams(batch_size=32, **base))
+    fmt = lambda rs: sorted(
+        (r.qname, r.tname, r.tstrand, r.tstart, r.tend, r.score, r.mapqv)
+        for r in rs
+    )
+    assert fmt(ra) == fmt(rb)
