@@ -432,3 +432,48 @@ def run_mapping_sharded(
         _merge_mapqv(recs)
         out.extend(keep)
     return out, unmapped
+
+
+class ShardedServer:
+    """Load-once, serve-many wrapper over ``run_mapping_sharded``.
+
+    Builds (or loads) every shard index and routing sketch ONCE at
+    construction; each ``map()`` call then pays only per-call routing +
+    mapping — the serving-daemon layout (the lazy per-call loads of
+    run_mapping_sharded(lazy_load=True) exist for the one-shot CLI case).
+    """
+
+    def __init__(
+        self,
+        genome: np.ndarray,
+        seqdb: SeqDB,
+        params: MappingParams,
+        n_shards: int,
+        k: int = 14,
+        genome_path: Optional[str] = None,
+        devices=None,
+        route: bool = True,
+    ):
+        self.genome = genome
+        self.seqdb = seqdb
+        self.params = params
+        self.k = k
+        self.devices = devices
+        self.route = route
+        overlap = params.max_read_len + params.target_pad
+        self.specs = make_shards(len(genome), n_shards, overlap)
+        self.indexes = build_or_load_shards(
+            genome, seqdb, self.specs, k, genome_path, overlap
+        )
+        self.genome_path = genome_path
+
+    def map(
+        self, reads: Sequence[Read], params: Optional[MappingParams] = None
+    ) -> tuple[list[AlignmentRecord], list[str]]:
+        p = params or self.params
+        return run_mapping_sharded(
+            self.genome, self.seqdb, reads, p,
+            n_shards=len(self.specs), k=self.k, devices=self.devices,
+            shard_indexes=self.indexes, genome_path=self.genome_path,
+            route=self.route,
+        )

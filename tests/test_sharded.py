@@ -164,3 +164,27 @@ def test_routed_sharded_equals_broadcast(tmp_path):
     routes = route_reads(reads, sketches)
     visits = sum(len(rt) for rt in routes)
     assert visits < 2 * len(reads), visits
+
+
+def test_sharded_server_serves_repeatedly(tmp_path):
+    """ShardedServer: indexes built once, repeated map() calls agree with
+    the one-shot path."""
+    from blasr_tpu.parallel.sharded import ShardedServer, run_mapping_sharded
+
+    g = simulate_genome(90_000, seed=87, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    params = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    srv = ShardedServer(g, seqdb, params, n_shards=2, k=13)
+    for seed in (91, 92):
+        reads, _ = simulate_reads(g, 12, mean_len=500, seed=seed)
+        a, ua = srv.map(reads)
+        b, ub = run_mapping_sharded(
+            g, seqdb, reads, params, n_shards=2, k=13
+        )
+        fmt = lambda rs: sorted(
+            (r.qname, r.tstart, r.tend, r.score) for r in rs
+        )
+        assert fmt(a) == fmt(b) and sorted(ua) == sorted(ub)
