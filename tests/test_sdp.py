@@ -101,3 +101,26 @@ def test_sdp_align_with_structural_gap():
     ops, score = sdp_align(q, t, S, no_recurse_under=10_000)
     assert _consumes(ops, len(q), len(t))
     assert int(np.count_nonzero(ops == OP_D)) >= 3_000
+
+
+def test_graph_paper_filter_keeps_colinear_drops_noise():
+    """GraphPaper role: colinear seed band survives the grid DP, scattered
+    off-path seeds drop."""
+    import numpy as np
+
+    from blasr_tpu.ops.sdp import graph_paper_filter
+
+    rng = np.random.default_rng(23)
+    # colinear chain: t = q + 1000 +- jitter
+    qs = np.arange(0, 10_000, 97)
+    ts = qs + 1000 + rng.integers(-30, 30, len(qs))
+    # noise: random scatter
+    nq = rng.integers(0, 10_000, 60)
+    nt = rng.integers(0, 12_000, 60)
+    q_all = np.concatenate([qs, nq])
+    t_all = np.concatenate([ts, nt])
+    lens = np.full(len(q_all), 12)
+    keep = graph_paper_filter(q_all, t_all, lens, n_rows=24, n_cols=24)
+    n_chain = len(qs)
+    assert keep[:n_chain].mean() > 0.7          # chain survives
+    assert keep[n_chain:].mean() < 0.2          # noise drops
