@@ -401,3 +401,57 @@ def test_mismatch_start_run_not_double_counted():
     assert int(res.score[0]) == -2 + 20 * -5
     assert int(tb.n_match[0]) == 20, int(tb.n_match[0])
     assert int(tb.n_mismatch[0]) == 1, int(tb.n_mismatch[0])
+
+
+def test_fuzz_kernel_configs_vs_bruteforce():
+    """Randomized differential test: XLA scan kernel == Pallas interpret
+    kernel bit-exactly, and the best score == brute-force unbanded local
+    DP whenever the band covers the full rectangle."""
+    import numpy as np
+
+    from blasr_tpu.oracle import local_affine_score
+    from blasr_tpu.ops.banded_pallas import banded_align_pallas
+
+    rng = np.random.default_rng(77)
+    for trial in range(12):
+        L = int(rng.integers(20, 60))
+        T = int(rng.integers(L, L + 40))
+        W = int(rng.choice([32, 64, 128]))
+        I = int(rng.integers(2, 6))
+        Q = rng.integers(0, 5, (I, L)).astype(np.uint8)   # incl. N
+        Tc = rng.integers(0, 5, (I, T)).astype(np.uint8)
+        for i in range(I):
+            n = min(L - 4, T)
+            Tc[i, :n] = np.where(
+                rng.random(n) < 0.8, Q[i, :n], Tc[i, :n]
+            )
+        qlen = rng.integers(10, L + 1, I).astype(np.int32)
+        sc = AlignScores()
+        qoff = jnp.asarray(make_qoff(L, T, W, (T - L) // 2))
+        args = (
+            jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+            jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff,
+        )
+        ref = banded_align(*args, None, scores=sc, with_traceback=True,
+                           band_width=W)
+        got = banded_align_pallas(*args, None, scores=sc,
+                                  with_traceback=True, band_width=W,
+                                  interpret=True)
+        np.testing.assert_array_equal(np.asarray(ref.score), np.asarray(got.score), err_msg=f"trial {trial}")
+        np.testing.assert_array_equal(np.asarray(ref.best_a), np.asarray(got.best_a), err_msg=f"trial {trial}")
+        ga = np.asarray(got.arrows)
+        P = 128 // W if W < 128 else 1
+        if P > 1:
+            # packed layout: lane = P*w + (item % P); de-interleave
+            S_, R_, LW_ = ga.shape
+            ga = (
+                ga.reshape(S_, R_, W, P)
+                .transpose(0, 1, 3, 2)
+                .reshape(S_, R_ * P, W)[:, : ref.arrows.shape[1]]
+            )
+        np.testing.assert_array_equal(np.asarray(ref.arrows), ga, err_msg=f"trial {trial}")
+        if W >= L and W >= T:
+            # full-rectangle band: banded == unbanded brute force
+            for i in range(I):
+                bf = local_affine_score(Q[i, : qlen[i]], Tc[i], sc)
+                assert int(ref.score[i]) == bf, (trial, i)
