@@ -82,6 +82,9 @@ def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
         return reads
     if fmt is None:
         low = path.lower()
+        if low.endswith(".gz"):
+            low = low[:-3]  # transparent gzip (modern convenience the
+            #                 reference lacks; readers open via gzip)
         if low.endswith((".fq", ".fastq")):
             fmt = "fastq"
         elif low.endswith((".fa", ".fasta", ".fsta", ".fna")):
@@ -90,7 +93,8 @@ def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
             fmt = "sam"
         else:
             # sniff first byte
-            with open(path, "rb") as f:
+            opener = __import__("gzip").open if path.endswith(".gz") else open
+            with opener(path, "rb") as f:
                 first = f.read(1)
             fmt = "fastq" if first == b"@" else "fasta"
     if fmt == "sam":

@@ -24,7 +24,8 @@ def read_fasta(path: str) -> list[tuple[str, np.ndarray]]:
     """
     from blasr_tpu import native
 
-    with open(path, "rb") as f:
+    opener = __import__("gzip").open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
         data = f.read()
     use_native = native.available()
     records: list[tuple[str, np.ndarray]] = []

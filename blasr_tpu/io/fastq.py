@@ -13,7 +13,8 @@ from blasr_tpu.core.encode import codes_to_seq, seq_to_codes
 def read_fastq(path: str) -> list[tuple[str, np.ndarray, np.ndarray]]:
     """Parse FASTQ -> list of (name, codes uint8[n], qual uint8[n] phred)."""
     records = []
-    with open(path, "rb") as f:
+    opener = __import__("gzip").open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
         lines = f.read().split(b"\n")
     i = 0
     n = len(lines)

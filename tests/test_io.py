@@ -150,3 +150,29 @@ def test_samqv_tag_selection(tmp_path):
     assert "iq:Z:" in line_all and "dq:Z:" in line_all
     line_iq = format_sam_record(rec, rd, samqv=("iq",))
     assert "iq:Z:" in line_iq and "dq:Z:" not in line_iq
+
+
+def test_gzip_inputs(tmp_path):
+    """FASTA/FASTQ .gz inputs read transparently."""
+    import gzip
+
+    import numpy as np
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.batching import read_records
+
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 4, 80).astype(np.uint8)
+    seq = codes_to_seq(codes)
+    fa = tmp_path / "r.fasta.gz"
+    with gzip.open(fa, "wt") as f:
+        f.write(f">r1\n{seq}\n")
+    reads = read_records(str(fa))
+    assert len(reads) == 1 and np.array_equal(reads[0].codes, codes)
+
+    fq = tmp_path / "r.fastq.gz"
+    with gzip.open(fq, "wt") as f:
+        f.write(f"@r1\n{seq}\n+\n{'I' * len(seq)}\n")
+    reads = read_records(str(fq))
+    assert len(reads) == 1 and np.array_equal(reads[0].codes, codes)
+    assert int(reads[0].qual[0]) == ord("I") - 33
