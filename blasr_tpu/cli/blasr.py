@@ -505,7 +505,26 @@ def main(argv=None) -> int:
 
         out = sys.stdout if args.out == "-" else open(args.out, "w")
         try:
-            if args.sam:
+            if args.sam and args.out.endswith(".bam"):
+                import io as _io
+
+                buf = _io.StringIO()
+                write_sam(records, reads, index.seqdb, buf,
+                          clipping=args.clipping,
+                          program_line=" ".join(sys.argv),
+                          unmapped=unmapped,
+                          movie_name=os.path.basename(args.reads),
+                          genome=index.genome,
+                          samqv=params.samqv)
+                from blasr_tpu.io.bam import write_bam_from_sam_lines
+
+                lines = buf.getvalue().split("\n")
+                hdr = [l for l in lines if l.startswith("@")]
+                recs_l = [l for l in lines if l and not l.startswith("@")]
+                out.close() if out is not sys.stdout else None
+                write_bam_from_sam_lines(hdr, recs_l, args.out)
+                out = sys.stdout  # avoid double close below
+            elif args.sam:
                 write_sam(records, reads, index.seqdb, out,
                           clipping=args.clipping,
                           program_line=" ".join(sys.argv),

@@ -94,7 +94,28 @@ class SAMFile:
         return out
 
 
+def _fields_to_record(fields: list[str]) -> SAMRecord:
+    tags = {}
+    for t in fields[11:]:
+        parts = t.split(":", 2)
+        if len(parts) == 3:
+            tags[parts[0]] = parts[2]
+    qual = None
+    if fields[10] != "*":
+        qual = np.frombuffer(fields[10].encode(), np.uint8) - 33
+    return SAMRecord(
+        qname=fields[0], flag=int(fields[1]), rname=fields[2],
+        pos=int(fields[3]), mapq=int(fields[4]), cigar=fields[5],
+        seq=fields[9], qual=qual, tags=tags,
+    )
+
+
 def read_sam(path: str) -> SAMFile:
+    if path.endswith(".bam"):
+        from blasr_tpu.io.bam import read_bam
+
+        header, recs = read_bam(path)
+        return SAMFile(header, [_fields_to_record(f) for f in recs])
     header: list[str] = []
     records: list[SAMRecord] = []
     with open(path, "r") as f:
