@@ -425,8 +425,6 @@ def main(argv=None) -> int:
     if args.bwt is not None:
         # low-memory path: skip the SA bundle entirely; the mapper's FM
         # branch needs only genome codes + seed-validity + contig db
-        import os
-
         import numpy as np
 
         from blasr_tpu.cli.bwtutils import FM_SUFFIX

@@ -66,7 +66,7 @@ def _cmd_samtom4(argv) -> int:
 
 def _cmd_samfilter(argv) -> int:
     p = argparse.ArgumentParser(prog="tools samfilter")
-    p.add_argument("sam")
+    p.add_argument("sam", help="SAM text (use samtom4/printgaps for .bam)")
     p.add_argument("-out", default="-")
     p.add_argument("-maxScore", type=int, default=0)
     p.add_argument("-minPctIdentity", type=float, default=0.0)

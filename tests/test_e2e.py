@@ -393,3 +393,37 @@ def test_output_invariant_to_batch_size():
         for r in rs
     )
     assert fmt(ra) == fmt(rb)
+
+
+def test_cli_sam_and_bam_outputs(tmp_path):
+    """CLI-level -sam (text) and -out .bam runs (regression: a local
+    `import os` inside main() shadowed the module import and broke every
+    -sam CLI run)."""
+    import numpy as np
+
+    from blasr_tpu.cli.blasr import main as blasr_main
+    from blasr_tpu.io.bam import read_bam
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    g = simulate_genome(50_000, seed=71)
+    gp = str(tmp_path / "g.fa")
+    write_fasta(gp, [("chrA", g)])
+    reads, _ = simulate_reads(g, 6, mean_len=400, seed=72)
+    rp = str(tmp_path / "r.fa")
+    write_fasta(rp, [(r.name, r.codes) for r in reads])
+    common = [rp, gp, "-minMatch", "13", "-nCandidates", "2",
+              "-batchSize", "8", "-maxReadLen", "1024"]
+
+    sam_out = str(tmp_path / "o.sam")
+    assert blasr_main(common + ["-sam", "-out", sam_out]) == 0
+    lines = open(sam_out).read().splitlines()
+    assert any(l.startswith("@SQ") for l in lines)
+    body = [l for l in lines if l and not l.startswith("@")]
+    assert len(body) >= 6
+
+    bam_out = str(tmp_path / "o.bam")
+    assert blasr_main(common + ["-sam", "-out", bam_out]) == 0
+    hdr, recs = read_bam(bam_out)
+    assert len(recs) == len(body)
+    assert [r[0] for r in recs] == [l.split("\t")[0] for l in body]
