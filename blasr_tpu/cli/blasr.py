@@ -489,6 +489,11 @@ def main(argv=None) -> int:
         index.seqdb.names = [str(i) for i in range(len(index.seqdb.names))]
 
     t0 = time.time()
+    if args.resume and args.out.endswith(".bam"):
+        raise SystemExit(
+            "-resume streams text records and cannot write BAM; "
+            "resume to .sam and convert, or drop -resume"
+        )
     if args.resume and args.out != "-" and not params.piecewise:
         records, unmapped = _run_resumable(args, params, index, reads, fm)
         t_map = time.time() - t0

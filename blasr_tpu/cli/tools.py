@@ -1048,13 +1048,17 @@ def _cmd_exciserepeats(argv) -> int:
 
     from blasr_tpu.io.fasta import read_fasta, write_fasta
 
+    spans: dict[str, list[tuple[int, int]]] = {}
+    with open(args.table) as tf:
+        for line in tf:
+            f = line.split()
+            if len(f) >= 3:
+                spans.setdefault(f[0], []).append((int(f[1]), int(f[2])))
     out = []
     for name, codes in read_fasta(args.genome):
         keep = np.ones(len(codes), bool)
-        for line in open(args.table):
-            f = line.split()
-            if len(f) >= 3 and f[0] == name:
-                keep[int(f[1]) : int(f[2])] = False
+        for lo, hi in spans.get(name, ()):
+            keep[lo:hi] = False
         out.append((name, codes[keep]))
     write_fasta(args.out, out)
     return 0
@@ -1210,27 +1214,47 @@ def _cmd_longestrepeat(argv) -> int:
     from blasr_tpu.core.encode import codes_to_seq
     from blasr_tpu.index.lcp import adjacent_lcp
     from blasr_tpu.index.suffix_array import build_suffix_array
-    from blasr_tpu.io.seqdb import load_genome
+    from blasr_tpu.io.fasta import read_fasta
 
-    genome, _ = load_genome(args.genome)
+    # N-spacered concatenation: cross-contig windows hit the spacer and
+    # are clipped below, so no phantom repeats span contig boundaries but
+    # repeats BETWEEN contigs are still found (ReadAllSequencesIntoOne
+    # inserts the same spacer, FASTAReader.h:126-130)
+    recs = read_fasta(args.genome)
+    parts = []
+    names = []
+    offs = []
+    pos = 0
+    for name, codes in recs:
+        names.append(name.split()[0])
+        offs.append(pos)
+        parts.append(codes)
+        parts.append(np.full(1, 4, np.uint8))
+        pos += len(codes) + 1
+    genome = np.concatenate(parts)
+    offs_arr = np.asarray(offs + [pos], np.int64)
     sa = build_suffix_array((genome & 3).astype(np.uint8))
     lcp = adjacent_lcp((genome & 3).astype(np.uint8), sa)
-    # exclude pairs whose common prefix would span an N in the ORIGINAL
-    # sequence (reference skips N, :32-34): clip each pair's LCP at the
-    # first N in either suffix
+    # clip each pair's LCP at the first N in either suffix (the reference
+    # skips N, FindLongestRepeat.cpp:32-34); vectorized suffix-min scan
     isn = genome >= 4
     if isn.any():
-        next_n = np.full(len(genome) + 1, len(genome), np.int64)
-        for i in range(len(genome) - 1, -1, -1):
-            next_n[i] = i if isn[i] else next_n[i + 1]
+        idx = np.where(isn, np.arange(len(genome)), len(genome))
+        next_n = np.minimum.accumulate(idx[::-1])[::-1]
+        next_n = np.concatenate([next_n, [len(genome)]]).astype(np.int64)
         a = sa[:-1].astype(np.int64)
         b = sa[1:].astype(np.int64)
         cap = np.minimum(next_n[a] - a, next_n[b] - b)
         lcp = np.minimum(lcp, np.maximum(cap, 0))
     i = int(np.argmax(lcp))
     ln = int(lcp[i])
+
+    def _loc(p):
+        ci = int(np.searchsorted(offs_arr, p, side="right")) - 1
+        return f"{names[ci]}:{p - offs_arr[ci]}"
+
     pa, pb = int(sa[i]), int(sa[i + 1])
-    print(f"repeat length {ln} at {pa} and {pb}")
+    print(f"repeat length {ln} at {_loc(pa)} and {_loc(pb)}")
     if ln:
         print(codes_to_seq(genome[pa : pa + min(ln, 80)]))
     return 0
@@ -1245,9 +1269,15 @@ def _cmd_countnmers(argv) -> int:
     args = p.parse_args(argv)
 
     from blasr_tpu.core.encode import pack_kmers
-    from blasr_tpu.io.seqdb import load_genome
+    from blasr_tpu.io.fasta import read_fasta
 
-    genome, _ = load_genome(args.fasta)
+    # N-spacered concatenation: no phantom k-mers across contig joins
+    # (pack_kmers marks windows containing N invalid)
+    parts = []
+    for _, codes in read_fasta(args.fasta):
+        parts.append(codes)
+        parts.append(np.full(1, 4, np.uint8))
+    genome = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
     keys, valid = pack_kmers(genome, args.wordsize)
     kk = np.sort(keys[valid])
     if len(kk) == 0:

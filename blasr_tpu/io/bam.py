@@ -261,9 +261,13 @@ def read_bam(path: str) -> tuple[list[str], list[list[str]]]:
             tg = data[p : p + 2].decode()
             ty = chr(data[p + 2])
             p += 3
-            if ty == "i":
-                tags.append(f"{tg}:i:{struct.unpack_from('<i', data, p)[0]}")
-                p += 4
+            if ty in "cCsSiI":
+                fmtc, sz = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2),
+                            "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4)}[ty]
+                tags.append(
+                    f"{tg}:i:{struct.unpack_from(fmtc, data, p)[0]}"
+                )
+                p += sz
             elif ty == "f":
                 tags.append(f"{tg}:f:{struct.unpack_from('<f', data, p)[0]:g}")
                 p += 4

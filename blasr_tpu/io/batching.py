@@ -89,7 +89,7 @@ def read_records(path: str, fmt: Optional[str] = None) -> list[Read]:
             fmt = "fastq"
         elif low.endswith((".fa", ".fasta", ".fsta", ".fna")):
             fmt = "fasta"
-        elif low.endswith(".sam"):
+        elif low.endswith((".sam", ".bam")):
             fmt = "sam"
         else:
             # sniff first byte

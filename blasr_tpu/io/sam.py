@@ -118,7 +118,11 @@ def read_sam(path: str) -> SAMFile:
         return SAMFile(header, [_fields_to_record(f) for f in recs])
     header: list[str] = []
     records: list[SAMRecord] = []
-    with open(path, "r") as f:
+    opener = (
+        (lambda p: __import__("gzip").open(p, "rt"))
+        if path.endswith(".gz") else (lambda p: open(p, "r"))
+    )
+    with opener(path) as f:
         for line in f:
             line = line.rstrip("\n")
             if not line:
@@ -129,27 +133,7 @@ def read_sam(path: str) -> SAMFile:
             fields = line.split("\t")
             if len(fields) < 11:
                 continue
-            tags = {}
-            for t in fields[11:]:
-                parts = t.split(":", 2)
-                if len(parts) == 3:
-                    tags[parts[0]] = parts[2]
-            qual = None
-            if fields[10] != "*":
-                qual = np.frombuffer(fields[10].encode(), np.uint8) - 33
-            records.append(
-                SAMRecord(
-                    qname=fields[0],
-                    flag=int(fields[1]),
-                    rname=fields[2],
-                    pos=int(fields[3]),
-                    mapq=int(fields[4]),
-                    cigar=fields[5],
-                    seq=fields[9],
-                    qual=qual,
-                    tags=tags,
-                )
-            )
+            records.append(_fields_to_record(fields))
     return SAMFile(header, records)
 
 

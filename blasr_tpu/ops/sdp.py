@@ -262,7 +262,7 @@ def graph_paper_filter(
     np.add.at(bins, (ri, ci), ln)
     bins = np.minimum(bins, max_score)
     bins[bins < min_score] = 0
-    pen = max(1, (n * int(ln[0]) if n else 1) // (n_rows * n_cols + 1))
+    pen = max(1, int(ln.sum()) // (n_rows * n_cols + 1))
 
     score = np.zeros((n_rows + 1, n_cols + 1), np.int64)
     move = np.zeros((n_rows + 1, n_cols + 1), np.int8)  # 0 diag 1 left 2 up

@@ -471,6 +471,17 @@ class ShardedServer:
         self, reads: Sequence[Read], params: Optional[MappingParams] = None
     ) -> tuple[list[AlignmentRecord], list[str]]:
         p = params or self.params
+        # shard geometry (overlap = max_read_len + target_pad) is baked
+        # into the cached indexes; a different per-call geometry would
+        # shift every _globalize coordinate by the overlap delta
+        if (
+            p.max_read_len + p.target_pad
+            != self.params.max_read_len + self.params.target_pad
+        ):
+            raise ValueError(
+                "per-call params change the shard overlap; construct a new "
+                "ShardedServer for a different max_read_len/target_pad"
+            )
         return run_mapping_sharded(
             self.genome, self.seqdb, reads, p,
             n_shards=len(self.specs), k=self.k, devices=self.devices,
