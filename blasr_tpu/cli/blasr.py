@@ -77,6 +77,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-pvaltype", type=int, default=0, choices=[0, 1, 2, 3])
     p.add_argument("-advanceExactMatches", type=int, default=0,
                    help="(accepted; anchor compaction covers this heuristic)")
+    p.add_argument("-anchorStride", type=int, default=1,
+                   help="seed every Nth read position (2 = the bench "
+                        "operating point; the speed/sensitivity frontier)")
+    p.add_argument("-dpCandidates", type=int, default=0,
+                   help="candidate windows DP'd per read across strands "
+                        "(0 = nCandidates; 2 = the bench operating point)")
     # ---- scoring ----
     p.add_argument("-indel", type=int, default=5)
     p.add_argument("-insertion", type=int, default=None)
@@ -295,6 +301,8 @@ def params_from_args(args) -> MappingParams:
         match_kw["mismatch_score"] = args.mismatch
     return MappingParams(
         min_match_length=min_match,
+        anchor_stride=max(1, args.anchorStride),
+        n_dp_candidates=args.dpCandidates or None,
         sdp_tuple_size=args.sdpTupleSize,
         forward_only=args.forwardOnly,
         min_map_qv=args.minMapQV,
