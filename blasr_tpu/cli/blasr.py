@@ -555,18 +555,22 @@ def main(argv=None) -> int:
                 out.close()
 
     if args.unaligned:
-        by_name = {r.name: r for r in reads}
         from blasr_tpu.core.encode import codes_to_seq
 
+        # every unmapped OCCURRENCE is written (duplicate read names are
+        # legal in FASTA; a name->read dict would collapse them)
+        unmapped_names = set(unmapped)
         with open(args.unaligned, "w") as f:
-            for name in unmapped:
+            emitted = 0
+            for rd in reads:
+                if rd.name not in unmapped_names:
+                    continue
                 if args.noPrintUnalignedSeqs:
-                    f.write(name + "\n")
+                    f.write(rd.name + "\n")
                 else:
-                    rd = by_name.get(name)
-                    f.write(f">{name}\n")
-                    if rd is not None:
-                        f.write(codes_to_seq(rd.codes) + "\n")
+                    f.write(f">{rd.name}\n")
+                    f.write(codes_to_seq(rd.codes) + "\n")
+                emitted += 1
 
     if args.anchors:
         from blasr_tpu.pipeline.debug import dump_anchors
