@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import IO, Iterable, Optional, Sequence
+from typing import IO, Iterable, Sequence
 
 import numpy as np
 

@@ -20,7 +20,7 @@ from blasr_tpu.core.encode import codes_to_seq, revcomp_codes
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.io.batching import Read
 from blasr_tpu.pipeline.runner import AlignmentRecord
-from blasr_tpu.pipeline.traceback import OP_D, OP_I, OP_M
+from blasr_tpu.pipeline.traceback import OP_I, OP_M
 
 
 def alignment_strings(

@@ -19,7 +19,7 @@ halo-exchange role (SURVEY.md §5 long-context note).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
