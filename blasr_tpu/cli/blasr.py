@@ -447,7 +447,21 @@ def main(argv=None) -> int:
         empty = np.zeros(0, np.int32)
         index = GenomeIndex(genome, empty, empty, pos_ok, k, seqdb)
         fm_path = args.bwt or (args.genome + FM_SUFFIX)
-        if os.path.exists(fm_path):
+        if fm_path.endswith(".bwt") and os.path.exists(fm_path):
+            # reference binary .bwt (BWT.h:70-80 layout): invert it, verify
+            # the content matches the FASTA genome, then build our FM
+            from blasr_tpu.index.bwtfile import (
+                read_ref_bwt, ref_bwt_genome_matches,
+            )
+            from blasr_tpu.io.fasta import read_fasta
+
+            rg = read_ref_bwt(fm_path)
+            if not ref_bwt_genome_matches(rg, read_fasta(args.genome)):
+                raise SystemExit(
+                    f"{fm_path}: .bwt content does not match {args.genome}"
+                )
+            fm = build_fm_index(genome, build_suffix_array(genome))
+        elif os.path.exists(fm_path):
             fm = FMIndex.load(fm_path)
         else:
             fm = build_fm_index(genome, build_suffix_array(genome))
