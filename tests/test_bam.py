@@ -101,3 +101,15 @@ def test_cli_bam_output(tmp_path):
         of = orig.split("\t")
         assert got[:6] == of[:6]
         assert got[9] == of[9]
+
+
+def test_samtom4_reads_bam(tmp_path, capsys):
+    """Satellite tools consume .bam through the shared read_sam dispatch."""
+    from blasr_tpu.cli.tools import main as tools_main
+
+    p = str(tmp_path / "c.bam")
+    write_bam_from_sam_lines(HEADER, RECORDS, p)
+    assert tools_main(["samtom4", p]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2  # two mapped records (u1 unmapped skipped)
+    assert out[0].split()[0] == "r1" and out[0].split()[1] == "chr1"
