@@ -372,34 +372,51 @@ def _run_resumable(args, params, index, reads, fm):
     by_name = {r.name: r for r in reads}
     from blasr_tpu.output.sam_writer import read_group_id
 
-    rgid = read_group_id(args.reads)
+    # movie/RG naming must match the non-resume path (basename, not full
+    # path) so the same command emits identical @RG ID/PU with or
+    # without -resume.
+    movie = os.path.basename(args.reads)
+    rgid = read_group_id(movie)
     out_f = open(args.out, mode)
     if not skip and args.sam:
-        for line in sam_header(index.seqdb, " ".join(sys.argv), [args.reads]):
+        for line in sam_header(index.seqdb, " ".join(sys.argv), [movie]):
             out_f.write(line + "\n")
 
     state = {"done": skip}
 
     def on_batch(bi, recs, unm):
-        for rec in recs:
-            if args.sam:
-                # key by read index (duplicate names are legal in FASTA)
-                rd = (
-                    reads[rec.read_index]
-                    if 0 <= rec.read_index < len(reads)
-                    else by_name.get(rec.qname)
-                )
-                if rd is not None:
-                    out_f.write(
-                        format_sam_record(
-                            rec, rd, args.clipping, rgid=rgid,
-                            genome=index.genome,
-                            genome_start=int(index.seqdb.starts[rec.contig_index])
-                            if rec.contig_index >= 0 else 0,
-                        )
-                        + "\n"
+        if args.sam:
+            # per-read primary selection within the batch (all candidates
+            # for one read land in the same batch)
+            by_read: dict[int, list] = {}
+            for rec in recs:
+                by_read.setdefault(rec.read_index, []).append(rec)
+            best_of = {
+                ri: min(range(len(rs)), key=lambda j: rs[j].score)
+                for ri, rs in by_read.items()
+            }
+            for ri, rs in by_read.items():
+                for j, rec in enumerate(rs):
+                    # key by read index (duplicate names are legal in FASTA)
+                    rd = (
+                        reads[rec.read_index]
+                        if 0 <= rec.read_index < len(reads)
+                        else by_name.get(rec.qname)
                     )
-            else:
+                    if rd is not None:
+                        out_f.write(
+                            format_sam_record(
+                                rec, rd, args.clipping, rgid=rgid,
+                                genome=index.genome,
+                                genome_start=int(index.seqdb.starts[rec.contig_index])
+                                if rec.contig_index >= 0 else 0,
+                                is_primary=(j == best_of[ri]),
+                                samqv=params.samqv,
+                            )
+                            + "\n"
+                        )
+        else:
+            for rec in recs:
                 out_f.write(format_m4(rec) + "\n")
         out_f.flush()
         state["done"] = max(state["done"], bi + 1)

@@ -163,11 +163,16 @@ def _sam_line_to_bam_record(fields: list[str], ref_ids: dict[str, int]) -> bytes
         else bytes((min(ord(c) - 33, 93) for c in qual))
     )
     tags = _encode_tags(fields[11:])
+    # mate fields (RNEXT/PNEXT/TLEN) carry through; "=" means same ref
+    rnext = fields[6] if len(fields) > 6 else "*"
+    next_refid = refid if rnext == "=" else ref_ids.get(rnext, -1)
+    next_pos = (int(fields[7]) - 1) if len(fields) > 7 else -1
+    tlen = int(fields[8]) if len(fields) > 8 else 0
     body = struct.pack(
         "<iiBBHHHiiii",
         refid, pos, len(qname), mapq,
         _reg2bin(pos, max(end, pos + 1)), len(cig_ops), flag, l_seq,
-        -1, -1, 0,
+        next_refid, next_pos, tlen,
     ) + qname + b"".join(
         struct.pack("<I", (ln << 4) | op) for ln, op in cig_ops
     ) + bytes(nib) + q + tags
@@ -234,7 +239,7 @@ def read_bam(path: str) -> tuple[list[str], list[list[str]]]:
         block = struct.unpack_from("<i", data, off)[0]
         off += 4
         (refid, pos, l_qname, mapq, _bin, n_cig, flag, l_seq,
-         _nrid, _npos, _tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
+         nrid, npos, tlen) = struct.unpack_from("<iiBBHHHiiii", data, off)
         p = off + 32
         qname = data[p : p + l_qname - 1].decode()
         p += l_qname
@@ -294,9 +299,16 @@ def read_bam(path: str) -> tuple[list[str], list[list[str]]]:
             else:
                 raise ValueError(f"unsupported BAM tag type {ty!r}")
         rname = refs[refid][0] if refid >= 0 else "*"
+        if nrid < 0:
+            rnext = "*"
+        elif nrid == refid:
+            rnext = "="
+        else:
+            rnext = refs[nrid][0]
         records.append(
             [qname, str(flag), rname, str(pos + 1), str(mapq),
-             "".join(cig) or "*", "*", "0", "0", seq or "*", qual] + tags
+             "".join(cig) or "*", rnext, str(npos + 1), str(tlen),
+             seq or "*", qual] + tags
         )
         off = end
     header_lines = [l for l in text.split("\n") if l]

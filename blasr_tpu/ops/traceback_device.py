@@ -119,7 +119,10 @@ def walk_arrows_device(
     flat = arrows.reshape(-1)
 
     if qoff_params is not None:
-        diag, Wb, Lq = qoff_params
+        # NOTE: named diag0 (not "diag") — substep() below binds a boolean
+        # named diag and calls qoff_at, which closes over this scalar; the
+        # distinct name makes a collision impossible under refactors
+        diag0, Wb, Lq = qoff_params
         hi = max(0, Lq - Wb)
 
         if qoff_num is not None:
@@ -128,14 +131,14 @@ def walk_arrows_device(
             numc = jnp.asarray(qoff_num, jnp.int32)
 
             def qoff_at(a):
-                cq = ((a - diag) * numc) >> QOFF_SHIFT  # arithmetic shift floors
+                cq = ((a - diag0) * numc) >> QOFF_SHIFT  # arithmetic shift floors
                 return jnp.clip(cq - Wb // 2, 0, hi).astype(jnp.int32)
 
         else:
 
             def qoff_at(a):
-                # floor-div of possibly-negative (a - diag); jnp // floors
-                return jnp.clip((a - diag) // 2 - Wb // 2, 0, hi).astype(jnp.int32)
+                # floor-div of possibly-negative (a - diag0); jnp // floors
+                return jnp.clip((a - diag0) // 2 - Wb // 2, 0, hi).astype(jnp.int32)
 
         def s1_at(a):
             return qoff_at(a) - qoff_at(a - 1)

@@ -94,8 +94,11 @@ def make_device_index(
         cache = {}
         idx._device_index_cache = cache
     hit = cache.get(key)
-    if hit is not None:
-        return hit
+    # the entry pins a strong reference to the fm it was built from, so a
+    # recycled id() of a garbage-collected FMIndex can never alias a live
+    # entry; identity check guards the None-key case symmetry
+    if hit is not None and hit[0] is fm:
+        return hit[1]
     pad = params.max_read_len + params.target_len
     gp = np.full(idx.genome_length + 2 * pad, 5, dtype=np.uint8)
     gp[pad : pad + idx.genome_length] = idx.genome
@@ -205,7 +208,7 @@ def make_device_index(
         fm_n=fm_n,
         lut_meta=lut_meta,
     )
-    cache[key] = di
+    cache[key] = (fm, di)
     return di
 
 
@@ -245,7 +248,7 @@ class WireResult(NamedTuple):
     i2: int           # B * best_n
     p: int            # packed move-string width
     b: int            # batch rows
-    rcols: int        # read_ints columns = 1 + 2 * dp_candidates
+    rcols: int        # read_ints columns = 2 * dp_candidates
 
 
 class HostBatchResult(NamedTuple):
