@@ -208,7 +208,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ("noStoreMapQV", "MAPQ is computed in the same fused program"),
         ("sortRefinedAlignments", "selection already sorts by score"),
         ("computeAlignProbability", "see -metrics JSON"),
-        ("fullMetrics", "-metrics carries the per-stage timings"),
         ("useQuality", "QV scoring is on whenever input has qualities"),
         ("preserveReadTitle", "titles are preserved verbatim already"),
         ("noPrintSubreadTitle", "whole-read titles (no region tables)"),
@@ -235,10 +234,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
         grp.add_argument(f"-{name}", type=float, default=None,
                         help="accepted; probability-model priors are folded "
                              "into the QV-scaled costs")
-    for name in ("ctab", "seqdb", "findex", "regionTable", "clusters",
-                 "lcpBounds", "fileType"):
+    for name in ("ctab", "seqdb", "findex", "regionTable", "fileType"):
         grp.add_argument(f"-{name}", default=None, metavar="FILE",
                         help="accepted; artifact auto-discovery covers this")
+    p.add_argument("-fullMetrics", default=None, metavar="FILE",
+                   help="write per-read metric rows (role of reference "
+                        "MappingMetrics PrintFullList, MappingMetrics.h:307; "
+                        "stage clocks are amortized per read — the TPU maps "
+                        "whole batches in one fused program)")
+    p.add_argument("-clusters", default=None, metavar="FILE",
+                   help="write candidate-cluster statistics "
+                        "(Blasr.cpp:4536 header; the reference fork itself "
+                        "emits the header only — rows here carry per-"
+                        "alignment cluster stats)")
+    p.add_argument("-lcpBounds", default=None, metavar="FILE",
+                   help="per read, the SA match-interval width at every "
+                        "seed position (MapBySuffixArray.h:77-85)")
     return p
 
 
@@ -439,6 +450,23 @@ def main(argv=None) -> int:
     params = params_from_args(args)
     params.validate()
 
+    # honesty: a compat flag that names an output/input FILE but produces
+    # no file must say so loudly, not swallow the user's diagnostics
+    for noop in ("ctab", "seqdb", "findex", "regionTable", "fileType"):
+        if getattr(args, noop, None):
+            print(
+                f"[blasr_tpu] warning: -{noop} is accepted for reference "
+                "compatibility but has no effect (index artifacts are "
+                "auto-discovered); no file will be read or written",
+                file=sys.stderr,
+            )
+    if getattr(args, "computeAlignProbability", False):
+        print(
+            "[blasr_tpu] warning: -computeAlignProbability has no separate "
+            "output here; use -metrics FILE for the run statistics",
+            file=sys.stderr,
+        )
+
     from blasr_tpu.index.artifacts import load_index
     from blasr_tpu.io.batching import read_records
     from blasr_tpu.output.m4 import write_m4
@@ -608,6 +636,34 @@ def main(argv=None) -> int:
 
         with open(args.anchors, "w") as f:
             dump_anchors(index, reads, params, f, fm=fm)
+
+    if args.fullMetrics:
+        from blasr_tpu.pipeline import runner as _runner
+        from blasr_tpu.pipeline.diagnostics import write_full_metrics
+
+        with open(args.fullMetrics, "w") as f:
+            write_full_metrics(
+                f, reads, records, unmapped, _runner.LAST_RUN_METRICS
+            )
+
+    if args.clusters:
+        from blasr_tpu.pipeline.diagnostics import write_clusters
+
+        with open(args.clusters, "w") as f:
+            write_clusters(f, reads, records)
+
+    if args.lcpBounds:
+        from blasr_tpu.pipeline.diagnostics import write_lcp_bounds
+
+        if getattr(index, "sa_kmers", None) is None or fm is not None:
+            print(
+                "[blasr_tpu] warning: -lcpBounds needs the suffix-array "
+                "index (not available on the -bwt path); skipping",
+                file=sys.stderr,
+            )
+        else:
+            with open(args.lcpBounds, "w") as f:
+                write_lcp_bounds(f, reads, index)
 
     if args.metrics:
         from blasr_tpu.pipeline import runner as _runner
