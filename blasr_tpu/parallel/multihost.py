@@ -84,7 +84,7 @@ def run_mapping_host_part(
             for rec in recs:
                 # read_index is the GLOBAL stream index (Read.index survives
                 # batching), so duplicate read names stay correctly ordered
-                f.write(f"{rec.read_index}\t{format_m4(rec)}\n")
+                f.write(f"{rec.read_index}\t{_esc(format_m4(rec))}\n")
         elif fmt == "sam":
             from blasr_tpu.output.sam_writer import (
                 format_sam_record,
@@ -109,12 +109,45 @@ def run_mapping_host_part(
                             if rec.contig_index >= 0 else 0,
                             is_primary=(j == best),
                         )
-                        f.write(f"{rd.index}\t{line}\n")
+                        f.write(f"{rd.index}\t{_esc(line)}\n")
                 elif rd.name in unm:
-                    f.write(f"{rd.index}\t{format_unmapped(rd, rgid=rgid)}\n")
+                    f.write(
+                        f"{rd.index}\t{_esc(format_unmapped(rd, rgid=rgid))}\n"
+                    )
+        elif fmt in ("m0", "m1", "m2", "m3", "m5"):
+            from blasr_tpu.output import verbose as _v
+
+            fns = {
+                "m0": lambda r, rd: _v.format_m0(r, rd, index),
+                "m1": lambda r, rd: _v.format_m1(r),
+                "m2": lambda r, rd: _v.format_m2(r, rd, index),
+                "m3": lambda r, rd: _v.format_m3(r),
+                "m5": lambda r, rd: _v.format_m5(r, rd, index),
+            }
+            fn = fns[fmt]
+            by_name = {rd.name: rd for rd in mine}
+            for rec in recs:
+                rd = by_name.get(rec.qname)
+                if rd is None and fmt in ("m0", "m2", "m5"):
+                    continue
+                f.write(f"{rec.read_index}\t{_esc(fn(rec, rd))}\n")
         else:
             raise ValueError(f"unknown part format {fmt!r}")
     return recs, unmapped
+
+
+def _esc(block: str) -> str:
+    """Newline-escape a (possibly multi-line, e.g. m0/m2) record block so a
+    part file stays one tagged line per record."""
+    return block.replace("\\", "\\\\").replace("\n", "\\n")
+
+
+def _unesc(s: str) -> str:
+    import re
+
+    return re.sub(
+        r"\\(.)", lambda m: "\n" if m.group(1) == "n" else m.group(1), s
+    )
 
 
 def merge_host_parts(
@@ -144,5 +177,5 @@ def merge_host_parts(
         for line in header_lines or ():
             f.write(line + "\n")
         for _, rest in rows:
-            f.write(rest + "\n")
+            f.write(_unesc(rest) + "\n")
     return len(rows)

@@ -188,3 +188,38 @@ def test_sharded_server_serves_repeatedly(tmp_path):
             (r.qname, r.tstart, r.tend, r.score) for r in rs
         )
         assert fmt(a) == fmt(b) and sorted(ua) == sorted(ub)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fmt", ["m0", "m1", "m2", "m3", "m5"])
+def test_multihost_verbose_parts_merge(tmp_path, fmt):
+    """m0/m1/m2/m3/m5 part files (newline-escaped blocks) merge to the
+    1-host write_verbose output byte-for-byte."""
+    import io
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.output.verbose import write_verbose
+    from blasr_tpu.parallel.multihost import (
+        merge_host_parts, run_mapping_host_part,
+    )
+
+    g = simulate_genome(50_000, seed=81, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 12, mean_len=300, seed=82)
+    params = MappingParams(
+        batch_size=16, max_read_len=512, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    prefix = str(tmp_path / f"mh{fmt}")
+    for pid_ in range(2):
+        run_mapping_host_part(index, reads, params, prefix, pid_, 2, fmt=fmt)
+    merged = str(tmp_path / f"merged.{fmt}")
+    merge_host_parts(prefix, merged, num_processes=2)
+
+    ref_recs, _ = run_mapping(index, reads, params)
+    buf = io.StringIO()
+    write_verbose(ref_recs, reads, index, buf, fmt=int(fmt[1]))
+    assert open(merged).read() == buf.getvalue()
