@@ -128,16 +128,18 @@ def _expand_select_compact(
     qk_lo_key: jax.Array, qk_hi_key: jax.Array,
     nh: jax.Array, has_key: jax.Array,
     B: int, L: int, KH: int, A: int, ST: int,
-    ctab_valid: jax.Array | None = None,  # (4^k,) uint8 clipped VALID counts:
-                             # exact for every surviving position (count <=
-                             # KH < 255), so the interval width needs no
-                             # second lut_valid gather; requires expand == 0
-                             # (i.e. qk_lo_key == qk_hi_key)
-    nh_valid: jax.Array | None = None,  # (B, L) valid-hit counts per position:
-                             # positions whose hits are ALL masked (pos_ok
-                             # false / non-owned shard range) must not occupy
-                             # top-P priority slots — they would crowd out
-                             # anchor-bearing positions when L > A
+    nh_valid: jax.Array | None = None,  # (B, L) valid-hit counts per position.
+                             # Dual role: (a) positions whose hits are ALL
+                             # masked (pos_ok false / non-owned shard range)
+                             # must not occupy top-P priority slots — they
+                             # would crowd out anchor-bearing positions when
+                             # L > A; (b) the value is EXACT for every
+                             # surviving position (count <= KH < clip bound,
+                             # and exact by construction on the lut_valid
+                             # subtraction path), so the slot width comes
+                             # from a cheap take_along_axis instead of a
+                             # second big-table gather. Requires expand == 0
+                             # (i.e. qk_lo_key == qk_hi_key) when clipped.
 ):
     """Slot-exact hit expansion over the seed-valid compacted SA.
 
@@ -166,10 +168,11 @@ def _expand_select_compact(
     pvals, psel = jax.lax.top_k(pos_prio, P)                  # (B, P)
     klo_sel = jnp.take_along_axis(qk_lo_key, psel, axis=1)
     lov = lut_valid[jnp.clip(klo_sel, 0, NK - 2)]
-    if ctab_valid is not None:
-        # clipped valid-count table is exact for every surviving position
-        # (count <= KH < 255) — no second lut_valid gather
-        cntv = ctab_valid[jnp.clip(klo_sel, 0, NK - 2)].astype(jnp.int32)
+    if nh_valid is not None:
+        # valid counts were already gathered per position — reuse them via a
+        # local take instead of a second big-table gather (exactness: see
+        # the parameter note above)
+        cntv = jnp.take_along_axis(nh_valid, psel, axis=1)
     else:
         khi_sel = jnp.take_along_axis(qk_hi_key, psel, axis=1)
         hiv = lut_valid[jnp.clip(khi_sel + 1, 0, NK - 1)]
@@ -242,11 +245,11 @@ def find_anchors(
     lut_valid: jax.Array | None = None,  # (4^k + 1,) int32 valid-only counts;
                              # when given, ``sa`` is the seed-valid compacted
                              # SA and expansion is slot-exact
-    ctab: jax.Array | None = None,  # (4^k,) uint8 clipped counts: the hot
-                             # per-position lookup is one gather on a table
-                             # 4x smaller than lut
-    ctab_valid: jax.Array | None = None,  # (4^k,) uint8 clipped VALID counts
-                             # (see _expand_select_compact)
+    ctab16: jax.Array | None = None,  # (4^k,) uint16 combined clipped counts:
+                             # (min(total,255) << 8) | min(valid,255). The hot
+                             # per-position lookup is ONE gather on a table
+                             # 2x smaller than lut serving both the frequency
+                             # filter and the valid-slot widths
     *,
     k: int,
     max_hits_per_pos: int = 8,
@@ -286,26 +289,19 @@ def find_anchors(
     qk_lo_key = qk & ~mask
     qk_hi_key = qk | mask
     if lut is not None and lut_meta is not None and lut_meta[1] == 0:
-        if expand == 0 and ctab is not None and lut_valid is not None:
-            # hot path: ONE uint8 gather gives min(count, 255) — exact for
-            # the nh <= KH filter and the priority (overflowed positions are
+        if expand == 0 and ctab16 is not None and lut_valid is not None:
+            # hot path: ONE uint16 gather gives min(total, 255) in the high
+            # byte and min(valid, 255) in the low byte — exact for the
+            # nh <= KH filter and the priority (overflowed positions are
             # filtered either way; KH < 255 asserted)
             assert KH < 255
-            nh = jnp.where(
-                qk >= 0,
-                ctab[jnp.clip(qk, 0, ctab.shape[0] - 1)].astype(jnp.int32),
-                0,
-            )
-            nh_v = jnp.where(
-                qk >= 0,
-                ctab_valid[jnp.clip(qk, 0, ctab_valid.shape[0] - 1)].astype(
-                    jnp.int32
-                ),
-                0,
-            )
+            cv = ctab16[jnp.clip(qk, 0, ctab16.shape[0] - 1)].astype(jnp.int32)
+            cv = jnp.where(qk >= 0, cv, 0)
+            nh = cv >> 8
+            nh_v = cv & 255
             return _expand_select_compact(
                 sa, lut_valid, qk_lo_key, qk_hi_key, nh, qk >= 0,
-                B, L, KH, A, ST, ctab_valid=ctab_valid, nh_valid=nh_v,
+                B, L, KH, A, ST, nh_valid=nh_v,
             )
         # full-resolution direct-address table (lut.shape == 4^k + 1):
         # lo and the interval width come from two gathers, no bisection

@@ -167,14 +167,16 @@ def make_device_index(
                     .at[jnp.where(valid, dest, G)]
                     .set(sa_m_dev)
                 )
-                # clipped uint8 count table: the per-position filter/priority
-                # only needs min(count, 255) (any max_hits_per_pos < 255),
-                # so the hot (B, L) lookup is ONE gather on a 4x smaller
-                # table; exact counts come from lut_full for the selected
-                # positions only
-                ctab8 = jnp.minimum(counts, 255).astype(jnp.uint8)
-                ctab_v8 = jnp.minimum(counts_v, 255).astype(jnp.uint8)
-                arrays = (sa_valid, ctab8, ctab_v8, lut_full, lut_valid)
+                # combined clipped uint16 count table (total<<8 | valid): the
+                # per-position filter/priority only needs min(count, 255)
+                # (any max_hits_per_pos < 255), so the hot (B, L) lookup is
+                # ONE gather serving both counts — half the big-table gather
+                # traffic of separate total/valid tables
+                ctab16 = (
+                    (jnp.minimum(counts, 255) << 8)
+                    | jnp.minimum(counts_v, 255)
+                ).astype(jnp.uint16)
+                arrays = (sa_valid, ctab16, lut_full, lut_valid)
                 lut_meta = (0, 0)  # max_steps == 0 marks the direct table
             else:
                 # run-length of identical keys at every SA row: turns the
@@ -384,10 +386,10 @@ def _map_batch_impl(
         )
     elif lut_meta is not None and lut_meta[1] == 0:
         # direct-table index: compacted valid SA + count tables
-        sa_valid, ctab8, ctab_v8, lut_full, lut_valid = index_arrays
+        sa_valid, ctab16, lut_full, lut_valid = index_arrays
         at, aq, anh, avalid = find_anchors(
             reads2, lens2, sa_valid, None, None, lut_full, None, lut_valid,
-            ctab8, ctab_v8,
+            ctab16,
             k=k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,

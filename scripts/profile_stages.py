@@ -157,22 +157,22 @@ def main():
     from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 
     if di.lut_meta is not None and di.lut_meta[1] == 0:
-        sa_arr, ctab8, ctab_v8, lut, lut_valid = di.arrays
+        sa_arr, ctab16, lut, lut_valid = di.arrays
         sa_kmers = run_len = None
     else:
         sa_arr, sa_kmers, lut, run_len = di.arrays
-        lut_valid = ctab8 = ctab_v8 = None
+        lut_valid = ctab16 = None
 
     # index arrays must be jit ARGUMENTS: closed-over device arrays become
     # jaxpr constants and blow the remote-compile request size limit
     @functools.partial(jax.jit, static_argnames=())
-    def _stage_anchor(codes, lengths, sa_arr, sa_kmers, lut, run_len, lut_valid, ctab8, ctab_v8):
+    def _stage_anchor(codes, lengths, sa_arr, sa_kmers, lut, run_len, lut_valid, ctab16):
         rc = M._revcomp_rows(codes, lengths)
         reads2 = jnp.concatenate([codes, rc], axis=0)
         lens2 = jnp.concatenate([lengths, lengths], axis=0)
         return find_anchors(
             reads2, lens2, sa_arr, sa_kmers, None, lut, run_len, lut_valid,
-            ctab8, ctab_v8,
+            ctab16,
             k=di.k,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
@@ -180,7 +180,7 @@ def main():
         )
 
     def stage_anchor(codes, lengths):
-        return _stage_anchor(codes, lengths, sa_arr, sa_kmers, lut, run_len, lut_valid, ctab8, ctab_v8)
+        return _stage_anchor(codes, lengths, sa_arr, sa_kmers, lut, run_len, lut_valid, ctab16)
 
     at, aq, anh, avalid = stage_anchor(codes, lengths)
     force(at[:1, :1])
