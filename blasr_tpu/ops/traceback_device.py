@@ -283,34 +283,30 @@ def pack_moves_rows(moves_dense: jax.Array, out_width: int) -> jax.Array:
     0 = hole) into the 2-bit per-op wire format (I2, out_width) — run on
     the SELECTED rows only.
 
-    Stable argsort on the hole mask preserves slot order while pushing
-    holes to the back; run-length decode = scatter a marker at each slot's
-    expanded start offset, prefix-sum to a slot id per expanded position,
-    one gather of the slot ops; then 2-bit pack 4/byte.
+    Run-length decode without any sort: holes contribute zero length to the
+    exclusive-prefix-sum of run starts, so each real slot's op can be
+    scatter-max'ed at its expanded start as the monotone code
+    ``(start+1)<<2 | op`` (strictly increasing across real slots) and a
+    single cummax fills every run with its covering slot's code; then
+    2-bit pack 4/byte. (Replaced a stable hole-compaction argsort that was
+    ~9 ms/batch on TPU — the largest single block in the pipeline.)
     """
     I2, SD = moves_dense.shape
     slots = moves_dense.astype(jnp.int32)
-    holes = (slots == 0).astype(jnp.int32)
-    order = jnp.argsort(holes, axis=1, stable=True)
-    compact = jnp.take_along_axis(slots, order, axis=1)   # (I2, SD)
-    ops = compact & 3
-    cnt = jnp.where(ops > 0, compact >> 2, 0)
+    ops = slots & 3                                       # 0 only for holes
+    cnt = jnp.where(ops > 0, slots >> 2, 0)
 
     S2 = 4 * out_width                                    # expanded capacity
     starts = jnp.cumsum(cnt, axis=1) - cnt                # exclusive
     rows = jnp.arange(I2, dtype=jnp.int32)[:, None]
-    marker = jnp.zeros((I2, S2 + 1), jnp.int32)
-    marker = marker.at[rows, jnp.minimum(starts, S2)].add(
-        jnp.where(cnt > 0, 1, 0)
-    )
-    segid = jnp.cumsum(marker[:, :S2], axis=1) - 1        # slot covering pos
+    code = jnp.where(cnt > 0, ((starts + 1) << 2) | ops, 0)
+    seed = jnp.zeros((I2, S2 + 1), jnp.int32).at[
+        rows, jnp.minimum(starts, S2)
+    ].max(code)
+    filled = jax.lax.cummax(seed[:, :S2], axis=1)
     total = jnp.sum(cnt, axis=1, keepdims=True)
     pos = jnp.arange(S2, dtype=jnp.int32)[None, :]
-    expanded = jnp.where(
-        pos < total,
-        jnp.take_along_axis(ops, jnp.clip(segid, 0, SD - 1), axis=1),
-        0,
-    )
+    expanded = jnp.where(pos < total, filled & 3, 0)
     mvp = expanded.reshape(I2, out_width, 4)
     shifts = jnp.array([0, 2, 4, 6], jnp.int32)
     return jnp.sum(mvp << shifts[None, None, :], axis=2).astype(jnp.uint8)

@@ -46,7 +46,11 @@ def main():
     import os as _os
     params = MappingParams(
         batch_size=int(_os.environ.get("BLASR_PROF_B", "64")),
-        max_read_len=3072, n_candidates=4, best_n=1,
+        max_read_len=3072,
+        n_candidates=int(_os.environ.get("BLASR_PROF_NC", "4")),
+        n_dp_candidates=int(_os.environ.get("BLASR_PROF_CD", "4")),
+        anchor_stride=int(_os.environ.get("BLASR_PROF_STRIDE", "1")),
+        best_n=1,
     )
     print(f"load: {time.time()-t0:.1f}s  backend={jax.default_backend()}")
 
@@ -177,6 +181,7 @@ def main():
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
             lut_meta=di.lut_meta,
+            anchor_stride=params.anchor_stride,
         )
 
     def stage_anchor(codes, lengths):
