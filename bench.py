@@ -61,14 +61,14 @@ def main():
         max_read_len=int(os.environ.get("BLASR_BENCH_MAXL", "3328")),
         n_candidates=int(os.environ.get("BLASR_BENCH_NC", "4")),
         n_dp_candidates=int(os.environ.get("BLASR_BENCH_CD", "2")),
-        anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "2")),
+        anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "4")),
         best_n=1,
     )
 
     # serving operating point (env-overridable): top-2 windows DP'd per
-    # read and every-2nd-position seeding — measured accuracy-neutral on
-    # this corpus (0.9825 vs 0.983 at the defaults; the guard below keeps
-    # it honest). The reference exposes the same speed/sensitivity
+    # read and every-4th-position seeding — measured accuracy-neutral on
+    # this corpus (0.983 at stride 2/4/6/8 and at CD=2 vs CD=3; the guard
+    # below keeps it honest). The reference exposes the same speed/sensitivity
     # frontier through -nCandidates/-minMatch (README.md:53-58).
     # warmup: one full untimed pass. Compiles every (B, cap) program the
     # timed run dispatches (incl. post-spill-up caps) and absorbs the
