@@ -319,11 +319,23 @@ def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     return jnp.where(ok, comp, jnp.uint8(4)).astype(jnp.uint8)
 
 
+def _probe(*arrays):
+    """Profiling checkpoint: a scalar that consumes every given array so
+    nothing upstream is dead-code-eliminated when the pipeline is cut
+    short (scripts/profile_cumulative.py)."""
+    acc = jnp.int32(0)
+    for a in arrays:
+        if a is None:
+            continue
+        acc = acc + jnp.sum(a.astype(jnp.int32) if a.dtype != jnp.int32 else a)
+    return acc
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "params", "pad", "k", "genome_len", "use_pallas", "index_kind",
-        "fm_n", "lut_meta"
+        "fm_n", "lut_meta", "stop_after"
     ),
 )
 def _map_batch_impl(
@@ -342,6 +354,8 @@ def _map_batch_impl(
     index_kind: str = "sa",
     fm_n: int = 0,
     lut_meta: tuple | None = None,
+    stop_after: str | None = None,  # profiling: cut the pipeline at a named
+                                    # checkpoint and return a consuming scalar
 ) -> MapBatchResult:
     B, L = codes.shape
     C = params.n_candidates
@@ -409,12 +423,18 @@ def _map_batch_impl(
             expand=params.min_expand,
         )
 
+    if stop_after == "anchors":
+        return _probe(at, aq, anh, avalid)
+
     # ---- candidate windows ----
     aw = anchor_weights(anh, avalid, G, CW, params.pval_type)
     cand = select_candidates(
         at, aq, aw, avalid,
         n_candidates=C, win=CW, k=k,
     )                                                       # (2B, C)
+
+    if stop_after == "candidates":
+        return _probe(cand.d0, cand.weight, cand.valid)
 
     # ---- cross-strand DP-candidate selection: keep only the CD best
     # windows per read (by anchor weight) across both strands, so the DP
@@ -454,6 +474,9 @@ def _map_batch_impl(
     qitems = reads2[row]                                    # (I, L)
     qlens = lens2[row]
     quitems = qual2[row] if qual2 is not None else None
+
+    if stop_after == "setup":
+        return _probe(tcodes, qitems, qlens, quitems, tlo, thi, cvalid)
 
     scores_cfg = AlignScores(
         match=params.match_score,
@@ -497,6 +520,9 @@ def _map_batch_impl(
         qoff_num = jnp.int32(QOFF_NUM_HALF)
     qoff = make_qoff_num(L, T, W, params.target_pad // 2, qoff_num)
 
+    if stop_after == "slope":
+        return _probe(qoff, tcodes, qitems)
+
     # ---- ONE DP pass with traceback over every candidate; the arrow
     # tensor stays in HBM and the walk below reads only the winners' paths.
     align_fn = banded_align_pallas if use_pallas else banded_align
@@ -505,6 +531,8 @@ def _map_batch_impl(
         scores=scores_cfg, with_traceback=True, band_width=W,
     )
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
+    if stop_after == "dp":
+        return _probe(res1.score, res1.best_a, res1.best_w, cscore)
 
     # ---- on-device traceback walk over ALL candidates, in place over the
     # arrow tensor (arrows never leave the chip). Walking every candidate
@@ -519,6 +547,12 @@ def _map_batch_impl(
         qoff_num=qoff_num,
         pack=(128 // W) if (use_pallas and W < 128) else 1,
     )
+
+    if stop_after == "walk":
+        return _probe(
+            tb.nops, tb.q_start, tb.q_end, tb.t_start, tb.t_end,
+            tb.n_match, tb.n_mismatch, tb.n_ins, tb.n_del, tb.moves_dense,
+        )
 
     sc = cscore.reshape(B, CD)
     sv = cvalid.reshape(B, CD) & (sc < 0)
@@ -616,6 +650,9 @@ def _map_batch_impl(
         ins_cost=params.insertion_score, del_cost=params.deletion_score,
     )                                                        # (B, CD)
     sel_mapq = jnp.take_along_axis(mapq_all, topi, axis=1).reshape(-1)
+
+    if stop_after == "filters":
+        return _probe(sv, sv_emit, mapq_all, order_cd, topi, sel_mapq, sel_item)
 
     sel_score = res1.score[sel_item]
     sel_ints = jnp.stack(
