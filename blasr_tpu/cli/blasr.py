@@ -83,6 +83,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-dpCandidates", type=int, default=0,
                    help="candidate windows DP'd per read across strands "
                         "(0 = nCandidates; 2 = the bench operating point)")
+    p.add_argument("-maxAnchorsPerRead", type=int, default=512,
+                   help="anchors kept per read-strand (the anchor phase is "
+                        "gather-bound in this size; 128 = the bench "
+                        "operating point)")
     # ---- scoring ----
     p.add_argument("-indel", type=int, default=5)
     p.add_argument("-insertion", type=int, default=None)
@@ -324,6 +328,7 @@ def params_from_args(args) -> MappingParams:
         **nb_kw,
         **match_kw,
         max_anchors_per_position=args.maxAnchorsPerPosition,
+        max_anchors_per_read=args.maxAnchorsPerRead,
         n_candidates=n_cand,
         best_n=best_n,
         pval_type=args.pvaltype,
