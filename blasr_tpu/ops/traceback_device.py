@@ -12,14 +12,17 @@ The walk is a serial pointer chase — per sub-step cost is dominated by the
 one random HBM gather into the arrow tensor. Everything else is engineered
 away: the band-offset schedule is evaluated in closed form
 (qoff(a) = clip((a - diag) >> 1 - W/2, 0, L - W), see
-banded_align.make_qoff) instead of two table gathers; emitted ops are
-stored DENSELY at the loop-step column (one contiguous column write)
-instead of scattering at per-row ragged offsets; a whole run of matching
-diagonal moves (run field of the arrow word, bits 5-10) is emitted as ONE
-run-length slot and jumped in ONE sub-step; and match/mismatch tallies
-accumulate in-loop from the run field (run >= 1 iff matching diagonal), so
-no post-hoc query/target gathers are needed at all. Winner rows are
-RLE-expanded to the 2-bit wire format once, by ``pack_moves_rows``.
+banded_align.make_qoff) instead of two table gathers; a whole run of
+matching diagonal moves (run field of the arrow word, bits 5-10) is
+emitted as ONE run-length slot and jumped in ONE sub-step; match/mismatch
+tallies accumulate in-loop from the run field (run >= 1 iff matching
+diagonal), so no post-hoc query/target gathers are needed at all; and the
+emitted slot is scattered as a BOUNDARY CODE directly at its expanded
+op position (the walk tracks each item's cumulative op count), so the
+post-walk RLE expansion is one cummax + mask + 2-bit pack
+(``pack_codes_rows``) with no big scatter at all — a bulk scatter of the
+(I, 2S) slot matrix used to cost ~2.2 ms/batch, the walk-time scatter is
+one (I,)-row write per sub-step inside the latency-bound loop.
 
 Alignment stats mirror ComputeAlignmentStats (AlignmentUtils.h:536).
 """
@@ -53,15 +56,16 @@ WALK_UNROLL = int(os.environ.get("BLASR_WALK_UNROLL", "8"))  # sub-steps per
 class DeviceTraceback(NamedTuple):
     """Compact per-alignment traceback (device arrays, host-transfer ready).
 
-    moves_dense holds one RUN-LENGTH slot per WALK SUB-STEP in END->START
-    order: ``op | (count << 2)`` with op in the low 2 bits (0 = empty
-    sub-step), count in bits 2-7 (1 for I/D slots, the match-run length
-    for M slots). ``pack_moves_rows`` expands selected rows to the 2-bit
+    moves_codes holds one RUN BOUNDARY CODE per emitted run, scattered at
+    the run's expanded op position (END->START order): column p of row i is
+    ``((p + 1) << 2) | op`` if a run starts at expanded position p, else 0.
+    A row-wise cummax therefore reconstructs the covering run's op at every
+    position; ``pack_codes_rows`` turns selected rows into the 2-bit
     per-op wire format. Spans are half-open local window coordinates like
-    AlignmentPath; ``nops`` counts EXPANDED ops.
+    AlignmentPath; ``nops`` counts EXPANDED ops (= the expanded width).
     """
 
-    moves_dense: jax.Array  # (I, SD) uint8 per-substep ops, END->START
+    moves_codes: jax.Array  # (I, 4*packed_width(S)+1) int32 boundary codes
     nops: jax.Array          # (I,) int32
     q_start: jax.Array       # (I,) int32
     q_end: jax.Array         # (I,) int32
@@ -153,10 +157,11 @@ def walk_arrows_device(
 
     max_iter = 2 * S + 4
     NIT = -(-max_iter // WALK_UNROLL)
-    SD = NIT * WALK_UNROLL                          # dense move columns
+    OW = packed_width(S)
+    S2 = 4 * OW                                     # expanded op capacity
 
     def cond(carry):
-        a, w, st, active, stats, moves, it = carry
+        a, w, st, active, stats, mv, mp, it = carry
         return jnp.any(active) & (it < NIT)
 
     def substep(a, w, st, active, stats):
@@ -218,7 +223,7 @@ def walk_arrows_device(
         ).astype(jnp.int32)
         stop = is_start | h_stop
 
-        slot = jnp.where(active, op | (cnt << 2), 0).astype(jnp.uint8)
+        cnt = jnp.where(active, cnt, 0)
         live = active.astype(jnp.int32)
         # r_eff is 1 for DIAG_START cells, whose arrow word carries its
         # own mismatch bit — uniform (run - mcount) match accounting
@@ -230,19 +235,28 @@ def walk_arrows_device(
         w = jnp.where(active, w + dw, w)
         st = jnp.where(active, new_st, st)
         active = active & ~stop & (a >= 0) & (w >= 0) & (w < W)
-        return a, w, st, active, (nmatch, nmis, nins, ndel), slot
+        return a, w, st, active, (nmatch, nmis, nins, ndel), op, cnt
 
     def body(carry):
-        a, w, st, active, stats, moves, it = carry
-        emits = []
+        a, w, st, active, stats, mv, mp, it = carry
+        idxs, vals = [], []
         for _ in range(WALK_UNROLL):
-            a, w, st, active, stats, slot = substep(a, w, st, active, stats)
-            emits.append(slot)
-        block = jnp.stack(emits, axis=1)            # (I, U)
-        moves = jax.lax.dynamic_update_slice(
-            moves, block, (jnp.int32(0), it * WALK_UNROLL)
+            a, w, st, active, stats, op, cnt = substep(a, w, st, active, stats)
+            # boundary code at the run's expanded op position; non-emitting
+            # sub-steps target the dump column S2 with value 0
+            emit = cnt > 0
+            idxs.append(jnp.where(emit, jnp.minimum(mp, S2 - 1), S2))
+            vals.append(jnp.where(emit, ((mp + 1) << 2) | op, 0))
+            mp = mp + cnt
+        # ONE batched scatter per body iteration: a per-sub-step scatter
+        # costs ~10 us of op overhead inside this latency-bound loop (8x
+        # the arrow gather), so the 8 sub-steps' writes land together.
+        # In-block index collisions happen only on the dump column, where
+        # every colliding value is 0.
+        mv = mv.at[rows[:, None], jnp.stack(idxs, axis=1)].set(
+            jnp.stack(vals, axis=1)
         )
-        return a, w, st, active, stats, moves, it + 1
+        return a, w, st, active, stats, mv, mp, it + 1
 
     zeros = jnp.zeros(I, jnp.int32)
     init = (
@@ -251,10 +265,11 @@ def walk_arrows_device(
         jnp.zeros(I, jnp.int32),
         scores < 0,
         (zeros, zeros, zeros, zeros),
-        jnp.zeros((I, SD), jnp.uint8),
+        jnp.zeros((I, S2 + 1), jnp.int32),
+        zeros,
         jnp.int32(0),
     )
-    _, _, _, _, stats, moves, _ = jax.lax.while_loop(cond, body, init)
+    _, _, _, _, stats, mv, _, _ = jax.lax.while_loop(cond, body, init)
     n_match, n_mismatch, n_ins, n_del = stats
     n_mops = n_match + n_mismatch
 
@@ -264,7 +279,7 @@ def walk_arrows_device(
     t_start = t_end - (n_mops + n_del)
 
     return DeviceTraceback(
-        moves_dense=moves,
+        moves_codes=mv,
         nops=(n_mops + n_ins + n_del).astype(jnp.int32),
         q_start=q_start.astype(jnp.int32),
         q_end=q_end.astype(jnp.int32),
@@ -278,35 +293,25 @@ def walk_arrows_device(
 
 
 @functools.partial(jax.jit, static_argnames=("out_width",))
-def pack_moves_rows(moves_dense: jax.Array, out_width: int) -> jax.Array:
-    """Expand (I2, SD) dense END->START run-length slots (``op | count<<2``,
-    0 = hole) into the 2-bit per-op wire format (I2, out_width) — run on
-    the SELECTED rows only.
+def pack_codes_rows(
+    codes: jax.Array, nops: jax.Array, out_width: int
+) -> jax.Array:
+    """Expand (I2, >=4*out_width) boundary-code rows (see DeviceTraceback:
+    column p holds ``((p+1)<<2) | op`` iff a run starts at expanded position
+    p) into the 2-bit per-op wire format (I2, out_width) — run on the
+    SELECTED rows only.
 
-    Run-length decode without any sort: holes contribute zero length to the
-    exclusive-prefix-sum of run starts, so each real slot's op can be
-    scatter-max'ed at its expanded start as the monotone code
-    ``(start+1)<<2 | op`` (strictly increasing across real slots) and a
-    single cummax fills every run with its covering slot's code; then
-    2-bit pack 4/byte. (Replaced a stable hole-compaction argsort that was
-    ~9 ms/batch on TPU — the largest single block in the pipeline.)
+    Codes are strictly increasing along each row wherever nonzero, so one
+    cummax fills every run with its covering code; positions at or past
+    ``nops`` (the expanded length) are zeroed; then 2-bit pack 4/byte.
+    (This replaced a bulk slot-matrix scatter that cost ~2.2 ms/batch —
+    XLA TPU scatter is ~130 M updates/s regardless of payload.)
     """
-    I2, SD = moves_dense.shape
-    slots = moves_dense.astype(jnp.int32)
-    ops = slots & 3                                       # 0 only for holes
-    cnt = jnp.where(ops > 0, slots >> 2, 0)
-
-    S2 = 4 * out_width                                    # expanded capacity
-    starts = jnp.cumsum(cnt, axis=1) - cnt                # exclusive
-    rows = jnp.arange(I2, dtype=jnp.int32)[:, None]
-    code = jnp.where(cnt > 0, ((starts + 1) << 2) | ops, 0)
-    seed = jnp.zeros((I2, S2 + 1), jnp.int32).at[
-        rows, jnp.minimum(starts, S2)
-    ].max(code)
-    filled = jax.lax.cummax(seed[:, :S2], axis=1)
-    total = jnp.sum(cnt, axis=1, keepdims=True)
+    I2 = codes.shape[0]
+    S2 = 4 * out_width
+    filled = jax.lax.cummax(codes[:, :S2], axis=1)
     pos = jnp.arange(S2, dtype=jnp.int32)[None, :]
-    expanded = jnp.where(pos < total, filled & 3, 0)
+    expanded = jnp.where(pos < nops[:, None], filled & 3, 0)
     mvp = expanded.reshape(I2, out_width, 4)
     shifts = jnp.array([0, 2, 4, 6], jnp.int32)
     return jnp.sum(mvp << shifts[None, None, :], axis=2).astype(jnp.uint8)

@@ -40,7 +40,7 @@ from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, select_candidates
 from blasr_tpu.ops.mapqv import map_qv_reference
 from blasr_tpu.ops.traceback_device import (
-    pack_moves_rows,
+    pack_codes_rows,
     packed_width,
     walk_arrows_device,
 )
@@ -551,7 +551,7 @@ def _map_batch_impl(
     if stop_after == "walk":
         return _probe(
             tb.nops, tb.q_start, tb.q_end, tb.t_start, tb.t_end,
-            tb.n_match, tb.n_mismatch, tb.n_ins, tb.n_del, tb.moves_dense,
+            tb.n_match, tb.n_mismatch, tb.n_ins, tb.n_del, tb.moves_codes,
         )
 
     sc = cscore.reshape(B, CD)
@@ -677,10 +677,13 @@ def _map_batch_impl(
         [sc, sv.astype(jnp.int32)], axis=1
     ).astype(jnp.int32)
 
+    moves_sel = tb.moves_codes[sel_item]
+    if stop_after == "presel":
+        return _probe(sel_ints, read_ints, moves_sel)
     return MapBatchResult(
         sel_ints=sel_ints,
-        moves_packed=pack_moves_rows(
-            tb.moves_dense[sel_item], packed_width(L + T - 1)
+        moves_packed=pack_codes_rows(
+            moves_sel, tb.nops[sel_item], packed_width(L + T - 1)
         ),
         read_ints=read_ints,
     )

@@ -21,6 +21,7 @@ import numpy as np
 def main():
     stride = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     cd = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    A = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 
     import jax
     import jax.numpy as jnp
@@ -38,6 +39,7 @@ def main():
     params = MappingParams(
         batch_size=64, max_read_len=3328, n_candidates=4,
         n_dp_candidates=cd, anchor_stride=stride, best_n=1,
+        max_anchors_per_read=A,
     )
     mapper = Mapper(index, params)
     di = mapper.device_index
@@ -49,7 +51,7 @@ def main():
     codes = jnp.asarray(batches[0].codes)
     lengths = jnp.asarray(batches[0].lengths)
     np.asarray(codes[:1, :1])
-    print(f"backend={jax.default_backend()} stride={stride} CD={cd}")
+    print(f"backend={jax.default_backend()} stride={stride} CD={cd} A={A}")
 
     from blasr_tpu.pipeline.mapper import default_use_pallas
 
@@ -61,7 +63,7 @@ def main():
 
     stages = [
         "anchors", "candidates", "setup", "slope", "dp", "walk", "filters",
-        None,
+        "presel", None,
     ]
     prev = 0.0
     for st in stages:

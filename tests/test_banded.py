@@ -192,7 +192,7 @@ def test_device_walk_matches_host_walk(rng):
     import jax.numpy as jnp
 
     from blasr_tpu.ops.traceback_device import (
-        pack_moves_rows,
+        pack_codes_rows,
         packed_width,
         unpack_moves,
         walk_arrows_device,
@@ -229,7 +229,7 @@ def test_device_walk_matches_host_walk(rng):
         jnp.asarray(Q), jnp.asarray(Tc),
     )
     S = int(res.arrows.shape[0])
-    packed = np.asarray(pack_moves_rows(tb.moves_dense, packed_width(S)))
+    packed = np.asarray(pack_codes_rows(tb.moves_codes, tb.nops, packed_width(S)))
     nops = np.asarray(tb.nops)
     for i, hp in enumerate(host_paths):
         if hp is None:
@@ -331,11 +331,11 @@ def test_walk_stats_with_negative_offdiagonal_matrix():
         res.arrows, qoff, res.best_a, res.best_w,
         jnp.minimum(res.score, -1), jnp.asarray(Q), jnp.asarray(Tc),
     )
-    from blasr_tpu.ops.traceback_device import pack_moves_rows, packed_width
+    from blasr_tpu.ops.traceback_device import pack_codes_rows, packed_width
     from blasr_tpu.ops.traceback_device import unpack_moves
 
     S = L + T - 1
-    packed = np.asarray(pack_moves_rows(tb.moves_dense, packed_width(S)))
+    packed = np.asarray(pack_codes_rows(tb.moves_codes, tb.nops, packed_width(S)))
     for i in range(I):
         qs, qe = int(tb.q_start[i]), int(tb.q_end[i])
         ts, te = int(tb.t_start[i]), int(tb.t_end[i])

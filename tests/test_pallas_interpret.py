@@ -96,7 +96,7 @@ def test_pallas_interpret_packed_narrow_bands():
                 np.asarray(getattr(wr, f)), np.asarray(getattr(wg, f)), err_msg=f
             )
         np.testing.assert_array_equal(
-            np.asarray(wr.moves_dense), np.asarray(wg.moves_dense)
+            np.asarray(wr.moves_codes), np.asarray(wg.moves_codes)
         )
 
 
