@@ -351,6 +351,9 @@ def params_from_args(args) -> MappingParams:
         ignore_qualities=args.ignoreQualities,
         min_expand=args.minExpand,
         max_expand=max(args.maxExpand, args.minExpand),
+        # reference default false; -alignContigs preset enables it
+        # (MappingParameters.h:350,469)
+        remove_contained=args.removeContained or args.alignContigs,
     )
 
 

@@ -40,6 +40,8 @@ class Candidates(NamedTuple):
     weight: jax.Array   # f32 summed anchor weight
     n_anchors: jax.Array  # int32 member count
     valid: jax.Array    # bool
+    dstar: jax.Array    # int32 window-start diagonal (membership test:
+                        # 0 <= (t - q) - dstar < win, matching the sweep)
 
 
 @functools.partial(jax.jit, static_argnames=("n_candidates", "win", "k"))
@@ -80,7 +82,7 @@ def select_candidates(
     ar = jnp.arange(A, dtype=jnp.int32)[None, :]
 
     score = win_w
-    d0s, qlos, qhis, weights, ns, valids = [], [], [], [], [], []
+    d0s, qlos, qhis, weights, ns, valids, dstars = [], [], [], [], [], [], []
     for _ in range(n_candidates):
         best = jnp.argmax(score, axis=1)               # (B,)
         bi = best[:, None]
@@ -109,6 +111,7 @@ def select_candidates(
         weights.append(jnp.where(ok, wsum, 0.0))
         ns.append(jnp.where(ok, nmem, 0))
         valids.append(ok)
+        dstars.append(jnp.where(ok, dstar_c, 0))
         # suppress anchors within +-win of the chosen window start
         near = (ds >= dstar_c[:, None] - win) & (ds < dstar_c[:, None] + win)
         score = jnp.where(near, -1.0, score)
@@ -121,7 +124,72 @@ def select_candidates(
         weight=stack(weights),
         n_anchors=stack(ns),
         valid=stack(valids),
+        dstar=stack(dstars),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "win"))
+def chain_stats(
+    t: jax.Array,        # (B, A) int32 anchor genome pos
+    q: jax.Array,        # (B, A) int32 anchor read pos
+    valid: jax.Array,    # (B, A) bool
+    dstar: jax.Array,    # (B, C) int32 window-start diagonal per candidate
+    cvalid: jax.Array,   # (B, C) bool candidate validity
+    *,
+    k: int,              # anchor k-mer length
+    win: int,            # diagonal window width (same as select_candidates)
+) -> tuple[jax.Array, jax.Array]:
+    """Colinear-chain evidence per candidate window — the GlobalChain /
+    LIS-p-value role (reference GlobalChain.h:100 max-weight colinear chain
+    inside each stored interval; ComputeLISPValue, LISPValue.h:86-172,
+    whose log-p is ``pFirst + (n_chain-1) * log(1/G)`` so interval RANK is
+    chain count and the ``maxPValue = log(0.5)`` gate at Blasr.cpp:2373
+    rejects windows with no >=2-anchor colinear chain when no .ctab is
+    present: a failed PMatch leaves the single-anchor p-value at 1).
+
+    Returns ``(n_chain, chained_any)`` each (B, C):
+      n_chain      int32 1 + count of member anchors with a colinear,
+                   non-overlapping predecessor (q_prev <= q - k AND
+                   t_prev <= t - k within the window). An overcount of the
+                   greedy chain by a roughly uniform factor — monotone in
+                   the true chain size, which is all p-value RANKING needs.
+      chained_any  bool: a >=2-anchor colinear chain exists (exact pair
+                   test — this is the maxPValue insert gate).
+
+    Fully vectorized: one q-argsort per strand-row, a pairwise boundary
+    count (q_i <= q_j - k), and per-window cumulative-min over t in
+    q-order; no serial scan over anchors.
+    """
+    B, A = t.shape
+    BIG = jnp.int32(2**30)
+
+    order = jnp.argsort(jnp.where(valid, q, BIG), axis=1, stable=True)
+    q_s = jnp.take_along_axis(q, order, axis=1)
+    t_s = jnp.take_along_axis(t, order, axis=1)
+    v_s = jnp.take_along_axis(valid, order, axis=1)
+    d_s = t_s - q_s
+
+    # b(j) = count of i with q_i <= q_j - k  (pairwise; q_s is sorted so
+    # this is searchsorted, but the O(A^2) mask sum fuses better on TPU
+    # than a vmapped binary search at these shapes)
+    qj = jnp.where(v_s, q_s, BIG)
+    b = jnp.sum(
+        (qj[:, None, :] <= (qj - k)[:, :, None]) & v_s[:, None, :],
+        axis=-1,
+    ).astype(jnp.int32)                                    # (B, A)
+
+    reld = d_s[:, None, :] - dstar[:, :, None]             # (B, C, A)
+    mem = v_s[:, None, :] & (reld >= 0) & (reld < win) & cvalid[:, :, None]
+    tmask = jnp.where(mem, t_s[:, None, :], BIG)
+    cummin_t = jax.lax.associative_scan(jnp.minimum, tmask, axis=-1)
+    # min t over members with q <= q_j - k: cummin at index b(j)-1
+    bj = jnp.broadcast_to(b[:, None, :], mem.shape)
+    prev_t = jnp.take_along_axis(cummin_t, jnp.maximum(bj - 1, 0), axis=-1)
+    has_prev = (bj > 0) & (prev_t <= t_s[:, None, :] - k)
+    chained = mem & has_prev
+    n_link = jnp.sum(chained, axis=-1).astype(jnp.int32)
+    any_mem = jnp.any(mem, axis=-1)
+    return n_link + any_mem.astype(jnp.int32), jnp.any(chained, axis=-1)
 
 
 def anchor_weights(

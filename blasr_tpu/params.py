@@ -50,10 +50,15 @@ class MappingParams:
     min_avg_qual: float = 0.0         # -minAvgQual FASTQ input filter
     forward_only: bool = False        # -forwardOnly: skip the RC strand
     samqv: Optional[tuple] = None     # -samqv: which QV tags to emit
-    remove_contained: bool = True     # read-span RemoveContained gate on
-                                      # -bestn emission (piecewise segment
-                                      # mapping disables it: the colinear
-                                      # DP needs the repeat alternatives)
+    remove_contained: bool = False    # read-span RemoveContained gate on
+                                      # -bestn emission. Reference default
+                                      # is FALSE (removeContainedIntervals,
+                                      # MappingParameters.h:350) — secondary
+                                      # repeat placements whose read span is
+                                      # contained in the primary's ARE
+                                      # emitted at -bestn>1; -removeContained
+                                      # and the -alignContigs preset
+                                      # (MappingParameters.h:469) enable it
     min_align_length: int = 0         # -minAlnLength
     min_read_length: int = 50         # -minReadLength (ref default 50)
     place_repeats_randomly: bool = False  # -placeRepeatsRandomly

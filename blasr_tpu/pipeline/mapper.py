@@ -37,7 +37,7 @@ from blasr_tpu.ops.banded_align import (
     make_qoff_num,
 )
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
-from blasr_tpu.ops.candidates import anchor_weights, select_candidates
+from blasr_tpu.ops.candidates import anchor_weights, chain_stats, select_candidates
 from blasr_tpu.ops.mapqv import map_qv_reference
 from blasr_tpu.ops.traceback_device import (
     pack_codes_rows,
@@ -437,27 +437,59 @@ def _map_batch_impl(
         return _probe(cand.d0, cand.weight, cand.valid)
 
     # ---- cross-strand DP-candidate selection: keep only the CD best
-    # windows per read (by anchor weight) across both strands, so the DP
-    # runs on half the items the strand-expanded layout would imply.
-    # (Role of WeightedIntervalSet keeping top nCandidates across strands,
+    # windows per read across both strands, so the DP runs on half the
+    # items the strand-expanded layout would imply. (Role of
+    # WeightedIntervalSet keeping top nCandidates across strands,
     # FindMaxInterval.h:839 + Blasr.cpp:2422-2441 fwd+rev into one set.)
+    #
+    # For -pvaltype 0/1 the ranking and the admission gate follow the
+    # reference's chain p-value semantics (ops/candidates.chain_stats):
+    # interval rank = colinear-chain size (ComputeLISPValue's log-p is
+    # linear in chain count), p-value ties break on interval start
+    # ascending (CompareWeightedIntervalByPValue, WeightedInterval.h:110),
+    # and windows with no >=2-anchor colinear chain are rejected outright
+    # (maxPValue = log(0.5), Blasr.cpp:2373 — a single-anchor interval's
+    # p-value is 1 when no .ctab is present). -pvaltype 2/3 keep the
+    # summed-anchor-weight ranking (LISSizeWeightor role).
     CD = params.n_dp_candidates or C
-    wgt2 = cand.weight.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
-    vld2 = cand.valid.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    to2 = lambda x: x.reshape(2, B, C).transpose(1, 0, 2).reshape(B, 2 * C)
+    wgt2 = to2(cand.weight)
+    vld2 = to2(cand.valid)
     if params.forward_only:
         # -forwardOnly: suppress the RC strand's candidates entirely
         vld2 = vld2 & (jnp.arange(2 * C, dtype=jnp.int32)[None, :] < C)
-    wneg = jnp.where(vld2, wgt2, jnp.float32(-1.0))
-    topw, topj = jax.lax.top_k(wneg, CD)                    # (B, CD)
+    b_ar = jnp.arange(B, dtype=jnp.int32)[:, None]
+    if params.pval_type in (0, 1):
+        n_chain, chained_any = chain_stats(
+            at, aq, avalid, cand.dstar, cand.valid, k=k, win=CW,
+        )                                                   # (2B, C)
+        nch2 = to2(n_chain)
+        vld2 = vld2 & to2(chained_any)
+        # tie order: interval start ascending -> rank windows per read by
+        # genomic start (d0 + q_lo), smaller start wins equal chain counts
+        gst2 = to2(cand.d0 + cand.q_lo)
+        grank = jnp.argsort(
+            jnp.argsort(jnp.where(vld2, gst2, jnp.int32(2**30)), axis=1),
+            axis=1,
+        ).astype(jnp.int32)                                 # (B, 2C)
+        key = jnp.where(
+            vld2,
+            (jnp.minimum(nch2, 1 << 14) << 15) - grank,
+            jnp.int32(-1),
+        )
+        topw, topj = jax.lax.top_k(key, CD)                 # (B, CD)
+        cvalid = (topw > 0).reshape(-1)
+    else:
+        wneg = jnp.where(vld2, wgt2, jnp.float32(-1.0))
+        topw, topj = jax.lax.top_k(wneg, CD)                # (B, CD)
+        cvalid = (topw > 0.0).reshape(-1)
     dp_strand = (topj // C).astype(jnp.int32)               # 0 fwd / 1 rc
     dp_c = (topj % C).astype(jnp.int32)
-    b_ar = jnp.arange(B, dtype=jnp.int32)[:, None]
     cand_item = (dp_strand * B + b_ar) * C + dp_c           # into (2B*C,) layout
     cand_flat = cand_item.reshape(-1)                       # (I,) I = B*CD
     I = B * CD
 
     d0 = jnp.clip(cand.d0.reshape(-1)[cand_flat], -L, G - 1)
-    cvalid = (topw > 0.0).reshape(-1)
     t0f = d0 - params.target_pad // 2                       # (I,) global
 
     gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad

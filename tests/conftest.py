@@ -16,6 +16,11 @@ if not _TPU_RUN:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    # No persistent XLA cache on the CPU test backend: concurrent shard
+    # threads (parallel/sharded.py) deserializing the same cache entry
+    # segfault in jax's _cache_read, and CPU compiles are cheap anyway.
+    # The cache stays on for real-TPU runs, where it saves minutes.
+    os.environ["BLASR_TPU_NO_CACHE"] = "1"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
@@ -30,6 +35,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 from blasr_tpu.core.encode import seq_to_codes  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    A single serial run of the whole suite accumulates hundreds of live
+    XLA:CPU executables in one process; past a threshold, a *later*
+    compilation (observed: threaded map_batch compile in the sharded
+    tests) segfaults inside backend_compile_and_load. Releasing compiled
+    programs per module keeps the process under that threshold; xdist
+    runs are unaffected (fresh workers).
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")
