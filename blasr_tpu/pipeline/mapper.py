@@ -490,25 +490,7 @@ def _map_batch_impl(
     I = B * CD
 
     d0 = jnp.clip(cand.d0.reshape(-1)[cand_flat], -L, G - 1)
-    t0f = d0 - params.target_pad // 2                       # (I,) global
-
-    gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad
-    tcodes = genome_pad[gidx]                               # (I, T)
-
-    # contig bounds for boundary masking
-    mid = jnp.clip(t0f + T // 2, 0, G - 1)
-    ci = jnp.searchsorted(starts, mid, side="right") - 1
-    ci = jnp.clip(ci, 0, starts.shape[0] - 2)
-    tlo = jnp.maximum(starts[ci] - t0f, 0).astype(jnp.int32)
-    thi = jnp.minimum(starts[ci + 1] - t0f, T).astype(jnp.int32)
-
     row = (dp_strand * B + b_ar).reshape(-1)                # (I,) strand row
-    qitems = reads2[row]                                    # (I, L)
-    qlens = lens2[row]
-    quitems = qual2[row] if qual2 is not None else None
-
-    if stop_after == "setup":
-        return _probe(tcodes, qitems, qlens, quitems, tlo, thi, cvalid)
 
     scores_cfg = AlignScores(
         match=params.match_score,
@@ -524,6 +506,17 @@ def _map_batch_impl(
     # window's anchors, take the batch median, and bias the shared band
     # schedule so systematic ins/del drift stays centred. This is what
     # lets the narrow (packed) band replace the reference's band-16 guide.
+    #
+    # The schedule (and its slope) is one program-wide vector — the Pallas
+    # block index maps are shared by all items — but each item's WINDOW
+    # POSITION is free. Per-item min-max centring below plays the
+    # reference's per-read guide role for heterogeneous batches: evaluate
+    # each member anchor's deviation from the shared band-centre line and
+    # shift the item's target window so the worst positive and negative
+    # deviations balance. An item whose own drift disagrees with the batch
+    # median (mixed ins-heavy/del-heavy batches) gets its residual split
+    # across both band edges instead of accumulating at one end.
+    pad2 = params.target_pad // 2
     if W < 128:
         atr = at[row]                                       # (I, A)
         aqr = aq[row]
@@ -548,9 +541,42 @@ def _map_batch_impl(
         qoff_num = jnp.round(
             jnp.float32(1 << QOFF_SHIFT) / (2.0 + slope_med)
         ).astype(jnp.int32)
+        # per-item centring: anchor (q, t) sits on anti-diagonal
+        # a = 2q + din + pad2 of its window; the shared centre line puts
+        # the band middle at ((a - pad2) * num) >> 16, so the anchor's
+        # band-coordinate deviation is dev = that - q. Shifting the window
+        # by dt moves every dev by -dt * num >> 16; balance max and min.
+        dev = (((2 * aqr + din) * qoff_num) >> QOFF_SHIFT) - aqr
+        dev_max = jnp.max(jnp.where(m, dev, -(1 << 30)), axis=1)
+        dev_min = jnp.min(jnp.where(m, dev, 1 << 30), axis=1)
+        have = jnp.any(m, axis=1) & cvalid
+        dt = ((dev_max + dev_min) << (QOFF_SHIFT - 1)) // jnp.maximum(
+            qoff_num, 1
+        )
+        dt = jnp.clip(dt, -pad2 // 2, pad2 // 2)
+        d0 = jnp.where(have, d0 + dt, d0)
     else:
         qoff_num = jnp.int32(QOFF_NUM_HALF)
-    qoff = make_qoff_num(L, T, W, params.target_pad // 2, qoff_num)
+    qoff = make_qoff_num(L, T, W, pad2, qoff_num)
+
+    t0f = d0 - pad2                                         # (I,) global
+
+    gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad
+    tcodes = genome_pad[gidx]                               # (I, T)
+
+    # contig bounds for boundary masking
+    mid = jnp.clip(t0f + T // 2, 0, G - 1)
+    ci = jnp.searchsorted(starts, mid, side="right") - 1
+    ci = jnp.clip(ci, 0, starts.shape[0] - 2)
+    tlo = jnp.maximum(starts[ci] - t0f, 0).astype(jnp.int32)
+    thi = jnp.minimum(starts[ci + 1] - t0f, T).astype(jnp.int32)
+
+    qitems = reads2[row]                                    # (I, L)
+    qlens = lens2[row]
+    quitems = qual2[row] if qual2 is not None else None
+
+    if stop_after == "setup":
+        return _probe(tcodes, qitems, qlens, quitems, tlo, thi, cvalid)
 
     if stop_after == "slope":
         return _probe(qoff, tcodes, qitems)

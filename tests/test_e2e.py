@@ -342,6 +342,58 @@ def test_narrow_band_tracks_deletion_heavy_reads():
     assert ok >= 31, (ok, len(unm))
 
 
+def test_narrow_band_mixed_slope_batch():
+    """Adversarial heterogeneous batch: half the reads are INSERTION-heavy
+    (+10% ins) and half DELETION-heavy (+10% del) in ONE batch, mapped at
+    the tightest band (W=32). The shared schedule's slope is the batch
+    median, so without per-item window centring (mapper.py) the outliers'
+    drift would walk off one band edge; the reference follows each read's
+    own chain (GuidedAlign.h:104). Every read must place at its true
+    locus."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import parse_truth, simulate_genome, simulate_reads
+
+    g = simulate_genome(200_000, seed=97, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    ins_reads, _ = simulate_reads(
+        g, 16, mean_len=900, seed=98, ins_rate=0.10, del_rate=0.01
+    )
+    del_reads, _ = simulate_reads(
+        g, 16, mean_len=900, seed=99, ins_rate=0.01, del_rate=0.10
+    )
+    # interleave so both profiles share every batch
+    import dataclasses
+
+    reads = [r for pair in zip(ins_reads, del_reads) for r in pair]
+    for i, r in enumerate(reads):
+        reads[i] = dataclasses.replace(
+            r, name=("ins_" if i % 2 == 0 else "del_") + r.name
+        )
+    params = MappingParams(
+        batch_size=32, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13, narrow_band=32,
+    )
+    recs, unm = run_mapping(index, reads, params)
+    byname = {}
+    for r in recs:
+        c = byname.get(r.qname)
+        if c is None or r.score < c.score:
+            byname[r.qname] = r
+    misses = []
+    for rd in reads:
+        rec = byname.get(rd.name)
+        s, e, st = parse_truth(rd.name)
+        if rec is None or rec.tstrand != st or abs(rec.tstart_fwd - s) >= 100:
+            misses.append(rd.name)
+    assert not misses, (misses, len(unm))
+
+
 def test_min_avg_qual_filter():
     """-minAvgQual rejects low-quality FASTQ reads at input
     (Blasr.cpp:3327-3343 role)."""
