@@ -428,8 +428,12 @@ def banded_align_pallas(
     P = 128 // W if W < 128 else 1      # packed items per lane row
     LW = W * P
     tlo = jnp.maximum(tlo, 0)  # kernel relies on tlo >= 0 (see valid mask)
-    # rows after packing must tile; items pad to IT*P
-    IT = min(ITEM_TILE, max(1, -(-I0 // P)))
+    # rows after packing must tile; items pad to IT*P. Per-iter VMEM scales
+    # with IT*LW, so wide bands (W > 128, used for long buckets) shrink the
+    # item tile to stay inside the 16 MB scoped-vmem limit (IT=256 at
+    # LW=128 measured ~16 MB; W=256 at IT=256 oomed by 0.5 MB).
+    item_tile = max(32, ITEM_TILE * 128 // LW)
+    IT = min(item_tile, max(1, -(-I0 // P)))
     I = -(-I0 // (IT * P)) * (IT * P)
     if I != I0:  # pad items up to a tile multiple; padded rows align nothing
         pad_i = I - I0

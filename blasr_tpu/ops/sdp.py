@@ -189,7 +189,25 @@ def sdp_align(
     reps = counts * valid_q
     qpos = np.repeat(np.arange(len(qw)), reps)
     offs = np.concatenate([np.arange(c) for c in reps]) if reps.sum() else np.zeros(0, np.int64)
-    tpos = t_order[np.repeat(lo, reps) + offs]
+    # For multi-mapping words (tandem repeats: one word can hit every copy
+    # in the array), keep the hits NEAREST the expected global diagonal
+    # t ~ q * tn/qn instead of the lowest t positions — otherwise every
+    # query copy seeds only the first max_hits copies of the target array
+    # and the chain collapses there (the reference's fragment sweep sees
+    # all fragments; we cap, so cap around the right register).
+    # tw_sorted is stable-sorted: within one word value, positions ascend —
+    # a combined (word, pos) key is therefore globally sorted and
+    # searchsorted finds each word's diagonal-ideal rank directly.
+    start = lo
+    over = (hi - lo) > max_hits_per_word
+    if np.any(over):
+        keys_sorted = tw_sorted * np.int64(tn + 1) + t_order
+        ideal_t = (np.arange(len(qw), dtype=np.int64) * tn) // max(qn, 1)
+        ctr = np.searchsorted(keys_sorted, qw * np.int64(tn + 1) + ideal_t)
+        centered = np.clip(ctr - max_hits_per_word // 2, lo,
+                           np.maximum(hi - max_hits_per_word, lo))
+        start = np.where(over, centered, lo)
+    tpos = t_order[np.repeat(start, reps) + offs]
 
     if len(qpos) == 0:
         ops = np.concatenate(

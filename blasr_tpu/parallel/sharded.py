@@ -308,6 +308,7 @@ def run_mapping_sharded(
     concurrent: bool = True,
     lazy_load: bool = False,
     route: bool = False,
+    routes: Optional[Sequence[np.ndarray]] = None,
 ) -> tuple[list[AlignmentRecord], list[str]]:
     """Map reads against an n_shards-way sharded index; merge on host.
 
@@ -347,7 +348,14 @@ def run_mapping_sharded(
     # maps (or, in lazy mode, only LOADS) for its candidates — the
     # prefilter that turns all-shards broadcast into ~1-2 shard visits
     shard_reads: list[Sequence[Read]] = [reads] * len(specs)
-    if route and len(specs) > 1:
+    if routes is not None and len(specs) > 1:
+        # caller-precomputed routing (ShardedServer: one route pass shared
+        # with its residency bookkeeping)
+        shard_reads = [
+            [r for r, rt in zip(reads, routes) if s_i in rt]
+            for s_i in range(len(specs))
+        ]
+    elif route and len(specs) > 1:
         import os
 
         sketches = []
@@ -453,6 +461,7 @@ class ShardedServer:
         genome_path: Optional[str] = None,
         devices=None,
         route: bool = True,
+        max_resident: int = 0,
     ):
         self.genome = genome
         self.seqdb = seqdb
@@ -460,12 +469,42 @@ class ShardedServer:
         self.k = k
         self.devices = devices
         self.route = route
+        # max_resident > 0: cap how many shards keep DEVICE arrays between
+        # calls (LRU eviction). One v5e chip has 16 GB HBM; a 3.2 Gb /
+        # 16-shard index is ~2 GB device arrays per shard, so a routed
+        # serve that eventually touches every shard must evict or OOM —
+        # eviction drops only the HBM copy; host arrays stay resident and
+        # re-upload on the next visit.
+        self.max_resident = max_resident
+        self._lru: list[int] = []
         overlap = params.max_read_len + params.target_pad
         self.specs = make_shards(len(genome), n_shards, overlap)
         self.indexes = build_or_load_shards(
             genome, seqdb, self.specs, k, genome_path, overlap
         )
         self.genome_path = genome_path
+        self._sketches: Optional[list[np.ndarray]] = None
+        if route and len(self.specs) > 1:
+            import os
+
+            self._sketches = []
+            for s_i, spec in enumerate(self.specs):
+                sp = (
+                    sketch_cache_path(genome_path, len(self.specs), s_i, overlap)
+                    if genome_path else None
+                )
+                if sp and os.path.exists(sp) and (
+                    os.path.getmtime(sp) >= os.path.getmtime(genome_path)
+                ):
+                    self._sketches.append(np.load(sp))
+                    continue
+                sk = build_shard_sketch(genome[spec.block_lo : spec.block_hi])
+                if sp:
+                    try:
+                        np.save(sp, sk)
+                    except OSError:
+                        pass
+                self._sketches.append(sk)
 
     def map(
         self, reads: Sequence[Read], params: Optional[MappingParams] = None
@@ -482,9 +521,26 @@ class ShardedServer:
                 "per-call params change the shard overlap; construct a new "
                 "ShardedServer for a different max_read_len/target_pad"
             )
-        return run_mapping_sharded(
+        routes = (
+            route_reads(reads, self._sketches)
+            if self._sketches is not None else None
+        )
+        out = run_mapping_sharded(
             self.genome, self.seqdb, reads, p,
             n_shards=len(self.specs), k=self.k, devices=self.devices,
             shard_indexes=self.indexes, genome_path=self.genome_path,
-            route=self.route,
+            route=self.route, routes=routes,
         )
+        if self.max_resident:
+            used = (
+                sorted({int(s) for rt in routes for s in rt})
+                if routes is not None else list(range(len(self.specs)))
+            )
+            self._lru = [s for s in self._lru if s not in used] + used
+            resident = [
+                s for s in self._lru
+                if "_device_index_cache" in self.indexes[s].__dict__
+            ]
+            for victim in resident[: max(0, len(resident) - self.max_resident)]:
+                self.indexes[victim].__dict__.pop("_device_index_cache", None)
+        return out

@@ -137,10 +137,19 @@ class MappingParams:
 
     def band_width_for(self, read_len: int) -> int:
         """DP band for a bucket cap: narrow (packed) band when the drift
-        schedule can track it, full band otherwise."""
+        schedule can track it; otherwise a full band that SCALES with the
+        bucket so long reads keep the same relative slack. A straight-line
+        drift schedule absorbs a read's mean indel drift but not its bursts
+        (clustered stutter insertions); at PacBio CLR error rates the burst
+        excursion grows with length, and a constant 128 band that is ample
+        at 1 kb mis-starts 2.5-3 kb reads by 100-300 bp (measured on the
+        published-CLR corpus: start-accuracy 0.958 -> 0.978 at band 256).
+        The reference sidesteps this with a per-read anchor-chain guide
+        (GuidedAlign.h:104); length-proportional banding is the schedule
+        analogue until the kernel carries per-item piecewise guides."""
         if self.narrow_band and read_len <= self.narrow_band_max:
             return self.narrow_band
-        return self.band_width
+        return max(self.band_width, 128 * -(-(read_len + 512) // 2048))
 
     def validate(self) -> None:
         if self.band_width % 128 != 0 and self.band_width not in (32, 64):

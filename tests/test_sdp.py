@@ -103,6 +103,50 @@ def test_sdp_align_with_structural_gap():
     assert int(np.count_nonzero(ops == OP_D)) >= 3_000
 
 
+def test_sdp_align_tandem_repeat_in_large_gap():
+    """Pathological seed set: a tandem-repeat array (60 copies of a 150 bp
+    unit) sits inside a ~100 kb gap, and the query carries a different copy
+    number (57) — every repeat word is massively multi-mapping, the worst
+    case for the LIS chain (reference fragment sweep territory,
+    SparseDynamicProgramming.h:71-322). The chain must still pick a
+    colinear subset, cover both sequences completely, and absorb the
+    3-unit copy-number deletion without shredding the flanks."""
+    rng = np.random.default_rng(29)
+    unit = _rng_seq(rng, 150)
+    left = _rng_seq(rng, 45_000)
+    right = _rng_seq(rng, 45_000)
+    t = np.concatenate([left, np.tile(unit, 60), right])
+    q = np.concatenate([left, np.tile(unit, 57), right])
+    ops, score = sdp_align(q, t, S, no_recurse_under=10_000)
+    assert _consumes(ops, len(q), len(t))
+    n_m = int(np.count_nonzero(ops == OP_M))
+    n_d = int(np.count_nonzero(ops == OP_D))
+    n_i = int(np.count_nonzero(ops == OP_I))
+    # everything in q aligns (flanks are unique and identical); the
+    # copy-number difference shows up as ~3 units of deletion, and no
+    # spurious insertions are invented
+    assert n_m >= len(q) - 150, (n_m, len(q))
+    assert abs(n_d - 3 * 150) <= 150, n_d
+    assert n_i <= 150, n_i
+    # score near the ideal: all-match minus one contiguous 450-base gap
+    ideal = len(q) * S.match + 450 * S.deletion
+    assert score <= ideal * 0.9, (score, ideal)
+
+
+def test_sdp_align_tandem_only_window():
+    """Query and target are pure tandem array (no unique flank): chain
+    ambiguity is total. Alignment must still be complete and mostly
+    matches (any colinear register is acceptable)."""
+    rng = np.random.default_rng(31)
+    unit = _rng_seq(rng, 200)
+    t = np.tile(unit, 80)      # 16 kb
+    q = np.tile(unit, 76)
+    ops, score = sdp_align(q, t, S, no_recurse_under=10_000)
+    assert _consumes(ops, len(q), len(t))
+    n_m = int(np.count_nonzero(ops == OP_M))
+    assert n_m >= 0.95 * len(q), (n_m, len(q))
+
+
 def test_graph_paper_filter_keeps_colinear_drops_noise():
     """GraphPaper role: colinear seed band survives the grid DP, scattered
     off-path seeds drop."""
