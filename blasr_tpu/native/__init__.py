@@ -66,6 +66,12 @@ def _load():
         lib.bn_moves_to_cigar.restype = ctypes.c_int64
         lib.bn_unpack_moves.argtypes = [u8p, ctypes.c_int64, u8p]
         lib.bn_unpack_moves.restype = None
+        lib.bn_xeq_cigar.argtypes = [
+            u8p, ctypes.c_int64, u8p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.bn_xeq_cigar.restype = ctypes.c_int64
         lib.bn_global_align.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -127,6 +133,30 @@ def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray | None:
     out = np.empty(max(nops, 1), np.uint8)
     lib.bn_unpack_moves(packed_row, nops, out)
     return out[:nops]
+
+
+def xeq_cigar(
+    ops: np.ndarray, q_aln: np.ndarray, t_aln: np.ndarray,
+    q_start: int, t_start: int, pre_clip: int, post_clip: int, clip_op: str,
+) -> str | None:
+    """Full SAM CIGAR string with M split into =/X (one C pass); None if
+    the lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    q_aln = np.ascontiguousarray(q_aln, dtype=np.uint8)
+    t_aln = np.ascontiguousarray(t_aln, dtype=np.uint8)
+    # worst case: every op alternates -> len(str(n)) + 1 per op, plus clips
+    cap = 12 * (len(ops) + 2) + 48
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.bn_xeq_cigar(
+        ops, len(ops), q_aln, t_aln, q_start, t_start,
+        pre_clip, post_clip, clip_op.encode()[:1] or b"S", buf, cap,
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode()
 
 
 def global_align(

@@ -219,6 +219,71 @@ void bn_unpack_moves(const uint8_t* packed, int64_t nops, uint8_t* ops_out) {
   }
 }
 
+// ---- SAM CIGAR with M split into =/X (SAMPrinter.h AddUngappedOperations
+// role): one pass over the forward op array, comparing aligned bases, with
+// optional clip runs at both ends. ops values 1=M 2=I 3=D; q/t are code
+// arrays in aligned orientation; qpos/tpos are the path-local span starts.
+// Writes the ASCII CIGAR into out (capacity out_cap) and returns its
+// length, or -1 if out_cap would overflow.
+static inline char* emit_run(char* p, char* end, int64_t len, char op) {
+  char tmp[24];
+  int k = 0;
+  if (len <= 0) return p;
+  while (len > 0) { tmp[k++] = static_cast<char>('0' + len % 10); len /= 10; }
+  if (p + k + 1 > end) return nullptr;
+  while (k > 0) *p++ = tmp[--k];
+  *p++ = op;
+  return p;
+}
+
+int64_t bn_xeq_cigar(const uint8_t* ops, int64_t nops, const uint8_t* q,
+                     const uint8_t* t, int64_t qpos, int64_t tpos,
+                     int64_t pre_clip, int64_t post_clip, char clip_op,
+                     char* out, int64_t out_cap) {
+  char* p = out;
+  char* end = out + out_cap;
+  if (pre_clip > 0) {
+    p = emit_run(p, end, pre_clip, clip_op);
+    if (!p) return -1;
+  }
+  char cur = 0;
+  int64_t run = 0;
+  for (int64_t i = 0; i < nops; i++) {
+    uint8_t op = ops[i];
+    char sym;
+    if (op == 2) {
+      sym = 'I';
+      qpos++;
+    } else if (op == 3) {
+      sym = 'D';
+      tpos++;
+    } else {
+      sym = (q[qpos] == t[tpos]) ? '=' : 'X';
+      qpos++;
+      tpos++;
+    }
+    if (sym == cur) {
+      run++;
+    } else {
+      if (run) {
+        p = emit_run(p, end, run, cur);
+        if (!p) return -1;
+      }
+      cur = sym;
+      run = 1;
+    }
+  }
+  if (run) {
+    p = emit_run(p, end, run, cur);
+    if (!p) return -1;
+  }
+  if (post_clip > 0) {
+    p = emit_run(p, end, post_clip, clip_op);
+    if (!p) return -1;
+  }
+  return p - out;
+}
+
 // ---- dense global alignment with traceback (linear gaps, minimization).
 // Host-side gap filler for the SDP/piecewise path — the role of the
 // reference's inter-anchor AlignSubstring dense fills (Blasr.cpp:1578-1634,

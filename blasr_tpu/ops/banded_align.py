@@ -102,6 +102,101 @@ def make_qoff(L: int, T: int, W: int, diag: int) -> np.ndarray:
 QOFF_SHIFT = 16  # fixed-point denominator bits of the drift-slope schedule
 QOFF_NUM_HALF = 1 << (QOFF_SHIFT - 1)  # num for slope 0: centre_q=(a-diag)/2
 
+KNOT_LOG2 = 6              # knot spacing (steps) of the per-item guided
+KNOT_SPACING = 1 << KNOT_LOG2  # band schedule, as a power of two so the
+                           # integer lerp is shift-only and EXACTLY
+                           # reproducible by the traceback walk
+
+
+def n_knots(S: int) -> int:
+    """Knot count covering steps [0, S): ceil((S-1)/KS) + 1 segment ends."""
+    return max(1, -(-(S - 1) // KNOT_SPACING)) + 1
+
+
+def qoff_from_knots(knots: jax.Array, S: int) -> jax.Array:
+    """Expand per-item knots (I, NK) into a per-item band schedule (S, I).
+
+    Integer lerp: qoff(a) = (k0*(KS-r) + k1*r) >> KNOT_LOG2 with
+    j = a >> KNOT_LOG2, r = a & (KS-1). Knots built by make_qoff_knots are
+    nondecreasing with adjacent diffs <= KS, so per-step deltas are in
+    {0, 1} — the invariant both DP kernels and the walk rely on. The walk
+    (ops/traceback_device.walk_arrows_device) evaluates the IDENTICAL
+    formula per item so DP and walk agree exactly.
+    """
+    a = jnp.arange(S, dtype=jnp.int32)
+    j = a >> KNOT_LOG2
+    r = (a & (KNOT_SPACING - 1))[:, None]
+    k0 = knots[:, :].T[j]                       # (S, I) via row gather
+    k1 = knots[:, :].T[jnp.minimum(j + 1, knots.shape[1] - 1)]
+    return ((k0 * (KNOT_SPACING - r) + k1 * r) >> KNOT_LOG2).astype(jnp.int32)
+
+
+def make_qoff_knots(
+    a_anchor: jax.Array,   # (I, A) int32 anchor anti-diagonals (window coords)
+    v_anchor: jax.Array,   # (I, A) int32 desired band start at that step
+    mask: jax.Array,       # (I, A) bool chain-consistent member anchors
+    S: int,
+    L: int,
+    W: int,
+    diag: int,             # shared-schedule diagonal (window pad2)
+    num,                   # traced drift-slope numerator (QOFF_SHIFT fp)
+) -> jax.Array:
+    """Per-item guided band schedule knots from member anchors (the role of
+    the reference's per-read AlignmentToGuide, GuidedAlign.h:104: the band
+    follows each read's own anchor chain, so bursty indel drift that a
+    straight batch line cannot track stays inside a narrow band).
+
+    Between anchors the knot value interpolates linearly; beyond the first/
+    last anchor it extends along the batch drift-slope line; items with no
+    member anchors fall back to the shared line entirely. Knots are clipped
+    to [0, L-W] and forced monotone with diffs <= KNOT_SPACING, which
+    qoff_from_knots turns into per-step deltas in {0, 1}.
+    """
+    I, A = a_anchor.shape
+    NK = n_knots(S)
+    ak = (jnp.arange(NK, dtype=jnp.int32) * KNOT_SPACING)[None, :]  # (1, NK)
+    numc = jnp.asarray(num, jnp.int32)
+
+    big = jnp.int32(1 << 28)
+    a_m = jnp.where(mask, a_anchor, big)
+    order = jnp.argsort(a_m, axis=1)
+    a_s = jnp.take_along_axis(a_m, order, axis=1)           # (I, A) sorted
+    v_s = jnp.take_along_axis(
+        jnp.where(mask, v_anchor, 0), order, axis=1
+    )
+    n_valid = mask.sum(axis=1).astype(jnp.int32)            # (I,)
+    have = n_valid > 0
+
+    # neighbour indices for every knot position (vectorized searchsorted:
+    # count anchors with a <= ak)
+    idx = (a_s[:, None, :] <= ak[:, :, None]).sum(axis=2).astype(jnp.int32)
+    lo = jnp.clip(idx - 1, 0, A - 1)                        # (I, NK)
+    hi = jnp.clip(jnp.minimum(idx, n_valid[:, None] - 1), 0, A - 1)
+    a_lo = jnp.take_along_axis(a_s, lo, axis=1)
+    a_hi = jnp.take_along_axis(a_s, hi, axis=1)
+    v_lo = jnp.take_along_axis(v_s, lo, axis=1)
+    v_hi = jnp.take_along_axis(v_s, hi, axis=1)
+
+    inside = (idx >= 1) & (idx < n_valid[:, None])
+    below = idx < 1                                          # before first
+    span = jnp.maximum(a_hi - a_lo, 1)
+    v_interp = v_lo + (ak - a_lo) * (v_hi - v_lo) // span
+    # beyond the ends: extend along the batch drift line (dq/da = num/2^16)
+    v_ext_lo = v_hi + (((ak - a_hi) * numc) >> QOFF_SHIFT)   # before first
+    v_ext_hi = v_lo + (((ak - a_lo) * numc) >> QOFF_SHIFT)   # after last
+    v = jnp.where(inside, v_interp, jnp.where(below, v_ext_lo, v_ext_hi))
+    # no-anchor items: the shared line
+    v_shared = (((ak - jnp.int32(diag)) * numc) >> QOFF_SHIFT) - W // 2
+    v = jnp.where(have[:, None], v, v_shared)
+
+    v = jnp.clip(v, 0, max(0, L - W))
+    # monotone with bounded slope: cummax then cap diffs at KNOT_SPACING
+    v = jax.lax.cummax(v, axis=1)
+    d = jnp.clip(jnp.diff(v, axis=1), 0, KNOT_SPACING)
+    return jnp.concatenate(
+        [v[:, :1], v[:, :1] + jnp.cumsum(d, axis=1)], axis=1
+    ).astype(jnp.int32)
+
 
 def make_qoff_num(L: int, T: int, W: int, diag: int, num) -> "jax.Array":
     """Drift-slope band schedule (role of the reference's drift-following
@@ -152,6 +247,11 @@ def banded_align(
     S = int(qoff.shape[0])
     assert S == L + T - 1
     W = band_width
+    # qoff (S,): one shared schedule (shifts are scalar selects). qoff
+    # (S, I): per-item guided schedules (make_qoff_knots/qoff_from_knots —
+    # the GuidedAlign.h:104 per-read guide role); window fetches become
+    # per-item gathers and band shifts 3-way selects on the per-item delta.
+    per_item = qoff.ndim == 2
 
     inf = jnp.int32(INF)
     qext = jnp.pad(query, ((0, 0), (0, W)), constant_values=4).astype(jnp.int8)
@@ -170,8 +270,10 @@ def banded_align(
     trev = tpad[:, ::-1]
     Tp = T + 2 * W
 
-    s1_arr = jnp.diff(qoff, prepend=qoff[:1])          # (S,) 0/1, s1[0] = 0
-    s2_arr = jnp.concatenate([jnp.zeros(1, jnp.int32), s1_arr[:-1]])
+    s1_arr = jnp.diff(qoff, axis=0, prepend=qoff[:1])  # 0/1 deltas, s1[0] = 0
+    s2_arr = jnp.concatenate(
+        [jnp.zeros_like(s1_arr[:1]), s1_arr[:-1]], axis=0
+    )
     a_arr = jnp.arange(S, dtype=jnp.int32)
 
     w_ar = jnp.arange(W, dtype=jnp.int32)[None, :]     # (1, W)
@@ -192,16 +294,35 @@ def banded_align(
         xp = jnp.pad(x, ((0, 0), (1, 1)), constant_values=fill)
         return jax.lax.dynamic_slice_in_dim(xp, 1 + dlt, W, axis=1)
 
+    def shift_i(x, dlt, fill=INF):
+        """shift() for a per-item delta vector (values in {-1, 0, 1})."""
+        d = dlt[:, None]
+        out = jnp.where(d == -1, shift(x, jnp.int32(-1), fill), x)
+        return jnp.where(d == 1, shift(x, jnp.int32(1), fill), out)
+
     def step(carry, xs):
         H1, H2, E1, F1, R1, R2, M1, M2, best, besta, bestw = carry
         a, qo, s1, s2 = xs
 
-        qwin = jax.lax.dynamic_slice_in_dim(qext, qo, W, axis=1)
-        # t = a - qo - w  ->  trev index = (Tp - 1 - W) - (a - qo) + w
-        tstart = (Tp - 1 - W) - (a - qo)
-        twin = jax.lax.dynamic_slice_in_dim(trev, tstart, W, axis=1)
-        if quext is not None:
-            quwin = jax.lax.dynamic_slice_in_dim(quext, qo, W, axis=1)
+        if per_item:
+            gidx = qo[:, None] + w_ar                   # (I, W)
+            qwin = jnp.take_along_axis(qext, gidx, axis=1)
+            tstart = (Tp - 1 - W) - (a - qo)            # (I,)
+            twin = jnp.take_along_axis(trev, tstart[:, None] + w_ar, axis=1)
+            quwin = (
+                jnp.take_along_axis(quext, gidx, axis=1)
+                if quext is not None else None
+            )
+        else:
+            qwin = jax.lax.dynamic_slice_in_dim(qext, qo, W, axis=1)
+            # t = a - qo - w  ->  trev index = (Tp - 1 - W) - (a - qo) + w
+            tstart = (Tp - 1 - W) - (a - qo)
+            twin = jax.lax.dynamic_slice_in_dim(trev, tstart, W, axis=1)
+            quwin = (
+                jax.lax.dynamic_slice_in_dim(quext, qo, W, axis=1)
+                if quext is not None else None
+            )
+        if quwin is not None:
             if qual_dual:
                 qi = quwin.astype(jnp.int32)
                 x_cell = qv_scaled_costs(x_sc, qi & 255)
@@ -213,7 +334,7 @@ def banded_align(
             x_cell = x_sc
             ins_cell = ins_sc
 
-        q_pos = qo + w_ar                               # (1->I, W)
+        q_pos = (qo[:, None] if per_item else qo) + w_ar  # (1->I, W)
         t_pos = a - q_pos
         valid = (q_pos < qlen_c) & (t_pos >= tlo_c) & (t_pos < thi_c) & (t_pos >= 0)
 
@@ -224,13 +345,14 @@ def banded_align(
             anyn = (qwin >= 4) | (twin >= 4)
             sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
-        H1_up = shift(H1, s1 - 1)
-        H1_left = shift(H1, s1)
-        E1_left = shift(E1, s1)
-        F1_up = shift(F1, s1 - 1)
-        H2_diag = shift(H2, s1 + s2 - 1)
-        R2_diag = shift(R2, s1 + s2 - 1, fill=0)
-        M2_diag = shift(M2, s1 + s2 - 1, fill=0)
+        sh = shift_i if per_item else shift
+        H1_up = sh(H1, s1 - 1)
+        H1_left = sh(H1, s1)
+        E1_left = sh(E1, s1)
+        F1_up = sh(F1, s1 - 1)
+        H2_diag = sh(H2, s1 + s2 - 1)
+        R2_diag = sh(R2, s1 + s2 - 1, fill=0)
+        M2_diag = sh(M2, s1 + s2 - 1, fill=0)
 
         e_open = H1_left + go
         E_new = jnp.minimum(E1_left, e_open) + ge

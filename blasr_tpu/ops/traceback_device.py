@@ -95,6 +95,7 @@ def walk_arrows_device(
     qoff_params: tuple[int, int, int] | None = None,  # (diag, W_band, L_q)
     qoff_num: jax.Array | None = None,  # traced slope numerator (QOFF_SHIFT fp)
     pack: int = 1,
+    qoff_knots: jax.Array | None = None,  # (I, NK) per-item guided knots
 ) -> DeviceTraceback:
     """Walk I paths through an (S, IA, W) arrow tensor.
 
@@ -122,7 +123,30 @@ def walk_arrows_device(
     ii = rows if item_idx is None else item_idx.astype(jnp.int32)  # arrow column
     flat = arrows.reshape(-1)
 
-    if qoff_params is not None:
+    if qoff_knots is not None:
+        # per-item guided schedule: the IDENTICAL integer knot lerp as
+        # banded_align.qoff_from_knots, evaluated per (item, step) — two
+        # small-table gathers per call
+        from blasr_tpu.ops.banded_align import KNOT_LOG2, KNOT_SPACING
+
+        NK = qoff_knots.shape[1]
+        kflat = qoff_knots.reshape(-1)
+        base = rows * NK
+
+        def qoff_at(a):
+            ac_ = jnp.clip(a, 0, S - 1)
+            j = ac_ >> KNOT_LOG2
+            r = ac_ & (KNOT_SPACING - 1)
+            k0 = kflat[base + j]
+            k1 = kflat[base + jnp.minimum(j + 1, NK - 1)]
+            return ((k0 * (KNOT_SPACING - r) + k1 * r) >> KNOT_LOG2).astype(
+                jnp.int32
+            )
+
+        def s1_at(a):
+            return qoff_at(a) - qoff_at(a - 1)
+
+    elif qoff_params is not None:
         # NOTE: named diag0 (not "diag") — substep() below binds a boolean
         # named diag and calls qoff_at, which closes over this scalar; the
         # distinct name makes a collision impossible under refactors

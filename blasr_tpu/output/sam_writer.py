@@ -121,10 +121,20 @@ def _cigar_string(
     # region tables (HDF5-only) the subread IS the whole read, so it
     # behaves as soft clipping here
     clip_op = "S" if clipping in ("soft", "subread") else "H"
+    ops = np.asarray(path.ops)
+    if q_aln is not None and t_aln is not None:
+        from blasr_tpu import native
+
+        clipped = clipping != "none"
+        s = native.xeq_cigar(
+            ops, q_aln, t_aln, path.q_start, path.t_start,
+            pre if clipped else 0, post if clipped else 0, clip_op,
+        )
+        if s is not None:
+            return s
     parts = []
     if pre and clipping != "none":
         parts.append(f"{pre}{clip_op}")
-    ops = np.asarray(path.ops)
     if q_aln is not None and t_aln is not None:
         runs = _xeq_runs(ops, q_aln, t_aln, path.q_start, path.t_start)
         parts.extend(f"{ln}{op}" for ln, op in runs)

@@ -50,3 +50,32 @@ def test_moves_to_cigar_and_unpack(rngn):
     runs = p.cigar_runs()
     chars = {1: "M", 2: "I", 3: "D"}
     assert [(chars[int(o)], int(l)) for o, l in zip(co, cl)] == runs
+
+
+def test_xeq_cigar_matches_numpy(rngn):
+    """Native one-pass =/X CIGAR equals the numpy _xeq_runs construction
+    over random op strings, all clip modes."""
+    from blasr_tpu.output.sam_writer import _xeq_runs
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for trial in range(20):
+        n = int(rngn.integers(1, 300))
+        ops = rngn.integers(1, 4, n).astype(np.uint8)
+        nq = int((ops != 3).sum())
+        nt = int((ops != 2).sum())
+        q0, t0 = int(rngn.integers(0, 5)), int(rngn.integers(0, 5))
+        q = rngn.integers(0, 4, nq + q0 + 4).astype(np.uint8)
+        t = rngn.integers(0, 4, nt + t0 + 4).astype(np.uint8)
+        pre, post = int(rngn.integers(0, 9)), int(rngn.integers(0, 9))
+        for clip_op in ("S", "H"):
+            runs = _xeq_runs(ops, q, t, q0, t0)
+            expect = "".join(
+                ([f"{pre}{clip_op}"] if pre else [])
+                + [f"{ln}{op}" for ln, op in runs]
+                + ([f"{post}{clip_op}"] if post else [])
+            )
+            got = native.xeq_cigar(ops, q, t, q0, t0, pre, post, clip_op)
+            assert got == expect, (trial, clip_op)
