@@ -216,6 +216,29 @@ def make_qoff_num(L: int, T: int, W: int, diag: int, num) -> "jax.Array":
     return jnp.clip(centre_q - W // 2, 0, max(0, L - W)).astype(jnp.int32)
 
 
+def clamp_knots_to_shared(
+    knots: jax.Array, qoff_shared: jax.Array, W: int, margin: int = 8
+) -> jax.Array:
+    """Clamp per-item knots to within +-(W - margin) of the shared line.
+
+    The Pallas guided kernel places its window-block fetches from the
+    SHARED schedule; a per-item schedule can deviate at most ~W lanes
+    before its band leaves the fetched span, so knots are clamped against
+    the shared schedule's value at each knot step. Clamping two monotone
+    sequences preserves monotonicity and the <= KNOT_SPACING step bound,
+    so the {0, 1} per-step delta invariant survives. Must be applied
+    BEFORE the schedule is used anywhere (DP and walk see identical
+    schedules)."""
+    S = qoff_shared.shape[0]
+    NK = knots.shape[1]
+    ak = jnp.minimum(
+        jnp.arange(NK, dtype=jnp.int32) * KNOT_SPACING, S - 1
+    )
+    ks = qoff_shared[ak][None, :]
+    c = W - margin
+    return jnp.clip(knots, ks - c, ks + c)
+
+
 def qv_scaled_costs(base: jax.Array, qual: jax.Array) -> jax.Array:
     """QV-scaled penalty (role of QualityValueScoreFunction.h:65,80-84:
     penalties proportional to the base's quality value — confident bases

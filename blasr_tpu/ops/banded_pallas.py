@@ -44,6 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from blasr_tpu.ops.banded_align import (
     INF,
+    KNOT_LOG2,
+    KNOT_SPACING,
     SRC_DIAG,
     SRC_DIAG_START,
     SRC_E,
@@ -89,11 +91,28 @@ def _shift(
 
 def _subwin(rolled: jax.Array, off: jax.Array, LW: int, P: int, max_off: int) -> jax.Array:
     """rolled[:, P*off : P*off + LW] for traced band offset off in
-    {0..max_off} (selected among static slices)."""
+    {0..max_off} (selected among static slices). ``off`` may be a scalar
+    (shared schedule) or an (IT, 1) per-item vector (guided mode)."""
     out = rolled[:, 0:LW]
     for o in range(1, max_off + 1):
         out = jnp.where(off == o, rolled[:, o * P : o * P + LW], out)
     return out
+
+
+def _roll_item(x: jax.Array, off: jax.Array) -> jax.Array:
+    """Per-item LEFT rotate: row i of x rotated so lane off[i] lands on
+    lane 0. Mosaic's pltpu.roll takes one scalar shift, so a per-item
+    shift is synthesized from its bits: log2(NL) scalar rotates, each
+    taken per item where the bit is set (guided-band window extraction —
+    each item's band sits at its own offset inside the shared 4-block
+    fetch)."""
+    NL = x.shape[1]
+    b = 1
+    while b < NL:
+        bit = (off & b) != 0
+        x = jnp.where(bit, pltpu.roll(x, shift=NL - b, axis=1), x)
+        b <<= 1
+    return x
 
 
 def _cell_dtype_for(scores: AlignScores, L: int, T: int):
@@ -126,6 +145,7 @@ def _make_kernel(
     scores: AlignScores, S: int, W: int, P: int, IT: int, Tp: int,
     with_traceback: bool, with_qual: bool, cdt, inf_k,
     qual_dual: bool = False,
+    guided: bool = False, NKp: int = 0,
 ):
     m_sc = cdt(scores.match)
     x_sc = cdt(scores.mismatch)
@@ -137,23 +157,33 @@ def _make_kernel(
     U = UNROLL
     LW = W * P
 
+    NB = 4 if guided else 3                # fetched window blocks per array
+
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
-        qa_ref, qb_ref, qc_ref,            # (IT, LW) int32 query window blocks
-        ta_ref, tb_ref, tc_ref,            # (IT, LW) int32 rev-target blocks
-        qlen_ref, tlo_ref, thi_ref,        # (IT, 1) / packed (IT, LW) int32
-        # with_qual: 3 qual block refs precede outputs
+        # NB query window blocks, NB rev-target blocks (each (IT, LW) i32)
         *refs,
     ):
+        qblk = refs[:NB]
+        tblk = refs[NB : 2 * NB]
+        qlen_ref, tlo_ref, thi_ref = refs[2 * NB : 2 * NB + 3]
+        refs = refs[2 * NB + 3 :]
+        kn_ref = None
+        if guided:
+            kn_ref = refs[0]               # (IT, NKp) int32 schedule knots
+            refs = refs[1:]
         if with_qual:
-            qua_ref, qub_ref, quc_ref = refs[:3]
-            refs = refs[3:]
+            qublk = refs[:NB]
+            refs = refs[NB:]
         if with_traceback:
             arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
             scratch = refs[4:]
         else:
             best_ref, besta_ref, bestw_ref = refs[:3]
             scratch = refs[3:]
+        if guided:
+            qo_prev_s, s_prev_s = scratch[-2:]
+            scratch = scratch[:-2]
         H1s, H2s, E1s, F1s, R1s, R2s, M1s, M2s, Hbs, Abs_ = scratch
 
         it = pl.program_id(1)
@@ -174,30 +204,71 @@ def _make_kernel(
             # kernel time)
             Hbs[:] = jnp.zeros((IT, LW), cdt)
             Abs_[:] = jnp.zeros((IT, LW), jnp.int32)
+            if guided:
+                # schedule value at a = 0 is knot 0 exactly -> s1(0) = 0
+                qo_prev_s[:] = kn_ref[:, 0:1]
+                s_prev_s[:] = jnp.zeros((IT, 1), jnp.int32)
 
         a0 = it * U
         qo0 = qoff_ref[a0]
-        # The input specs deliver the 3 LW-wide blocks covering the current
-        # window (index maps read the same prefetched scalars), so the
-        # dynamic extraction is a small (IT, 3*LW) rotate instead of rolling
-        # the full padded rows; one rotation serves all U sub-steps (the
-        # band offset moves <= 1/step). Packed columns = P * band columns.
-        qin = (qo0 // W) * W
-        qcat = jnp.concatenate([qa_ref[:], qb_ref[:], qc_ref[:]], axis=1)
-        qroll = pltpu.roll(qcat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1)
-        tstart0 = (Tp - 1 - W) - (a0 - qo0)
-        tbase = tstart0 - (U - 1)
-        tin = (tbase // W) * W
-        tcat = jnp.concatenate([ta_ref[:], tb_ref[:], tc_ref[:]], axis=1)
-        troll = pltpu.roll(tcat, shift=(3 * LW - P * (tbase - tin)) % (3 * LW), axis=1)
-        quroll = None
-        if with_qual:
-            qucat = jnp.concatenate(
-                [qua_ref[:], qub_ref[:], quc_ref[:]], axis=1
+        if guided:
+            # Per-item guided schedules (banded_align.make_qoff_knots): the
+            # shared prefetched schedule only PLACES the 4-block fetch; each
+            # item's band offset comes from its own knot lerp, clamped by
+            # construction to +-(W - 8) of the shared line so every window
+            # stays inside the fetched [qin4, qin4 + 4W) span.
+            j0 = a0 >> KNOT_LOG2
+            kroll = pltpu.roll(kn_ref[:], shift=(NKp - j0) % NKp, axis=1)
+            k0 = kroll[:, 0:1]
+            k1 = kroll[:, 1:2]
+            k2 = kroll[:, 2:3]
+
+            def qoff_item(u):
+                a = a0 + u
+                jr = (a >> KNOT_LOG2) - j0     # 0 or 1 (KS >= U)
+                r = a & (KNOT_SPACING - 1)
+                ka = jnp.where(jr == 0, k0, k1)
+                kb = jnp.where(jr == 0, k1, k2)
+                return (ka * (KNOT_SPACING - r) + kb * r) >> KNOT_LOG2
+
+            qo_base = qoff_item(0)             # (IT, 1) int32
+            qin = jnp.maximum(qo0 // W - 1, 0) * W
+            qcat = jnp.concatenate([b[:] for b in qblk], axis=1)
+            qroll = _roll_item(qcat, qo_base - qin)
+            tb_sh = ((Tp - 1 - W) - (a0 - qo0) - (U - 1)) // W
+            tin = jnp.maximum(tb_sh - 1, 0) * W
+            tbase_i = (Tp - 1 - W) - (a0 - qo_base) - (U - 1)
+            tcat = jnp.concatenate([b[:] for b in tblk], axis=1)
+            troll = _roll_item(tcat, tbase_i - tin)
+            quroll = None
+            if with_qual:
+                qucat = jnp.concatenate([b[:] for b in qublk], axis=1)
+                quroll = _roll_item(qucat, qo_base - qin)
+        else:
+            # The input specs deliver the 3 LW-wide blocks covering the
+            # current window (index maps read the same prefetched scalars),
+            # so the dynamic extraction is a small (IT, 3*LW) rotate instead
+            # of rolling the full padded rows; one rotation serves all U
+            # sub-steps (the band offset moves <= 1/step). Packed columns =
+            # P * band columns.
+            qin = (qo0 // W) * W
+            qcat = jnp.concatenate([b[:] for b in qblk], axis=1)
+            qroll = pltpu.roll(
+                qcat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
             )
-            quroll = pltpu.roll(
-                qucat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
+            tstart0 = (Tp - 1 - W) - (a0 - qo0)
+            tbase = tstart0 - (U - 1)
+            tin = (tbase // W) * W
+            tcat = jnp.concatenate([b[:] for b in tblk], axis=1)
+            troll = pltpu.roll(
+                tcat, shift=(3 * LW - P * (tbase - tin)) % (3 * LW), axis=1
             )
+            quroll = None
+            if with_qual:
+                qucat = jnp.concatenate([b[:] for b in qublk], axis=1)
+                quroll = pltpu.roll(
+                    qucat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
+                )
 
         H1 = H1s[:]
         H2 = H2s[:]
@@ -226,14 +297,25 @@ def _make_kernel(
         tlo_c = cast(tlo_ref[:])
         thi_c = cast(thi_ref[:])
 
-        qd = jnp.int32(0)  # qo(a) - qo0, in {0..U-1}
+        if guided:
+            qo_prev = qo_prev_s[:]             # (IT, 1) int32
+            s_prev = s_prev_s[:]
+        qd = jnp.int32(0)  # qo(a) - qo0 (guided: (IT,1) vs iter base)
         for u in range(U):
             a = a0 + u
-            s1 = s1_ref[a]
-            s2 = s2_ref[a]
-            if u > 0:
-                qd = qd + s1
-            qo = qo0 + qd
+            if guided:
+                qo = qoff_item(u)              # (IT, 1)
+                s1 = qo - qo_prev              # in {0, 1} by construction
+                s2 = s_prev
+                qo_prev = qo
+                s_prev = s1
+                qd = qo - qo_base
+            else:
+                s1 = s1_ref[a]
+                s2 = s2_ref[a]
+                if u > 0:
+                    qd = qd + s1
+                qo = qo0 + qd
             qwin = _subwin(qroll, qd, LW, P, U - 1)
             # tstart(a) - tbase = (U - 1) + (qd - u), in {0..U-1}
             toff = (U - 1) + qd - u
@@ -367,6 +449,9 @@ def _make_kernel(
         M2s[:] = M2
         Hbs[:] = Hb
         Abs_[:] = Ab
+        if guided:
+            qo_prev_s[:] = qo_prev
+            s_prev_s[:] = s_prev
 
         @pl.when(it == pl.num_programs(1) - 1)
         def _finish():
@@ -412,14 +497,23 @@ def banded_align_pallas(
     target: jax.Array,   # (I, T) uint8 codes 0..5
     tlo: jax.Array,      # (I,) int32
     thi: jax.Array,      # (I,) int32
-    qoff: jax.Array,     # (S,) int32
+    qoff: jax.Array,     # (S,) int32 shared schedule (guided: block placement)
     qual: jax.Array | None = None,  # (I, L) uint8 phred, or None
     *,
     scores: AlignScores = AlignScores(),
     with_traceback: bool = False,
     band_width: int = 128,
     interpret: bool = False,
+    qoff_knots: jax.Array | None = None,  # (I, NK) per-item guided knots
 ) -> BandedResult:
+    """``qoff_knots`` switches on guided mode (per-read band guides, the
+    GuidedAlign.h:104 role): each item follows its own knot-lerp schedule
+    (banded_align.make_qoff_knots / qoff_from_knots) while the shared
+    ``qoff`` line only places the window-block fetches. CALLER CONTRACT:
+    knots must already be clamped to within +-(W - 8) of the shared line
+    (banded_align.clamp_knots_to_shared) so every per-item window stays
+    inside the fetched 4-block span; requires an unpacked band (W >= 128).
+    """
     I0, L = query.shape
     T = target.shape[1]
     S = int(qoff.shape[0])
@@ -427,6 +521,10 @@ def banded_align_pallas(
     W = band_width
     P = 128 // W if W < 128 else 1      # packed items per lane row
     LW = W * P
+    guided = qoff_knots is not None
+    if guided:
+        assert P == 1, "guided schedules need an unpacked band (W >= 128)"
+        assert L >= W and qoff_knots.shape[0] == I0
     tlo = jnp.maximum(tlo, 0)  # kernel relies on tlo >= 0 (see valid mask)
     # rows after packing must tile; items pad to IT*P. Per-iter VMEM scales
     # with IT*LW, so wide bands (W > 128, used for long buckets) shrink the
@@ -444,6 +542,9 @@ def banded_align_pallas(
         thi = jnp.pad(thi, (0, pad_i))
         if qual is not None:
             qual = jnp.pad(qual, ((0, pad_i), (0, 0)), constant_values=15)
+        if guided:
+            # padded rows align nothing; a constant-0 schedule is monotone
+            qoff_knots = jnp.pad(qoff_knots, ((0, pad_i), (0, 0)))
     R = I // P
 
     # rows sized to a whole number of W-wide blocks: the grid fetches the
@@ -503,10 +604,19 @@ def banded_align_pallas(
         scal_spec = pl.BlockSpec(
             (IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
         )
+    kn_in = None
+    NKp = 0
+    if guided:
+        NK = qoff_knots.shape[1]
+        NKp = -(-NK // 128) * 128
+        kn_in = jnp.pad(
+            qoff_knots.astype(jnp.int32), ((0, 0), (0, NKp - NK)),
+            mode="edge",
+        )
     cdt, inf_k = _cell_dtype_for(scores, L, T)
     kernel = _make_kernel(
         scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k,
-        qual_dual,
+        qual_dual, guided=guided, NKp=NKp,
     )
 
     out_shapes = [
@@ -529,33 +639,44 @@ def banded_align_pallas(
         ] + out_specs
 
     U = UNROLL
+    NB = 4 if guided else 3
 
     def _wspec(block_off):
         # query window block: covers band cols [jq*W, (jq+1)*W) (packed
-        # cols [jq*LW, (jq+1)*LW)) with jq from the prefetched band offset
-        return pl.BlockSpec(
-            (IT, LW),
-            lambda i, s, qoff, s1, s2, _o=block_off: (i, qoff[s * U] // W + _o),
-            memory_space=pltpu.VMEM,
-        )
-
-    def _tspec(block_off):
-        def _map(i, s, qoff, s1, s2, _o=block_off):
-            tb = (Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)
-            return (i, tb // W + _o)
+        # cols [jq*LW, (jq+1)*LW)) with jq from the prefetched band offset.
+        # Guided mode fetches 4 blocks from one block LEFT of the shared
+        # line (clamped at 0) so per-item deviations up to +-(W-8) stay
+        # inside the span.
+        if guided:
+            def _map(i, s, qoff, s1, s2, _o=block_off):
+                return (i, jnp.maximum(qoff[s * U] // W - 1, 0) + _o)
+        else:
+            def _map(i, s, qoff, s1, s2, _o=block_off):
+                return (i, qoff[s * U] // W + _o)
 
         return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
 
+    def _tspec(block_off):
+        def _map(i, s, qoff, s1, s2, _o=block_off):
+            tb = ((Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)) // W
+            if guided:
+                tb = jnp.maximum(tb - 1, 0)
+            return (i, tb + _o)
+
+        return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
+
+    wspecs = [_wspec(o) for o in range(NB)]
+    tspecs = [_tspec(o) for o in range(NB)]
+    kn_specs = (
+        [pl.BlockSpec((IT, NKp), lambda i, s, *_: (i, 0),
+                      memory_space=pltpu.VMEM)]
+        if guided else []
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(R // IT, NIT),
-        in_specs=[
-            _wspec(0), _wspec(1), _wspec(2),
-            _tspec(0), _tspec(1), _tspec(2),
-            scal_spec, scal_spec, scal_spec,
-        ] + (
-            [_wspec(0), _wspec(1), _wspec(2)] if with_qual else []
-        ),
+        in_specs=wspecs + tspecs + [scal_spec, scal_spec, scal_spec]
+        + kn_specs + (wspecs if with_qual else []),
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((IT, LW), cdt),        # H1
@@ -568,7 +689,11 @@ def banded_align_pallas(
             pltpu.VMEM((IT, LW), cdt),        # M2
             pltpu.VMEM((IT, LW), cdt),        # Hb (per-lane running best)
             pltpu.VMEM((IT, LW), jnp.int32),  # Ab (step achieving Hb)
-        ],
+        ] + (
+            [pltpu.VMEM((IT, 1), jnp.int32),  # qo_prev (guided schedule)
+             pltpu.VMEM((IT, 1), jnp.int32)]  # s_prev
+            if guided else []
+        ),
     )
 
     outs = pl.pallas_call(
@@ -578,9 +703,10 @@ def banded_align_pallas(
         interpret=interpret,
     )(
         qoff_p, s1_p, s2_p,
-        qext, qext, qext, trev, trev, trev,
+        *([qext] * NB), *([trev] * NB),
         qlen_in, tlo_in, thi_in,
-        *([quext, quext, quext] if with_qual else []),
+        *([kn_in] if guided else []),
+        *([quext] * NB if with_qual else []),
     )
     if with_traceback:
         arrows, best, besta, bestw = outs

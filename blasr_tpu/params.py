@@ -149,6 +149,10 @@ class MappingParams:
         analogue until the kernel carries per-item piecewise guides."""
         if self.narrow_band and read_len <= self.narrow_band_max:
             return self.narrow_band
+        if self.guided_band:
+            # per-item anchor-chain guides track bursty drift, so the full
+            # band stays at its base width at every length
+            return self.band_width
         return max(self.band_width, 128 * -(-(read_len + 512) // 2048))
 
     def validate(self) -> None:
