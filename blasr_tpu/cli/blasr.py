@@ -161,6 +161,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    type=int, default=0,
                    help="DP band half-width; rounds up to the TPU lane "
                         "quantum (32/64/128)")
+    p.add_argument("-useGuidedAlign", "-guidedAlign", dest="useGuidedAlign",
+                   action="store_true", default=None,
+                   help="per-read anchor-chain band guides (GuidedAlign.h "
+                        "role): long buckets keep the base band width")
+    p.add_argument("-noUseGuidedAlign", dest="useGuidedAlign",
+                   action="store_false",
+                   help="disable per-read band guides (length-scaled full "
+                        "band on long buckets instead)")
     p.add_argument("-indelRate", type=float, default=0.3)
     p.add_argument("-removeContained", action="store_true",
                    help="(always on: read-span containment gates -bestn)")
@@ -198,9 +206,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ("noRefineAlign", "same"),
         ("refineBetweenAnchorsOnly", "piecewise/-alignContigs does this"),
         ("rbao", "same"),
-        ("useGuidedAlign", "drift-slope narrow band IS the guided band"),
-        ("noUseGuidedAlign", "full band used for long buckets anyway"),
-        ("guidedAlign", "same"),
         ("useDetailedSDP", "SDP gap fill is always exact"),
         ("nouseDetailedSDP", "same"),
         ("sdpbypass", "anchors feed the DP directly already"),
@@ -354,6 +359,11 @@ def params_from_args(args) -> MappingParams:
         # reference default false; -alignContigs preset enables it
         # (MappingParameters.h:350,469)
         remove_contained=args.removeContained or args.alignContigs,
+        **(
+            {}
+            if args.useGuidedAlign is None
+            else {"guided_band": args.useGuidedAlign}
+        ),
     )
 
 

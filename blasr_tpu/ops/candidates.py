@@ -144,8 +144,7 @@ def chain_stats(
     inside each stored interval; ComputeLISPValue, LISPValue.h:86-172,
     whose log-p is ``pFirst + (n_chain-1) * log(1/G)`` so interval RANK is
     chain count and the ``maxPValue = log(0.5)`` gate at Blasr.cpp:2373
-    rejects windows with no >=2-anchor colinear chain when no .ctab is
-    present: a failed PMatch leaves the single-anchor p-value at 1).
+    rejects windows whose evidence is a bare k-mer hit).
 
     Returns ``(n_chain, chained_any)`` each (B, C):
       n_chain      int32 1 + count of member anchors with a colinear,
@@ -153,8 +152,19 @@ def chain_stats(
                    t_prev <= t - k within the window). An overcount of the
                    greedy chain by a roughly uniform factor — monotone in
                    the true chain size, which is all p-value RANKING needs.
-      chained_any  bool: a >=2-anchor colinear chain exists (exact pair
-                   test — this is the maxPValue insert gate).
+      chained_any  bool: the maxPValue insert gate — a >=2-anchor colinear
+                   chain exists (exact pair test), OR the window carries a
+                   single maximal exact match long enough to clear the
+                   gate on its own. The reference always has a count table
+                   (built in memory when no .ctab file exists,
+                   Blasr.cpp:4482), so ComputeLISPValue's lis.size()==1
+                   branch (LISPValue.h:104) scores a lone match via PMatch
+                   (ScoreAnchors.h:23): p = 1 + (len-k-1)*log(trans), and
+                   with uniform-composition transitions (~1/4) a match of
+                   length >= k+3 clears log(0.5). Overlapping same-diagonal
+                   anchors with query gap g <= k-1 compose into one exact
+                   match of length k+g, so the test is: exists a same-
+                   diagonal member pair with 3 <= q_j - q_i <= k-1.
 
     Fully vectorized: one q-argsort per strand-row, a pairwise boundary
     count (q_i <= q_j - k), and per-window cumulative-min over t in
@@ -178,6 +188,18 @@ def chain_stats(
         axis=-1,
     ).astype(jnp.int32)                                    # (B, A)
 
+    # single-maximal-match admission (PMatch role, see docstring): anchor j
+    # composes with an overlapping same-diagonal predecessor i into an
+    # exact match of length k + (q_j - q_i); length >= k+3 clears the gate.
+    # The partner shares the diagonal, so j's window membership implies i's.
+    gap = q_s[:, :, None] - q_s[:, None, :]                # (B, Aj, Ai)
+    pair_ok = jnp.any(
+        (d_s[:, :, None] == d_s[:, None, :])
+        & v_s[:, :, None] & v_s[:, None, :]
+        & (gap >= 3) & (gap <= k - 1),
+        axis=-1,
+    )                                                      # (B, A) q-sorted
+
     reld = d_s[:, None, :] - dstar[:, :, None]             # (B, C, A)
     mem = v_s[:, None, :] & (reld >= 0) & (reld < win) & cvalid[:, :, None]
     tmask = jnp.where(mem, t_s[:, None, :], BIG)
@@ -189,7 +211,11 @@ def chain_stats(
     chained = mem & has_prev
     n_link = jnp.sum(chained, axis=-1).astype(jnp.int32)
     any_mem = jnp.any(mem, axis=-1)
-    return n_link + any_mem.astype(jnp.int32), jnp.any(chained, axis=-1)
+    single_ok = jnp.any(mem & pair_ok[:, None, :], axis=-1)
+    return (
+        n_link + any_mem.astype(jnp.int32),
+        jnp.any(chained, axis=-1) | single_ok,
+    )
 
 
 def anchor_weights(

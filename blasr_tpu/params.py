@@ -110,6 +110,12 @@ class MappingParams:
                                       # None = auto (on when 2k <= 28 and the
                                       # genome is >= 1 Mb; the table is
                                       # 4^k * 4 B of HBM, built on device)
+    guided_band: bool = False         # per-item anchor-chain band guides
+                                      # (GuidedAlign.h:104 analogue): each
+                                      # read's DP band follows its own knot
+                                      # schedule instead of the shared
+                                      # drift-slope line, so the full band
+                                      # stays at base width at every length
     nproc: int = 1                    # host worker threads for IO/traceback
     ndevices: int = 1                 # chips used by the serving path:
                                       # 1 = default device, 0 = all visible,

@@ -34,7 +34,10 @@ from blasr_tpu.ops.banded_align import (
     QOFF_SHIFT,
     AlignScores,
     banded_align,
+    clamp_knots_to_shared,
+    make_qoff_knots,
     make_qoff_num,
+    qoff_from_knots,
 )
 from blasr_tpu.ops.banded_pallas import banded_align_pallas
 from blasr_tpu.ops.candidates import anchor_weights, chain_stats, select_candidates
@@ -559,6 +562,27 @@ def _map_batch_impl(
         qoff_num = jnp.int32(QOFF_NUM_HALF)
     qoff = make_qoff_num(L, T, W, pad2, qoff_num)
 
+    # ---- per-item guided band (GuidedAlign.h:104 AlignmentToGuide role,
+    # the reference's default refinement at Blasr.cpp:869): each read's DP
+    # band follows a knot schedule lerped through its own member anchors,
+    # so bursty indel drift that the shared straight line cannot track
+    # stays inside the base-width band — long buckets keep W=128 instead
+    # of the length-scaled fallback (params.band_width_for).
+    knots = None
+    if params.guided_band and W >= 128 and L >= W:
+        S_dp = L + T - 1
+        atr_g = at[row]                                     # (I, A)
+        aqr_g = aq[row]
+        din_g = atr_g - aqr_g - d0[:, None]
+        m_g = avalid[row] & (jnp.abs(din_g) <= CW) & cvalid[:, None]
+        # window coords: t_loc = at - t0f = din + aq + pad2, so the anchor
+        # sits on anti-diagonal a = q + t_loc = 2q + din + pad2
+        knots = make_qoff_knots(
+            2 * aqr_g + din_g + pad2, aqr_g - W // 2, m_g,
+            S_dp, L, W, diag=pad2, num=qoff_num,
+        )
+        knots = clamp_knots_to_shared(knots, qoff, W)
+
     t0f = d0 - pad2                                         # (I,) global
 
     gidx = t0f[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :] + pad
@@ -583,11 +607,25 @@ def _map_batch_impl(
 
     # ---- ONE DP pass with traceback over every candidate; the arrow
     # tensor stays in HBM and the walk below reads only the winners' paths.
-    align_fn = banded_align_pallas if use_pallas else banded_align
-    res1 = align_fn(
-        qitems, qlens, tcodes, tlo, thi, qoff, quitems,
-        scores=scores_cfg, with_traceback=True, band_width=W,
-    )
+    if knots is not None:
+        if use_pallas:
+            res1 = banded_align_pallas(
+                qitems, qlens, tcodes, tlo, thi, qoff, quitems,
+                scores=scores_cfg, with_traceback=True, band_width=W,
+                qoff_knots=knots,
+            )
+        else:
+            res1 = banded_align(
+                qitems, qlens, tcodes, tlo, thi,
+                qoff_from_knots(knots, L + T - 1), quitems,
+                scores=scores_cfg, with_traceback=True, band_width=W,
+            )
+    else:
+        align_fn = banded_align_pallas if use_pallas else banded_align
+        res1 = align_fn(
+            qitems, qlens, tcodes, tlo, thi, qoff, quitems,
+            scores=scores_cfg, with_traceback=True, band_width=W,
+        )
     cscore = jnp.where(cvalid, res1.score, 0)               # (I,)
     if stop_after == "dp":
         return _probe(res1.score, res1.best_a, res1.best_w, cscore)
@@ -604,6 +642,7 @@ def _map_batch_impl(
         qoff_params=(params.target_pad // 2, W, L),
         qoff_num=qoff_num,
         pack=(128 // W) if (use_pallas and W < 128) else 1,
+        qoff_knots=knots,
     )
 
     if stop_after == "walk":

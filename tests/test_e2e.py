@@ -437,6 +437,48 @@ def test_long_read_bursty_insertions_band_scales():
     assert not misses, (misses, len(unm))
 
 
+def test_long_read_bursty_insertions_guided_band():
+    """Same published-CLR bursty corpus as the band-scaling test, but with
+    -guided_band: the per-item anchor-chain knot schedule
+    (make_qoff_knots wired through pipeline/mapper.py) lets the long
+    bucket run at the BASE band 128 instead of the length-scaled 256 and
+    must still place every read exactly (GuidedAlign.h:104 role)."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import (ErrorModel, parse_truth, simulate_genome,
+                               simulate_reads_alchemy)
+
+    g = simulate_genome(150_000, seed=41, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    model = ErrorModel.published_clr()
+    model.lengths = [2400]
+    model.length_probs = [1.0]
+    reads, _ = simulate_reads_alchemy(g, model, 8, seed=43)
+    params = MappingParams(
+        batch_size=8, max_read_len=3072, n_candidates=2, best_n=1,
+        min_match_length=13, guided_band=True,
+    )
+    assert params.band_width_for(3072) == 128
+    recs, unm = run_mapping(index, reads, params)
+    byname = {}
+    for r in recs:
+        c = byname.get(r.qname)
+        if c is None or r.score < c.score:
+            byname[r.qname] = r
+    misses = []
+    for rd in reads:
+        rec = byname.get(rd.name)
+        s, e, st = parse_truth(rd.name)
+        if rec is None or rec.tstrand != st or abs(rec.tstart_fwd - s) >= 100:
+            misses.append(rd.name)
+    assert not misses, (misses, len(unm))
+
+
 def test_min_avg_qual_filter():
     """-minAvgQual rejects low-quality FASTQ reads at input
     (Blasr.cpp:3327-3343 role)."""

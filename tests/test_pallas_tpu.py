@@ -37,6 +37,101 @@ def test_pallas_matches_scan_bitexact():
         np.testing.assert_array_equal(np.asarray(ref.arrows), np.asarray(got.arrows))
 
 
+def test_pallas_guided_band_tpu():
+    """Guided mode on real hardware (per-item knot schedules, 4-block
+    fetch, bit-decomposed per-item rolls): scores, arrows and the knot-walk
+    must bit-match the (S, I) XLA oracle. Mirrors
+    test_guided.test_guided_pallas_interpret_matches_oracle, which only
+    proved interpret-mode equality."""
+    from blasr_tpu.ops.banded_align import (
+        QOFF_NUM_HALF, banded_align, clamp_knots_to_shared, make_qoff,
+        make_qoff_knots, qoff_from_knots,
+    )
+    from blasr_tpu.ops.banded_pallas import banded_align_pallas
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    rng = np.random.default_rng(19)
+    I, W = 6, 128
+    L = 512
+    pad2 = 128
+    T = L + 2 * pad2
+    S = L + T - 1
+    Q = np.full((I, L), 4, np.uint8)
+    Tc = np.full((I, T), 5, np.uint8)
+    qlen = np.zeros(I, np.int32)
+    aq_all = np.zeros((I, 8), np.int32)
+    at_all = np.zeros((I, 8), np.int32)
+    msk = np.zeros((I, 8), bool)
+    for i in range(I):
+        tpl = rng.integers(0, 4, 400).astype(np.uint8)
+        if i % 3 == 0:
+            q = np.concatenate(
+                [tpl[:200], rng.integers(0, 4, 60).astype(np.uint8), tpl[200:]]
+            )
+        elif i % 3 == 1:
+            q = np.concatenate([tpl[:150], tpl[210:]])
+        else:
+            q = tpl.copy()
+        mut = rng.random(len(q)) < 0.04
+        q = q.copy()
+        q[mut] = (q[mut] + rng.integers(1, 4, mut.sum())) % 4
+        Q[i, : len(q)] = q
+        qlen[i] = len(q)
+        Tc[i, pad2 : pad2 + 400] = tpl
+        Tc[i, :pad2] = rng.integers(0, 4, pad2)
+        Tc[i, pad2 + 400 :] = rng.integers(0, 4, T - pad2 - 400)
+        for k in range(8):
+            p = 40 * k + 10
+            qp = p
+            if i % 3 == 0 and p >= 200:
+                qp = p + 60
+            elif i % 3 == 1 and p >= 150:
+                if p < 210:
+                    continue
+                qp = p - 60
+            aq_all[i, k] = qp
+            at_all[i, k] = pad2 + p
+            msk[i, k] = True
+    qoff_shared = make_qoff(L, T, W, pad2)
+    knots = make_qoff_knots(
+        jnp.asarray(aq_all + at_all), jnp.asarray(aq_all - W // 2),
+        jnp.asarray(msk), S, L, W, diag=pad2, num=QOFF_NUM_HALF,
+    )
+    knots = clamp_knots_to_shared(knots, jnp.asarray(qoff_shared), W)
+    qoff2 = qoff_from_knots(knots, S)
+    r_o = banded_align(
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff2,
+        with_traceback=True, band_width=W,
+    )
+    r_p = banded_align_pallas(
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32),
+        jnp.asarray(qoff_shared),
+        with_traceback=True, band_width=W, qoff_knots=knots,
+    )
+    np.testing.assert_array_equal(np.asarray(r_o.score), np.asarray(r_p.score))
+    np.testing.assert_array_equal(np.asarray(r_o.best_a), np.asarray(r_p.best_a))
+    np.testing.assert_array_equal(np.asarray(r_o.best_w), np.asarray(r_p.best_w))
+    np.testing.assert_array_equal(
+        np.asarray(r_o.arrows), np.asarray(r_p.arrows)[:, :I, :]
+    )
+    # knot-walk over the silicon arrows == knot-walk over the oracle arrows
+    wo = walk_arrows_device(
+        r_o.arrows, jnp.asarray(qoff_shared), r_o.best_a, r_o.best_w,
+        r_o.score, jnp.asarray(Q), jnp.asarray(Tc), qoff_knots=knots,
+    )
+    wp = walk_arrows_device(
+        r_p.arrows, jnp.asarray(qoff_shared), r_p.best_a, r_p.best_w,
+        r_p.score, jnp.asarray(Q), jnp.asarray(Tc), qoff_knots=knots,
+    )
+    for f in ("nops", "q_start", "q_end", "t_start", "t_end",
+              "n_match", "n_mismatch", "n_ins", "n_del"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(wo, f)), np.asarray(getattr(wp, f)), err_msg=f
+        )
+
+
 def test_pallas_packed_narrow_band_tpu():
     """Packed W=64 (two items interleaved per lane row) on real hardware:
     scores and walked paths bit-match the XLA oracle."""
