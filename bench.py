@@ -63,6 +63,7 @@ def main():
         n_dp_candidates=int(os.environ.get("BLASR_BENCH_CD", "2")),
         anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "4")),
         max_anchors_per_read=int(os.environ.get("BLASR_BENCH_A", "128")),
+        narrow_band=int(os.environ.get("BLASR_BENCH_W", "64")),
         best_n=1,
     )
 

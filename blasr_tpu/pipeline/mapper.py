@@ -326,13 +326,41 @@ def default_use_pallas() -> bool:
 
 
 def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
-    """Per-row reverse complement keeping reads left-aligned in padding."""
+    """Per-row reverse complement keeping reads left-aligned in padding.
+
+    Complement + static flip leaves each rc read RIGHT-aligned at offset
+    s = L - len; the left re-alignment shift is done as word-phase
+    arithmetic (device nibble-pack 8 codes/int32, per-row WORD
+    take_along_axis of L/8 elements, unpack, 8-way phase select) instead of
+    a (B, L) per-element gather — 1.02 -> 0.54 ms/batch on TPU
+    (scripts/micro_revcomp.py; XLA random gathers pay per element).
+    """
     B, L = codes.shape
-    idx = lengths[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
-    ok = idx >= 0
-    gathered = jnp.take_along_axis(codes, jnp.clip(idx, 0, L - 1), axis=1)
-    comp = jnp.where(gathered < 4, 3 - gathered, gathered)
-    return jnp.where(ok, comp, jnp.uint8(4)).astype(jnp.uint8)
+    comp = jnp.where(codes < 4, 3 - codes, codes).astype(jnp.int32)
+    if L % 8 != 0:
+        idx = lengths[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+        ok = idx >= 0
+        g = jnp.take_along_axis(comp, jnp.clip(idx, 0, L - 1), axis=1)
+        return jnp.where(ok, g, 4).astype(jnp.uint8)
+    flip = comp[:, ::-1]                                    # (B, L)
+    w = (
+        flip.reshape(B, L // 8, 8) << (jnp.arange(8, dtype=jnp.int32) * 4)
+    ).sum(axis=2)                                           # (B, L/8)
+    s = (L - lengths).astype(jnp.int32)
+    NW = L // 8 + 1
+    widx = (s >> 3)[:, None] + jnp.arange(NW, dtype=jnp.int32)[None, :]
+    wv = jnp.take_along_axis(
+        jnp.pad(w, ((0, 0), (0, 1))), jnp.clip(widx, 0, L // 8), axis=1
+    )
+    nsh = jnp.arange(8, dtype=jnp.int32) * 4
+    b = ((wv[:, :, None] >> nsh[None, None, :]) & 15).astype(jnp.uint8)
+    b = b.reshape(B, NW * 8)
+    r = s & 7
+    out = b[:, 0:L]
+    for ph in range(1, 8):
+        out = jnp.where((r == ph)[:, None], b[:, ph : ph + L], out)
+    ar = jnp.arange(L, dtype=jnp.int32)[None, :]
+    return jnp.where(ar < lengths[:, None], out, jnp.uint8(4))
 
 
 def _probe(*arrays):
