@@ -769,11 +769,17 @@ def _map_batch_impl(
         sv_emit = sv
 
     # ---- per-read best_n selection over the surviving candidates,
-    # reference order: score ascending, ties by global target position
-    # (SortAlignmentPointersByScore, Blasr.cpp:226-236) — two stable
-    # argsorts give the lexicographic (score, tpos) order.
+    # reference order: score ascending, ties by tPos + tAlignedSeqPos
+    # (SortAlignmentPointersByScore, Blasr.cpp:226-236). For REVERSE-strand
+    # alignments tAlignedSeqPos was converted to RC-space before this sort
+    # (Blasr.cpp:1316-1323 MakeRCCoordinate), so the tie coordinate is the
+    # alignment start in the strand's own reported space: fwd start for
+    # strand 0, G - fwd_end for strand 1. (Verified on the golden corpus:
+    # every equal-score rc repeat tie follows ascending RC-space start.)
+    # Two stable argsorts give the lexicographic (score, tiepos) order.
     BIG = jnp.int32(2**30)
-    o1 = jnp.argsort(jnp.where(sv_emit, gt_lo, BIG), axis=1, stable=True)
+    tie_pos = jnp.where(dp_strand == 1, jnp.int32(G) - gt_hi, gt_lo)
+    o1 = jnp.argsort(jnp.where(sv_emit, tie_pos, BIG), axis=1, stable=True)
     sc_o1 = jnp.take_along_axis(jnp.where(sv_emit, sc, BIG), o1, axis=1)
     o2 = jnp.argsort(sc_o1, axis=1, stable=True)
     order_cd = jnp.take_along_axis(o1, o2, axis=1)          # (B, CD)
