@@ -170,6 +170,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="disable per-read band guides (length-scaled full "
                         "band on long buckets instead)")
     p.add_argument("-indelRate", type=float, default=0.3)
+    p.add_argument("-minInterval", type=int, default=100,
+                   help="minimum summed anchor bases for a candidate "
+                        "interval (fork default 100, MappingParameters.h:348)")
     p.add_argument("-removeContained", action="store_true",
                    help="(always on: read-span containment gates -bestn)")
     # ---- accepted-for-compatibility flags (semantics subsumed by the
@@ -180,7 +183,6 @@ def build_arg_parser() -> argparse.ArgumentParser:
         ("extendBandSize", "same"),
         ("maxAnchorGap", "diagonal-window clustering bounds gaps"),
         ("maxGap", "same"),
-        ("minInterval", "candidate weighting covers interval size"),
         ("branchExpand", "-minExpand/-maxExpand are the expand cascade"),
         ("nbranch", "same"),
         ("contextAlignLength", "not used outside HDF context"),
@@ -359,6 +361,7 @@ def params_from_args(args) -> MappingParams:
         # reference default false; -alignContigs preset enables it
         # (MappingParameters.h:350,469)
         remove_contained=args.removeContained or args.alignContigs,
+        min_interval=args.minInterval,
         **(
             {}
             if args.useGuidedAlign is None

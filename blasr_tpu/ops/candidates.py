@@ -138,7 +138,7 @@ def chain_stats(
     *,
     k: int,              # anchor k-mer length
     win: int,            # diagonal window width (same as select_candidates)
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Colinear-chain evidence per candidate window — the GlobalChain /
     LIS-p-value role (reference GlobalChain.h:100 max-weight colinear chain
     inside each stored interval; ComputeLISPValue, LISPValue.h:86-172,
@@ -146,7 +146,7 @@ def chain_stats(
     chain count and the ``maxPValue = log(0.5)`` gate at Blasr.cpp:2373
     rejects windows whose evidence is a bare k-mer hit).
 
-    Returns ``(n_chain, chained_any)`` each (B, C):
+    Returns ``(n_chain, chained_any, mass)`` each (B, C):
       n_chain      int32 1 + count of member anchors with a colinear,
                    non-overlapping predecessor (q_prev <= q - k AND
                    t_prev <= t - k within the window). An overcount of the
@@ -165,6 +165,16 @@ def chain_stats(
                    anchors with query gap g <= k-1 compose into one exact
                    match of length k+g, so the test is: exists a same-
                    diagonal member pair with 3 <= q_j - q_i <= k-1.
+      mass         int32 non-overlapping anchor base coverage of the
+                   window's members: the union length of their [q, q+k)
+                   read intervals. Role of noOvpLisNBases at the interval
+                   insertion gate ``noOvpLisNBases > params.minInterval``
+                   (FindMaxInterval.h:832) with this fork's default
+                   minInterval = 100 (MappingParameters.h:348) — the gate
+                   that keeps bare-match windows (one 17-30 bp exact hit
+                   inside a repeat family) out of the interval queue, which
+                   is why the reference never emits the weak secondary
+                   records a free local DP can stitch out of such windows.
 
     Fully vectorized: one q-argsort per strand-row, a pairwise boundary
     count (q_i <= q_j - k), and per-window cumulative-min over t in
@@ -212,9 +222,25 @@ def chain_stats(
     n_link = jnp.sum(chained, axis=-1).astype(jnp.int32)
     any_mem = jnp.any(mem, axis=-1)
     single_ok = jnp.any(mem & pair_ok[:, None, :], axis=-1)
+
+    # union length of member [q, q+k) intervals: q_s ascending, so each
+    # member contributes min(k, next member q - own q); the last (and any
+    # duplicate-q) members contribute k (and 0) respectively
+    qmem = jnp.where(mem, jnp.broadcast_to(q_s[:, None, :], mem.shape), BIG)
+    nm = jax.lax.associative_scan(
+        jnp.minimum, qmem[:, :, ::-1], axis=-1
+    )[:, :, ::-1]
+    next_q = jnp.concatenate(
+        [nm[:, :, 1:], jnp.full_like(nm[:, :, :1], BIG)], axis=-1
+    )
+    contrib = jnp.where(
+        mem, jnp.minimum(jnp.int32(k), next_q - qmem), 0
+    )
+    mass = jnp.sum(contrib, axis=-1).astype(jnp.int32)
     return (
         n_link + any_mem.astype(jnp.int32),
         jnp.any(chained, axis=-1) | single_ok,
+        mass,
     )
 
 

@@ -44,6 +44,14 @@ class MappingParams:
                                       # query x target over A C G T N
                                       # (StringToScoreMatrix.h:9-44)
     max_score: int = -200             # -maxScore: report only score <= this
+    min_interval: int = 100           # -minInterval: minimum summed anchor
+                                      # bases (noOvpLisNBases) for a
+                                      # candidate interval; this fork
+                                      # defaults to 100
+                                      # (MappingParameters.h:348,
+                                      # FindMaxInterval.h:832) — the gate
+                                      # that keeps bare-repeat-match windows
+                                      # out of the interval queue
     min_pct_similarity: float = 0.0   # -minPctIdentity
     max_pct_identity: float = 100.0   # -maxPctIdentity (screen out too-good)
     min_map_qv: int = 0               # -minMapQV output filter

@@ -504,11 +504,17 @@ def _map_batch_impl(
         vld2 = vld2 & (jnp.arange(2 * C, dtype=jnp.int32)[None, :] < C)
     b_ar = jnp.arange(B, dtype=jnp.int32)[:, None]
     if params.pval_type in (0, 1):
-        n_chain, chained_any = chain_stats(
+        n_chain, chained_any, cmass = chain_stats(
             at, aq, avalid, cand.dstar, cand.valid, k=k, win=CW,
         )                                                   # (2B, C)
         nch2 = to2(n_chain)
-        vld2 = vld2 & to2(chained_any)
+        # interval admission (FindMaxInterval.h:832): a colinear chain OR a
+        # long bare match (maxPValue), AND anchor coverage above this
+        # fork's minInterval=100 default (MappingParameters.h:348) — the
+        # gate that keeps bare-repeat-match windows out of the queue
+        vld2 = vld2 & to2(chained_any) & (
+            to2(cmass) > jnp.int32(params.min_interval)
+        )
         # tie order: interval start ascending -> rank windows per read by
         # genomic start (d0 + q_lo), smaller start wins equal chain counts
         gst2 = to2(cand.d0 + cand.q_lo)

@@ -47,7 +47,7 @@ def test_chain_stats_matches_bruteforce(seed):
     ).astype(np.int32)
     cvalid = np.ones((B, C), bool)
 
-    n_chain, chained_any = chain_stats(
+    n_chain, chained_any, _mass = chain_stats(
         jnp.asarray(t), jnp.asarray(q), jnp.asarray(valid),
         jnp.asarray(dstar), jnp.asarray(cvalid), k=k, win=win,
     )
@@ -77,7 +77,7 @@ def test_chain_gate_rejects_scattered_window():
     valid = jnp.ones((2, 2), bool)
     dstar = jnp.asarray([[40], [80]], jnp.int32)
     cvalid = jnp.ones((2, 1), bool)
-    n_chain, chained_any = chain_stats(
+    n_chain, chained_any, _mass = chain_stats(
         t, q, valid, dstar, cvalid, k=k, win=win
     )
     assert not bool(chained_any[0, 0])
@@ -95,8 +95,74 @@ def test_invalid_candidate_has_no_chain():
     valid = jnp.ones((1, 2), bool)
     dstar = jnp.asarray([[90]], jnp.int32)
     cvalid = jnp.zeros((1, 1), bool)
-    n_chain, chained_any = chain_stats(
+    n_chain, chained_any, _mass = chain_stats(
         t, q, valid, dstar, cvalid, k=14, win=128
     )
     assert int(n_chain[0, 0]) == 0
     assert not bool(chained_any[0, 0])
+
+
+def test_mass_is_union_of_member_intervals():
+    """chain_stats mass == union length of member [q, q+k) intervals
+    (noOvpLisNBases role, FindMaxInterval.h:832), brute-force checked."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from blasr_tpu.ops.candidates import chain_stats
+
+    rng = np.random.default_rng(7)
+    B, A, C, k, win = 4, 24, 2, 14, 128
+    q = rng.integers(0, 400, (B, A)).astype(np.int32)
+    diag = rng.integers(0, 1000, (B, 1)).astype(np.int32)
+    t = (q + diag + rng.integers(0, win // 2, (B, A))).astype(np.int32)
+    valid = rng.random((B, A)) > 0.3
+    dstar = np.stack([diag[:, 0], diag[:, 0] + 1000], axis=1).astype(np.int32)
+    cvalid = np.ones((B, C), bool)
+
+    _, _, mass = chain_stats(
+        jnp.asarray(t), jnp.asarray(q), jnp.asarray(valid),
+        jnp.asarray(dstar), jnp.asarray(cvalid), k=k, win=win,
+    )
+    mass = np.asarray(mass)
+    for b in range(B):
+        for c in range(C):
+            cover = np.zeros(2048, bool)
+            for a in range(A):
+                if valid[b, a] and 0 <= (t[b, a] - q[b, a]) - dstar[b, c] < win:
+                    cover[q[b, a] : q[b, a] + k] = True
+            assert mass[b, c] == int(cover.sum()), (b, c, mass[b, c], int(cover.sum()))
+
+
+def test_min_interval_gate_rejects_bare_repeat_window(sim_factory=None):
+    """A window whose only evidence is one short composed exact match (~17
+    bases of anchor coverage) must be rejected by the default
+    minInterval=100 admission gate (MappingParameters.h:348) — the
+    reference never queues such intervals, so a free local DP must not
+    emit records from them (the -bestn junk-secondary class)."""
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+
+    rng = np.random.default_rng(11)
+    G = 60_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    # plant a 24-base exact copy of read positions 300..324 far away
+    src, dst = 10_000, 40_000
+    read = genome[src : src + 600].copy()
+    genome[dst : dst + 24] = read[300:324]
+    seqdb = SeqDB(["ref"], np.array([0, G], dtype=np.int64), ["0" * 32])
+    index = build_index_from_arrays(genome, seqdb, k=14)
+    params = MappingParams(
+        batch_size=4, max_read_len=1024, n_candidates=4,
+        n_dp_candidates=4, best_n=4,
+    )
+    records, unmapped = run_mapping(index, [Read("r", read, None, 0)], params)
+    loci = sorted(r.tstart_fwd for r in records)
+    assert any(abs(lo - src) < 50 for lo in loci), loci
+    assert not any(abs(lo - dst) < 1000 for lo in loci), (
+        f"bare 24-base-match window must not be emitted: {loci}"
+    )
