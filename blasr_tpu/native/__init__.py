@@ -72,6 +72,13 @@ def _load():
             ctypes.c_char, ctypes.c_char_p, ctypes.c_int64,
         ]
         lib.bn_xeq_cigar.restype = ctypes.c_int64
+        lib.bn_sam_fields.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char, ctypes.c_char_p, ctypes.c_int64, i64p,
+        ]
+        lib.bn_sam_fields.restype = ctypes.c_int64
         lib.bn_global_align.argtypes = [
             u8p, ctypes.c_int64, u8p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -133,6 +140,50 @@ def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray | None:
     out = np.empty(max(nops, 1), np.uint8)
     lib.bn_unpack_moves(packed_row, nops, out)
     return out[:nops]
+
+
+_EMPTY_U8 = np.zeros(1, np.uint8)
+
+
+def sam_fields(
+    packed_moves: np.ndarray, nops: int, q_start: int, t_start: int,
+    fwd_codes: np.ndarray, qual: np.ndarray | None,
+    t_aln: np.ndarray, strand: int, clip_mode: int, clip_op: str,
+) -> tuple[str, str, str] | None:
+    """One native pass producing (cigar, seq, qual) for a SAM record —
+    consumes the device walk's packed move string directly (no ops
+    unpacking), applies orientation + clipping (SAMPrinter.h:59-260 roles).
+    clip_mode: 0 none, 1 soft/subread, 2 hard. None if lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    packed_moves = np.ascontiguousarray(packed_moves, dtype=np.uint8)
+    fwd_codes = np.ascontiguousarray(fwd_codes, dtype=np.uint8)
+    has_q = 0
+    qarr = _EMPTY_U8
+    if qual is not None:
+        qarr = np.ascontiguousarray(qual, dtype=np.uint8)
+        has_q = 1
+    t_aln = np.ascontiguousarray(t_aln, dtype=np.uint8)
+    n = len(fwd_codes)
+    cap = 12 * (nops + 2) + 2 * n + 64
+    buf = ctypes.create_string_buffer(cap)
+    lens = np.zeros(3, np.int64)
+    total = lib.bn_sam_fields(
+        packed_moves, nops, q_start, t_start, fwd_codes, n, qarr, has_q,
+        t_aln, len(t_aln), strand, clip_mode, clip_op.encode()[:1] or b"S",
+        buf, cap, lens,
+    )
+    if total < 0:
+        return None
+    raw = buf.raw
+    c0 = int(lens[0])
+    s0 = c0 + 1 + int(lens[1])
+    return (
+        raw[:c0].decode(),
+        raw[c0 + 1 : s0].decode(),
+        raw[s0 + 1 : s0 + 1 + int(lens[2])].decode(),
+    )
 
 
 def xeq_cigar(

@@ -169,10 +169,6 @@ def format_sam_record(
     if not is_primary:
         flag |= FLAG_SECONDARY
     pos = rec.tstart_fwd + 1  # 1-based
-    codes = read.codes if rec.tstrand == 0 else revcomp_codes(read.codes)
-    qual = read.qual
-    if qual is not None and rec.tstrand == 1:
-        qual = qual[::-1]
     p = rec.path
     t_aln = None
     if genome is not None:
@@ -183,15 +179,37 @@ def format_sam_record(
         t_aln = genome[lo : w0 + p.t_end]
         if w0 < 0:  # window head clipped; pad to keep local indexing
             t_aln = np.concatenate([np.full(-w0, 5, np.uint8), t_aln])
-    cigar = _cigar_string(rec, n, clipping, codes if t_aln is not None else None, t_aln)
-    if clipping == "hard":
-        codes = codes[p.q_start : p.q_end]
-        if qual is not None:
-            qual = qual[p.q_start : p.q_end]
-    seq = codes_to_seq(codes)
-    qual_s = (
-        "*" if qual is None else (np.asarray(qual) + 33).astype(np.uint8).tobytes().decode()
-    )
+    fields3 = None
+    if t_aln is not None and getattr(p, "packed", None) is not None:
+        # hot path: ONE native pass over the packed walk output produces
+        # CIGAR + SEQ + QUAL (orientation, clipping, =/X splitting all in C)
+        from blasr_tpu import native
+
+        fields3 = native.sam_fields(
+            p.packed, p.packed_nops, p.q_start, p.t_start,
+            read.codes, read.qual, t_aln, rec.tstrand,
+            0 if clipping == "none" else (2 if clipping == "hard" else 1),
+            "S" if clipping in ("soft", "subread") else "H",
+        )
+    if fields3 is not None:
+        cigar, seq, qual_s = fields3
+    else:
+        codes = read.codes if rec.tstrand == 0 else revcomp_codes(read.codes)
+        qual = read.qual
+        if qual is not None and rec.tstrand == 1:
+            qual = qual[::-1]
+        cigar = _cigar_string(
+            rec, n, clipping, codes if t_aln is not None else None, t_aln
+        )
+        if clipping == "hard":
+            codes = codes[p.q_start : p.q_end]
+            if qual is not None:
+                qual = qual[p.q_start : p.q_end]
+        seq = codes_to_seq(codes)
+        qual_s = (
+            "*" if qual is None
+            else (np.asarray(qual) + 33).astype(np.uint8).tobytes().decode()
+        )
     # XS/XE are the HARD-clip bounds + 1, not the aligned span
     # (SAMPrinter.h:506-520: xs = prefixHardClip + 1, xe = len - suffix + 1);
     # with soft clipping and no low-quality regions that is 1 .. len+1.

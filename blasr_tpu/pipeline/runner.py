@@ -299,7 +299,11 @@ def _paths_from_device(res) -> list[Optional[AlignmentPath]]:
                 q_end=int(res.q_end[i]),
                 t_start=int(res.t_start[i]),
                 t_end=int(res.t_end[i]),
-                ops=unpack_moves(res.moves_packed[i], int(res.nops[i])),
+                # ops materialize lazily from the packed walk output; the
+                # native SAM assembly consumes the packed form directly
+                ops=None,
+                packed=res.moves_packed[i],
+                packed_nops=int(res.nops[i]),
                 score=int(res.sel_score[i]),
                 n_match=int(res.n_match[i]),
                 n_mismatch=int(res.n_mismatch[i]),

@@ -30,28 +30,55 @@ from blasr_tpu.ops.banded_align import (
 OP_M, OP_I, OP_D = 1, 2, 3
 
 
-@dataclasses.dataclass
 class AlignmentPath:
     """One banded alignment in local window coordinates.
 
     Half-open spans: query [q_start, q_end), target [t_start, t_end).
-    ops: uint8 array of OP_M/OP_I/OP_D in start->end order.
+    ops: uint8 array of OP_M/OP_I/OP_D in start->end order. A path built
+    from the device walk may instead carry the walk's 2-bit PACKED move
+    string (END->START order) — ``ops`` then materializes lazily on first
+    access, and consumers that can work from the packed form directly
+    (native SAM field assembly) skip the unpack entirely.
     """
 
-    q_start: int
-    q_end: int
-    t_start: int
-    t_end: int
-    ops: np.ndarray
-    score: int
-    n_match: int = 0
-    n_mismatch: int = 0
-    n_ins: int = 0
-    n_del: int = 0
+    __slots__ = (
+        "q_start", "q_end", "t_start", "t_end", "score",
+        "n_match", "n_mismatch", "n_ins", "n_del", "_ops",
+        "packed", "packed_nops",
+    )
+
+    def __init__(
+        self, q_start: int, q_end: int, t_start: int, t_end: int,
+        ops: "np.ndarray | None", score: int,
+        n_match: int = 0, n_mismatch: int = 0, n_ins: int = 0, n_del: int = 0,
+        packed: "np.ndarray | None" = None, packed_nops: int = 0,
+    ):
+        self.q_start = q_start
+        self.q_end = q_end
+        self.t_start = t_start
+        self.t_end = t_end
+        self._ops = ops
+        self.score = score
+        self.n_match = n_match
+        self.n_mismatch = n_mismatch
+        self.n_ins = n_ins
+        self.n_del = n_del
+        self.packed = packed
+        self.packed_nops = packed_nops
+
+    @property
+    def ops(self) -> np.ndarray:
+        if self._ops is None:
+            from blasr_tpu.ops.traceback_device import unpack_moves
+
+            self._ops = unpack_moves(self.packed, self.packed_nops)
+        return self._ops
 
     @property
     def n_aligned(self) -> int:
-        return len(self.ops)
+        if self._ops is None:
+            return self.packed_nops
+        return len(self._ops)
 
     @property
     def pct_similarity(self) -> float:

@@ -79,3 +79,68 @@ def test_xeq_cigar_matches_numpy(rngn):
             )
             got = native.xeq_cigar(ops, q, t, q0, t0, pre, post, clip_op)
             assert got == expect, (trial, clip_op)
+
+
+def test_sam_fields_matches_python_reference():
+    """native.sam_fields (one C pass from the packed walk output) must be
+    byte-identical to the python cigar/seq/qual assembly across strands,
+    clip modes, and qual presence."""
+    import numpy as np
+
+    from blasr_tpu import native
+    from blasr_tpu.core.encode import codes_to_seq, revcomp_codes
+    from blasr_tpu.output.sam_writer import _xeq_runs
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(60):
+        n = int(rng.integers(30, 200))
+        read = rng.integers(0, 4, n).astype(np.uint8)
+        q_start = int(rng.integers(0, 10))
+        nops = int(rng.integers(5, n - q_start))
+        ops = rng.choice([1, 1, 1, 2, 3], nops).astype(np.uint8)
+        nq = int((ops != 3).sum())
+        if q_start + nq > n:
+            continue
+        rev = ops[::-1]
+        packed = np.zeros((nops + 3) // 4 + 1, np.uint8)
+        for j, op in enumerate(rev):
+            packed[j >> 2] |= op << (2 * (j & 3))
+        t_start = int(rng.integers(0, 5))
+        nt = int((ops != 2).sum())
+        t_aln = rng.integers(0, 4, t_start + nt + 4).astype(np.uint8)
+        strand = int(rng.integers(0, 2))
+        qual = (
+            rng.integers(0, 60, n).astype(np.uint8)
+            if rng.random() < 0.5 else None
+        )
+        for clip_mode, clipping in ((0, "none"), (1, "soft"), (2, "hard")):
+            clip_op = "S" if clipping == "soft" else "H"
+            got = native.sam_fields(
+                packed, nops, q_start, t_start, read, qual, t_aln, strand,
+                clip_mode, clip_op,
+            )
+            codes = read if strand == 0 else revcomp_codes(read)
+            q = qual if qual is None or strand == 0 else qual[::-1]
+            runs = _xeq_runs(ops, codes, t_aln, q_start, t_start)
+            parts = []
+            pre, post = q_start, n - (q_start + nq)
+            if clip_mode and pre:
+                parts.append(f"{pre}{clip_op}")
+            parts += [f"{ln}{op}" for ln, op in runs]
+            if clip_mode and post:
+                parts.append(f"{post}{clip_op}")
+            cigar = "".join(parts)
+            c2 = codes if clip_mode != 2 else codes[q_start : q_start + nq]
+            q2 = None if q is None else (
+                q if clip_mode != 2 else q[q_start : q_start + nq]
+            )
+            seq = codes_to_seq(c2)
+            qs = (
+                "*" if q2 is None
+                else (np.asarray(q2) + 33).astype(np.uint8).tobytes().decode()
+            )
+            assert got == (cigar, seq, qs), (trial, clipping, strand)
