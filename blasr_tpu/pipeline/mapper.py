@@ -883,6 +883,10 @@ class Mapper:
     fm: object = None  # optional FMIndex for the -bwt anchoring path
 
     def __post_init__(self):
+        # fail fast with the MakeSane-style message instead of an obscure
+        # shape error downstream (e.g. best_n > dp_candidates broke the
+        # wire unpack reshape)
+        self.params.validate()
         self.device_index = make_device_index(self.index, self.params, fm=self.fm)
         self.mesh = None
         nd = self.params.ndevices
