@@ -26,24 +26,33 @@ import jax
 import jax.numpy as jnp
 
 
-def pack_query_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> jax.Array:
-    """Pack the k-mer starting at every read position.
+def pack_query_kmers(
+    codes: jax.Array, lengths: jax.Array, k: int, stride: int = 1
+) -> jax.Array:
+    """Pack the k-mer starting at every ``stride``-th read position.
 
     codes: (B, L) uint8 with values 0..4 (4 = N/pad)
     lengths: (B,) int32
-    Returns (B, L) int32 keys; -1 where the window is invalid (contains N
-    or runs past the read end), which makes searchsorted return an empty
-    interval.
+    Returns (B, ceil(L/stride)) int32 keys for positions 0, stride, 2*stride
+    ...; -1 where the window is invalid (contains N or runs past the read
+    end), which makes searchsorted return an empty interval. stride > 1
+    computes only the needed keys (k static STRIDED slices over (B, L/ST)
+    instead of k dynamic slices over (B, L)) — identical values to
+    ``pack_query_kmers(..., 1)[:, ::stride]``.
     """
     B, L = codes.shape
-    ext = jnp.pad(codes.astype(jnp.int32), ((0, 0), (0, k)), constant_values=4)
-    acc = jnp.zeros((B, L), jnp.int32)
-    bad = jnp.zeros((B, L), bool)
+    st = max(1, stride)
+    Ls = -(-L // st)
+    ext = jnp.pad(
+        codes.astype(jnp.int32), ((0, 0), (0, k + st)), constant_values=4
+    )
+    acc = jnp.zeros((B, Ls), jnp.int32)
+    bad = jnp.zeros((B, Ls), bool)
     for j in range(k):
-        w = jax.lax.dynamic_slice_in_dim(ext, j, L, axis=1)
+        w = ext[:, j :: st][:, :Ls] if st > 1 else ext[:, j : j + L]
         acc = (acc << 2) | (w & 3)
         bad = bad | (w >= 4)
-    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    pos = jnp.arange(Ls, dtype=jnp.int32)[None, :] * st
     bad = bad | (pos + k > lengths[:, None])
     return jnp.where(bad, jnp.int32(-1), acc)
 
@@ -275,13 +284,12 @@ def find_anchors(
     KH = max_hits_per_pos
     A = max_anchors_per_read
 
-    qk = pack_query_kmers(codes, lengths, k)                      # (B, L)
     ST = max(1, anchor_stride)
-    if ST > 1:
-        # anchor every ST-th read position (role of advanceExactMatches /
-        # the reference's speed-sensitivity frontier, README.md:53-58)
-        qk = qk[:, ::ST]
-        L = qk.shape[1]
+    # anchor every ST-th read position (role of advanceExactMatches / the
+    # reference's speed-sensitivity frontier, README.md:53-58); the packer
+    # computes only the strided keys
+    qk = pack_query_kmers(codes, lengths, k, ST)                  # (B, L/ST)
+    L = qk.shape[1]
     # expand > 0 widens every lookup to the interval of the (k - expand)-base
     # prefix: keys in [qk & ~mask, qk | mask] (low 2*expand bits free)
     e2 = 2 * min(max(expand, 0), k - 1)

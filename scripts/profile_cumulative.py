@@ -36,10 +36,11 @@ def main():
     )
     index = load_index(os.path.join(bench_dir, "genome.fasta"), k=14)
     reads = read_records(os.path.join(bench_dir, "reads.fasta"))
+    W = int(os.environ.get("BLASR_PROF_W", "32"))
     params = MappingParams(
         batch_size=64, max_read_len=3328, n_candidates=4,
         n_dp_candidates=cd, anchor_stride=stride, best_n=1,
-        max_anchors_per_read=A,
+        max_anchors_per_read=A, narrow_band=W,
     )
     mapper = Mapper(index, params)
     di = mapper.device_index
