@@ -66,6 +66,8 @@ def main():
         # W=32 measured lossless on this corpus (accuracy 0.983 at W=32/64,
         # golden m4 agreement unchanged) and ~10% faster end-to-end
         narrow_band=int(os.environ.get("BLASR_BENCH_W", "32")),
+        guided_band=bool(int(os.environ.get("BLASR_BENCH_GUIDED", "0"))),
+        narrow_band_max=int(os.environ.get("BLASR_BENCH_NBMAX", "1536")),
         best_n=1,
     )
 

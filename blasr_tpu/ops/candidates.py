@@ -269,3 +269,42 @@ def anchor_weights(
         expect = nh * jnp.float32(win) / jnp.float32(max(genome_len, 1))
         w = jnp.maximum(-jnp.log2(expect), 0.5)
     return jnp.where(valid, w, 0.0)
+
+
+def global_chain_exact(
+    q: "np.ndarray", t: "np.ndarray", l: "np.ndarray"
+) -> tuple[int, list[int]]:
+    """Exact max-weight colinear chain — reference GlobalChain semantics
+    (GlobalChain.h:100-210): fragment weight = its length; fragment i may
+    precede j iff i's END does not pass j's START in either coordinate
+    (endpoint sweep with a priority search tree; here an O(n^2) DP, used
+    as the correctness ORACLE for chain_stats' vectorized evidence count
+    and for tools that need the chain itself).
+
+    Host-side numpy (anchor lists are small); returns (best_weight,
+    chain indices into the input arrays, start->end order).
+    """
+    import numpy as np
+
+    n = len(q)
+    if n == 0:
+        return 0, []
+    order = np.lexsort((t, q))
+    qs, ts, ls = q[order], t[order], l[order]
+    score = ls.astype(np.int64).copy()
+    prev = np.full(n, -1, np.int64)
+    for j in range(n):
+        ok = (qs[:j] + ls[:j] <= qs[j]) & (ts[:j] + ls[:j] <= ts[j])
+        if ok.any():
+            cand = np.where(ok, score[:j], -1)
+            i = int(cand.argmax())
+            if cand[i] > 0:
+                score[j] = ls[j] + cand[i]
+                prev[j] = i
+    jbest = int(score.argmax())
+    chain = []
+    while jbest >= 0:
+        chain.append(int(order[jbest]))
+        jbest = int(prev[jbest])
+    chain.reverse()
+    return int(score.max()), chain

@@ -166,3 +166,41 @@ def test_min_interval_gate_rejects_bare_repeat_window(sim_factory=None):
     assert not any(abs(lo - dst) < 1000 for lo in loci), (
         f"bare 24-base-match window must not be emitted: {loci}"
     )
+
+
+def test_global_chain_exact_vs_bruteforce():
+    """global_chain_exact must equal exhaustive max-weight chain search
+    (GlobalChain.h:100 semantics: predecessor's end <= successor's start in
+    both coords, weight = length sum)."""
+    import itertools
+
+    import numpy as np
+
+    from blasr_tpu.ops.candidates import global_chain_exact
+
+    rng = np.random.default_rng(3)
+    for trial in range(40):
+        n = int(rng.integers(1, 9))
+        q = rng.integers(0, 60, n).astype(np.int64)
+        t = rng.integers(0, 60, n).astype(np.int64)
+        l = rng.integers(5, 20, n).astype(np.int64)
+        best = 0
+        for r in range(1, n + 1):
+            for combo in itertools.permutations(range(n), r):
+                ok = all(
+                    q[combo[i]] + l[combo[i]] <= q[combo[i + 1]]
+                    and t[combo[i]] + l[combo[i]] <= t[combo[i + 1]]
+                    for i in range(r - 1)
+                )
+                if ok:
+                    best = max(best, int(sum(l[c] for c in combo)))
+        got, chain = global_chain_exact(q, t, l)
+        assert got == best, (trial, got, best)
+        # returned chain must be feasible and achieve the weight
+        w = 0
+        for i in range(len(chain)):
+            w += int(l[chain[i]])
+            if i:
+                a, b = chain[i - 1], chain[i]
+                assert q[a] + l[a] <= q[b] and t[a] + l[a] <= t[b]
+        assert w == got
