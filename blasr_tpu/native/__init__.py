@@ -143,6 +143,17 @@ def unpack_moves(packed_row: np.ndarray, nops: int) -> np.ndarray | None:
 
 
 _EMPTY_U8 = np.zeros(1, np.uint8)
+_FIELD_BUFS = threading.local()
+
+
+def _field_buf(cap: int):
+    """Reusable output buffer (per thread): create_string_buffer per record
+    measured ~5 us x 2000 records of pure allocation."""
+    buf = getattr(_FIELD_BUFS, "buf", None)
+    if buf is None or len(buf) < cap:
+        buf = ctypes.create_string_buffer(max(cap, 1 << 15))
+        _FIELD_BUFS.buf = buf
+    return buf
 
 
 def sam_fields(
@@ -167,7 +178,7 @@ def sam_fields(
     t_aln = np.ascontiguousarray(t_aln, dtype=np.uint8)
     n = len(fwd_codes)
     cap = 12 * (nops + 2) + 2 * n + 64
-    buf = ctypes.create_string_buffer(cap)
+    buf = _field_buf(cap)
     lens = np.zeros(3, np.int64)
     total = lib.bn_sam_fields(
         packed_moves, nops, q_start, t_start, fwd_codes, n, qarr, has_q,
@@ -176,13 +187,14 @@ def sam_fields(
     )
     if total < 0:
         return None
-    raw = buf.raw
+    # slice the ctypes array directly (buf.raw would copy the WHOLE
+    # reusable buffer per record)
     c0 = int(lens[0])
     s0 = c0 + 1 + int(lens[1])
     return (
-        raw[:c0].decode(),
-        raw[c0 + 1 : s0].decode(),
-        raw[s0 + 1 : s0 + 1 + int(lens[2])].decode(),
+        buf[:c0].decode(),
+        buf[c0 + 1 : s0].decode(),
+        buf[s0 + 1 : s0 + 1 + int(lens[2])].decode(),
     )
 
 

@@ -251,7 +251,10 @@ def qv_scaled_costs(base: jax.Array, qual: jax.Array) -> jax.Array:
     return jnp.maximum((base * qv + 7) // 15, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("scores", "with_traceback", "band_width"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("scores", "with_traceback", "band_width", "global_q"),
+)
 def banded_align(
     query: jax.Array,    # (I, L) uint8 codes 0..4
     qlen: jax.Array,     # (I,) int32
@@ -264,7 +267,19 @@ def banded_align(
     scores: AlignScores = AlignScores(),
     with_traceback: bool = False,
     band_width: int = 128,
+    global_q: bool = False,  # GLOBAL-IN-QUERY score mode (score-only): the
+                             # alignment must consume every query base
+                             # (leading/trailing bases enter via the virtual
+                             # q=-1 boundary row / end-row tracking), target
+                             # start+end stay free. This is the reference's
+                             # "hybrid of global/local" refinement score
+                             # (AlignIntervals + extension, the value the
+                             # -maxScore print gate tests) — a secondary
+                             # whose seed supports only part of the read
+                             # rescores far above its best LOCAL subpath.
 ) -> BandedResult:
+    if global_q:
+        assert not with_traceback, "global_q is a score-only mode"
     I, L = query.shape
     T = target.shape[1]
     S = int(qoff.shape[0])
@@ -384,26 +399,47 @@ def banded_align(
         F_new = jnp.minimum(F1_up, f_open) + ge
         fbit = (F1_up <= f_open).astype(jnp.int32)
 
-        # The diagonal predecessor may be an empty local start (score 0):
-        # this is the local-alignment boundary condition, uniform across the
-        # whole band. A fresh start gets its own source code so traceback
-        # terminates after emitting the first M.
-        diag_fresh = H2_diag > 0  # INF marks out-of-band/masked predecessors
-        h = jnp.minimum(H2_diag, 0) + sub
-        src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
-        for val, code in (
-            (H1_up + ins_cell, SRC_UP),
-            (H1_left + del_sc, SRC_LEFT),
-            (E_new, SRC_E),
-            (F_new, SRC_F),
-        ):
-            take = val < h
-            h = jnp.minimum(h, val)
-            src = jnp.where(take, code, src)
-        # empty alignment wins all ties at 0 (trims zero-sum prefixes)
-        take_stop = h >= 0
-        h = jnp.minimum(h, 0)
-        src = jnp.where(take_stop, SRC_STOP, src)
+        if global_q:
+            # virtual boundary row H(q = -1, t) = 0 (free target start): at
+            # q == 0 the diagonal and the insertion-family predecessors come
+            # from it; elsewhere no free restarts and no 0-clamp
+            at_q0 = q_pos == 0
+            H2d_g = jnp.where(at_q0, 0, H2_diag)
+            up_g = jnp.where(at_q0, 0, H1_up)
+            f_open_g = up_g + go
+            F_new = jnp.minimum(jnp.where(at_q0, inf, F1_up), f_open_g) + ge
+            h = H2d_g + sub
+            src = jnp.broadcast_to(jnp.int32(SRC_DIAG), h.shape)
+            for val, code in (
+                (up_g + ins_cell, SRC_UP),
+                (H1_left + del_sc, SRC_LEFT),
+                (E_new, SRC_E),
+                (F_new, SRC_F),
+            ):
+                take = val < h
+                h = jnp.minimum(h, val)
+                src = jnp.where(take, code, src)
+        else:
+            # The diagonal predecessor may be an empty local start (score 0):
+            # this is the local-alignment boundary condition, uniform across
+            # the whole band. A fresh start gets its own source code so
+            # traceback terminates after emitting the first M.
+            diag_fresh = H2_diag > 0  # INF marks out-of-band/masked preds
+            h = jnp.minimum(H2_diag, 0) + sub
+            src = jnp.where(diag_fresh, SRC_DIAG_START, SRC_DIAG)
+            for val, code in (
+                (H1_up + ins_cell, SRC_UP),
+                (H1_left + del_sc, SRC_LEFT),
+                (E_new, SRC_E),
+                (F_new, SRC_F),
+            ):
+                take = val < h
+                h = jnp.minimum(h, val)
+                src = jnp.where(take, code, src)
+            # empty alignment wins all ties at 0 (trims zero-sum prefixes)
+            take_stop = h >= 0
+            h = jnp.minimum(h, 0)
+            src = jnp.where(take_stop, SRC_STOP, src)
 
         H_new = jnp.where(valid, h, inf)
         E_new = jnp.where(valid, E_new, inf)
@@ -433,8 +469,16 @@ def banded_align(
         # can legally START on a mismatch)
         M_emit = jnp.where(src == SRC_DIAG_START, mm, M_new)
 
-        row_min = jnp.min(H_new, axis=1)
-        row_arg = jnp.argmin(H_new, axis=1).astype(jnp.int32)
+        if global_q:
+            # termination cells: the alignment consumed the whole query
+            # (q == qlen - 1); target end stays free so every step's last
+            # query row competes
+            H_end = jnp.where(q_pos == qlen_c - 1, H_new, inf)
+            row_min = jnp.min(H_end, axis=1)
+            row_arg = jnp.argmin(H_end, axis=1).astype(jnp.int32)
+        else:
+            row_min = jnp.min(H_new, axis=1)
+            row_arg = jnp.argmin(H_new, axis=1).astype(jnp.int32)
         better = row_min < best
         best = jnp.minimum(best, row_min)
         besta = jnp.where(better, a, besta)
@@ -458,7 +502,9 @@ def banded_align(
         jnp.zeros((I, W), jnp.int32),
         jnp.zeros((I, W), jnp.int32),
         jnp.zeros((I, W), jnp.int32),
-        jnp.zeros(I, jnp.int32),
+        # local scores are <= 0 (empty alignment); global-in-query scores
+        # can be arbitrarily positive, so the running best starts at INF
+        jnp.full(I, INF, jnp.int32) if global_q else jnp.zeros(I, jnp.int32),
         jnp.zeros(I, jnp.int32),
         jnp.zeros(I, jnp.int32),
     )

@@ -455,3 +455,61 @@ def test_fuzz_kernel_configs_vs_bruteforce():
             for i in range(I):
                 bf = local_affine_score(Q[i, : qlen[i]], Tc[i], sc)
                 assert int(ref.score[i]) == bf, (trial, i)
+
+
+def test_global_in_query_score_vs_bruteforce():
+    """banded_align(global_q=True) must equal the exhaustive global-in-query
+    / free-in-target DP (the reference's 'hybrid of global/local' refinement
+    score that the -maxScore print gate tests): every query base consumed,
+    target start+end free, affine gaps."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blasr_tpu.ops.banded_align import AlignScores, banded_align, make_qoff
+
+    rng = np.random.default_rng(5)
+    sc = AlignScores(match=-5, mismatch=6, insertion=5, deletion=5,
+                     affine_open=10, affine_extend=2)
+    INFh = 10 ** 9
+
+    def brute(q, t):
+        Lq, Lt = len(q), len(t)
+        # H[i][j]: best score consuming q[:i], last op ended at t[:j];
+        # E/F affine states. Global in i (must reach i = Lq), free in j.
+        H = np.full((Lq + 1, Lt + 1), INFh, np.int64)
+        E = np.full((Lq + 1, Lt + 1), INFh, np.int64)
+        F = np.full((Lq + 1, Lt + 1), INFh, np.int64)
+        H[0, :] = 0  # free target start
+        for i in range(1, Lq + 1):
+            for j in range(0, Lt + 1):
+                F[i, j] = min(F[i - 1, j] + sc.affine_extend,
+                              H[i - 1, j] + sc.affine_open + sc.affine_extend)
+                best = H[i - 1, j] + sc.insertion  # linear insertion
+                if F[i, j] < best:
+                    best = F[i, j]
+                if j > 0:
+                    E[i, j] = min(E[i, j - 1] + sc.affine_extend,
+                                  H[i, j - 1] + sc.affine_open + sc.affine_extend)
+                    sub = sc.match if q[i - 1] == t[j - 1] else sc.mismatch
+                    best = min(best, H[i - 1, j - 1] + sub,
+                               H[i, j - 1] + sc.deletion, E[i, j])
+                H[i, j] = best
+        return int(H[Lq].min())
+
+    for trial in range(12):
+        L = int(rng.integers(8, 28))
+        T = L + 16
+        q = rng.integers(0, 4, (1, L)).astype(np.uint8)
+        t = rng.integers(0, 4, (1, T)).astype(np.uint8)
+        if trial % 3 == 0:
+            # plant a partial copy so some real alignment exists
+            t[0, 4 : 4 + L // 2] = q[0, : L // 2]
+        W = 128
+        qoff = jnp.asarray(make_qoff(L, T, W, T // 2 - L // 2))
+        res = banded_align(
+            jnp.asarray(q), jnp.asarray([L], jnp.int32), jnp.asarray(t),
+            jnp.asarray([0], jnp.int32), jnp.asarray([T], jnp.int32),
+            qoff, scores=sc, band_width=W, global_q=True,
+        )
+        want = brute(q[0], t[0])
+        assert int(res.score[0]) == want, (trial, int(res.score[0]), want)
