@@ -332,8 +332,15 @@ def run_mapping_piecewise(
         recs += list(r1)
         unmapped += list(u1)
     if segments:
+        # min_interval=0: the reference's minInterval admission floor
+        # (FindMaxInterval.h:832) gates WHOLE-READ intervals — its anchor
+        # sum accumulates over the full read. Applying the 100-base floor
+        # to individual 1 kb segments over-rejects noisy segments and
+        # shifts stitched starts; whole-read admission lives in the
+        # stitcher's chain selection instead.
         seg_params = dataclasses.replace(
-            base_params, best_n=SEG_BESTN, remove_contained=False
+            base_params, best_n=SEG_BESTN, remove_contained=False,
+            min_interval=0,
         )
         r2, u2 = run_mapping(index, segments, seg_params, fm=fm)
         recs += list(r2)
