@@ -17,6 +17,7 @@ Usage: python -m blasr_tpu.cli.tools <command> [args]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -1288,6 +1289,111 @@ def _cmd_countnmers(argv) -> int:
     return 0
 
 
+def _cmd_extract_gff_sequences(argv) -> int:
+    """Print the subsequences a GFF-style interval file names (role of
+    gffutils/ExtractGFFSequences.cpp:7-59): each row is
+    ``seqName dupType sim startPos endPos``; the sequence for ``seqName``
+    is read from ``<seqDir>/<seqName>.fa`` and the [start, end) slice is
+    emitted as a FASTA record titled ``<seqName>_<start>_<end>``."""
+    p = argparse.ArgumentParser(prog="tools extractGFFSequences")
+    p.add_argument("gff")
+    p.add_argument("seqdir", nargs="?", default=".")
+    args = p.parse_args(argv)
+
+    from blasr_tpu.core.encode import codes_to_seq
+    from blasr_tpu.io.fasta import read_fasta
+
+    cur_name, cur_codes = None, None
+    for line in open(args.gff):
+        f = line.split()
+        if len(f) < 5:
+            continue
+        seq_name, start, end = f[0], int(f[3]), int(f[4])
+        if seq_name != cur_name:
+            cur_name = seq_name
+            cur_codes = read_fasta(os.path.join(args.seqdir, seq_name + ".fa"))[0][1]
+        print(f">{seq_name}_{start}_{end}")
+        print(codes_to_seq(cur_codes[start:end]))
+    return 0
+
+
+def _cmd_match_gtf_exons(argv) -> int:
+    """Match alignment intervals against a GENCODE GTF exon database (role
+    of cdna/MatchGTFExons.cpp:32-124 + common/cdna/GTFDB.h): for each
+    alignment row (gff3 or -m4 format; m4 reverse-strand rows are flipped
+    to forward coordinates like MatchGTFExons.cpp:76-80), report the
+    best-overlap GTF entry (percent overlap of the interval union) or
+    ``*** NO MATCHES ***``. Overlap search here is a correct sorted
+    interval scan (the reference's lower_bound walk misses entries that
+    start more than one slot before the query; same output on its
+    intended inputs)."""
+    p = argparse.ArgumentParser(prog="tools matchGTFExons")
+    p.add_argument("align_file")
+    p.add_argument("gtf")
+    p.add_argument("-format", default="gff3", choices=["gff3", "m4"])
+    args = p.parse_args(argv)
+
+    import bisect
+    import collections
+    import re as _re
+
+    db = collections.defaultdict(list)  # chr -> [(start, end, type, gene, tid)]
+    for line in open(args.gtf):
+        if not line.strip() or line[0] == "#":
+            continue
+        f = line.split("\t") if "\t" in line else line.split(None, 8)
+        if len(f) < 9:
+            continue
+        chrom, _src, ltype, start, end = f[0], f[1], f[2], int(f[3]), int(f[4])
+        attrs = dict(_re.findall(r'(\w+) "([^"]*)"', f[8]))
+        db[chrom].append(
+            (start, end, ltype, attrs.get("gene_name", ""),
+             attrs.get("transcript_id", ""))
+        )
+    for chrom in db:
+        db[chrom].sort()
+    starts = {c: [e[0] for e in v] for c, v in db.items()}
+
+    for line in open(args.align_file):
+        line = line.rstrip("\n")
+        if not line.strip() or line[0] == "#":
+            continue
+        f = line.split()
+        if args.format == "gff3":
+            chrom, ltype = f[0], f[2]
+            if ltype in ("gene", "mRNA"):
+                continue
+            a_start, a_end = int(f[3]), int(f[4])
+        else:
+            chrom = f[1]
+            strand = int(f[8])
+            a_start, a_end, tlen = int(f[9]), int(f[10]), int(f[11])
+            if strand == 1:
+                a_start, a_end = tlen - a_end, tlen - a_start + 1
+        entries = db.get(chrom, [])
+        print(f"searching for {chrom} {a_start} {a_end}")
+        best, best_ov = None, 0
+        lo = bisect.bisect_right(starts.get(chrom, []), a_end)
+        for e in entries[:lo]:
+            if e[1] < a_start:
+                continue
+            ov_s, ov_e = max(a_start, e[0]), min(a_end, e[1])
+            u_s, u_e = min(a_start, e[0]), max(a_end, e[1])
+            if ov_e < ov_s or a_end <= a_start or u_e <= u_s:
+                ov = 0
+            else:
+                ov = 100 * (ov_e - ov_s) / (u_e - u_s)
+            if ov > best_ov:
+                best, best_ov = e, int(ov)
+        if best is None or best_ov == 0:
+            print(line)
+            print("   *** NO MATCHES ***")
+        else:
+            print(f" {best_ov} match {chrom} {best[0]} {best[1]} {best[2]} "
+                  f"{best[3]} {best[4]}")
+    return 0
+
+
 COMMANDS = {
     "samtom4": _cmd_samtom4,
     "onegap": _cmd_onegap,
@@ -1316,6 +1422,8 @@ COMMANDS = {
     "buildErrorModel": _cmd_build_error_model,
     "condense": _cmd_condense,
     "dotplot": _cmd_dotplot,
+    "extractGFFSequences": _cmd_extract_gff_sequences,
+    "matchGTFExons": _cmd_match_gtf_exons,
 }
 
 

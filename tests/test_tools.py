@@ -409,3 +409,45 @@ def test_removeadapters_splits_smrtbell(tmp_path, capsys):
     (n1, c1), (n2, c2) = passes
     assert abs(len(c1) - 400) <= 5 and abs(len(c2) - 400) <= 5
     assert (c1[:380] == insert[:380]).all()
+
+
+def test_extract_gff_sequences(tmp_path, capsys):
+    from blasr_tpu.cli.tools import main as tools_main
+    from blasr_tpu.io.fasta import write_fasta
+    from blasr_tpu.sim import simulate_genome
+    from blasr_tpu.core.encode import codes_to_seq
+
+    g = simulate_genome(500, seed=9)
+    write_fasta(str(tmp_path / "chrZ.fa"), [("chrZ", g)])
+    gff = tmp_path / "d.gff"
+    gff.write_text("chrZ dup 99.1 10 60\nchrZ dup 88.0 100 140\n")
+    assert tools_main(["extractGFFSequences", str(gff), str(tmp_path)]) == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out[0] == ">chrZ_10_60"
+    assert out[1] == codes_to_seq(g[10:60])
+    assert out[2] == ">chrZ_100_140"
+    assert out[3] == codes_to_seq(g[100:140])
+
+
+def test_match_gtf_exons(tmp_path, capsys):
+    from blasr_tpu.cli.tools import main as tools_main
+
+    gtf = tmp_path / "a.gtf"
+    gtf.write_text(
+        'chr1\tHAVANA\texon\t100\t200\t.\t+\t.\tgene_id "G1"; '
+        'gene_name "FAM"; transcript_id "T1";\n'
+        'chr1\tHAVANA\texon\t500\t600\t.\t+\t.\tgene_id "G2"; '
+        'gene_name "BAR"; transcript_id "T2";\n'
+    )
+    aln = tmp_path / "a.m4"
+    # m4: qname tname score pct qstrand qstart qend qlen tstrand tstart tend tlen mapqv
+    aln.write_text(
+        "r1 chr1 -100 95.0 0 0 100 100 0 110 190 1000 254\n"    # inside exon 1
+        "r2 chr1 -100 95.0 1 0 100 100 1 395 495 1000 254\n"    # rc: fwd 505-606 -> exon 2
+        "r3 chr1 -100 95.0 0 0 100 100 0 800 900 1000 254\n"    # no exon
+    )
+    assert tools_main(["matchGTFExons", str(aln), str(gtf), "-format", "m4"]) == 0
+    out = capsys.readouterr().out
+    assert " match chr1 100 200 exon FAM T1" in out
+    assert " match chr1 500 600 exon BAR T2" in out
+    assert "*** NO MATCHES ***" in out
