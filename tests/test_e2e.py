@@ -576,3 +576,43 @@ def test_cli_sam_and_bam_outputs(tmp_path):
     hdr, recs = read_bam(bam_out)
     assert len(recs) == len(body)
     assert [r[0] for r in recs] == [l.split("\t")[0] for l in body]
+
+
+def test_rc_strand_score_tie_picks_rc_space_start():
+    """Equal-score repeat placements on the REVERSE strand must resolve to
+    the smallest RC-space start = LARGEST forward coordinate
+    (SortAlignmentPointersByScore ties on tPos + tAlignedSeqPos,
+    Blasr.cpp:226-236, with rc-strand tAlignedSeqPos already converted to
+    RC coordinates at Blasr.cpp:1316-1323). This ordering fixed 36 of the
+    40 round-3 golden divergences — keep it pinned."""
+    import numpy as np
+
+    from blasr_tpu.core.encode import revcomp_codes
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+
+    rng = np.random.default_rng(17)
+    G = 60_000
+    genome = rng.integers(0, 4, G).astype(np.uint8)
+    # two IDENTICAL copies of a 600-base segment, far apart
+    seg = genome[10_000:10_600].copy()
+    genome[40_000:40_600] = seg
+    seqdb = SeqDB(["ref"], np.array([0, G], dtype=np.int64), ["0" * 32])
+    index = build_index_from_arrays(genome, seqdb, k=14)
+    read = revcomp_codes(seg)  # reverse-strand read of the repeated segment
+    params = MappingParams(
+        batch_size=4, max_read_len=1024, n_candidates=4, n_dp_candidates=4,
+        best_n=1,
+    )
+    records, unmapped = run_mapping(index, [Read("r", read, None, 0)], params)
+    assert records, "read must map"
+    best = min(records, key=lambda r: r.score)
+    assert best.tstrand == 1
+    # the copies are identical -> equal DP scores; reference tie order picks
+    # the larger forward coordinate (smaller rc-space start)
+    assert abs(best.tstart_fwd - 40_000) < 50, (
+        f"rc tie must pick the larger fwd copy, got {best.tstart_fwd}"
+    )
