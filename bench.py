@@ -64,10 +64,16 @@ def main():
         anchor_stride=int(os.environ.get("BLASR_BENCH_STRIDE", "4")),
         max_anchors_per_read=int(os.environ.get("BLASR_BENCH_A", "128")),
         # W=32 measured lossless on this corpus (accuracy 0.983 at W=32/64,
-        # golden m4 agreement unchanged) and ~10% faster end-to-end
+        # golden m4 agreement unchanged) and ~10% faster end-to-end.
+        # narrow_band_max=3328 serves EVERY bucket with the packed W=32
+        # band; the band-escalation retry (params.band_escalation, on by
+        # default) re-maps the few reads the narrow band visibly clips
+        # through the guided wide band, which is what makes this operating
+        # point safe on bursty-CLR error profiles (BASELINE.md round-4
+        # narrow-band sweep + scripts/escalation_probe2.py).
         narrow_band=int(os.environ.get("BLASR_BENCH_W", "32")),
         guided_band=bool(int(os.environ.get("BLASR_BENCH_GUIDED", "0"))),
-        narrow_band_max=int(os.environ.get("BLASR_BENCH_NBMAX", "1536")),
+        narrow_band_max=int(os.environ.get("BLASR_BENCH_NBMAX", "3328")),
         best_n=1,
     )
 

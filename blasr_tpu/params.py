@@ -118,6 +118,20 @@ class MappingParams:
                                       # None = auto (on when 2k <= 28 and the
                                       # genome is >= 1 Mb; the table is
                                       # 4^k * 4 B of HBM, built on device)
+    band_escalation: bool = True      # narrow-band escape hatch: after the
+                                      # main pass, re-map reads the packed
+                                      # narrow band visibly clipped (best
+                                      # record below 80% similarity or 90%
+                                      # query coverage) through the per-item
+                                      # guided wide band and keep the better
+                                      # score. This buys the reference's
+                                      # every-read guided-band robustness
+                                      # (GuidedAlign.h:279) at the cost of
+                                      # re-mapping only the few flagged reads
+                                      # (~1-7% depending on error profile;
+                                      # measured in scripts/escalation_probe2
+                                      # .py: catches 39/40 of the reads a
+                                      # narrow-everywhere band newly breaks)
     guided_band: bool = False         # per-item anchor-chain band guides
                                       # (GuidedAlign.h:104 analogue): each
                                       # read's DP band follows its own knot

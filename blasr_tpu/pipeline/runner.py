@@ -225,6 +225,58 @@ def run_mapping(
             unmapped = [u for u in unmapped if u not in got]
             still = set(u2)
             retry_reads = [r for r in retry_reads if r.name in still]
+    if params.band_escalation and params.narrow_band:
+        # band-escalation retry: the packed narrow band (W <= 64) is
+        # lossless on the vast majority of reads, but a read whose true
+        # path drifts out of it (bursty clustered indels on long reads)
+        # surfaces with clipped query coverage or depressed similarity.
+        # Re-map ONLY those through the length-scaled wide band
+        # (band_width_for: 256 at 2-3.3 kb; one-sided burst excursions
+        # exceed the guided knots' +-(W-8) clamp, so the wide band is the
+        # robust escalation target — measured in the escalation test:
+        # a 180-base insertion burst scores -11950/93% wide vs -6615/70%
+        # guided-128) and keep whichever pass scores better. This buys
+        # the robustness the reference gets by running EVERY read inside
+        # a per-read guide (GuidedAlign.h:279) while paying wide-band
+        # cost only on the flagged few (trigger calibrated on the
+        # published-CLR bursty corpus, scripts/escalation_probe2.py:
+        # 39/40 of the reads a narrow-everywhere band newly breaks are
+        # caught at <80% sim or <90% qcov, ~4% of normal reads ride
+        # along).
+        best_by: dict[str, AlignmentRecord] = {}
+        for r in out:
+            cur = best_by.get(r.qname)
+            if cur is None or r.score < cur.score:
+                best_by[r.qname] = r
+        retry_names = set()
+        for nm, rec in best_by.items():
+            if params.band_width_for(rec.qlength) >= 128:
+                continue  # already mapped with a wide band
+            qcov = (rec.qend - rec.qstart) / max(rec.qlength, 1)
+            if rec.pct_similarity < 80.0 or qcov < 0.90:
+                retry_names.add(nm)
+        retry_reads = [r for r in reads if r.name in retry_names]
+        if retry_reads:
+            esc = dataclasses.replace(
+                params,
+                band_escalation=False, sensitive_retry=False,
+                narrow_band=0, guided_band=False,
+            )
+            r2, _ = run_mapping(index, retry_reads, esc, fm=fm)
+            best2: dict[str, int] = {}
+            for r in r2:
+                best2[r.qname] = min(best2.get(r.qname, 0), r.score)
+            use_retry = {
+                n for n, s2 in best2.items()
+                if s2 < best_by[n].score
+            }
+            out = [
+                r for r in out if r.qname not in use_retry
+            ] + [r for r in r2 if r.qname in use_retry]
+            # batch-streaming consumers saw the narrow-pass records already;
+            # only reads with no prior record could be appended, and every
+            # escalated read has one — improvements reach the in-memory
+            # result (and the sorted return) only
     if params.sensitive_retry:
         # reference sensitive retry (Blasr.cpp:3498-3507): re-map reads that
         # are unmapped or aligned below 80% similarity with wider search
@@ -338,6 +390,12 @@ def _finalize_batch(
     mapped_reads: set[int] = set()
     B = batch.codes.shape[0]
     lens = seqdb.lengths()
+    # secondary admission truncation state (see gate below): once a rank
+    # fails the SDP-block cut, later ranks of that read are dropped too —
+    # the reference's RemoveLowQualityAlignments truncates the sorted list
+    # at the first failure (Blasr.cpp:2063-2070)
+    sdp_dead: set[int] = set()
+    genome_host = mapper.index.genome if params.best_n > 1 else None
     for i2, path in enumerate(paths):
         b = i2 // params.best_n
         if batch.indices[b] < 0:
@@ -359,6 +417,35 @@ def _finalize_batch(
         g_end = int(t0[i2]) + path.t_end
         if g_start < 0 or g_end > seqdb.total_length:
             continue
+        rank = i2 % params.best_n
+        if rank >= 1 and genome_host is not None:
+            # -bestn secondary admission, reference semantics: the -maxScore
+            # cut acts on the interval's SDP block-chain score
+            # (RemoveLowQualityAlignments pre-refine, Blasr.cpp:1994+) — a
+            # secondary whose seed chain supports only part of the read
+            # rescores far above -maxScore there even though its best LOCAL
+            # subpath (our DP score, already tested above) passes. Primaries
+            # keep the local gate (ours maps strictly more primaries, a
+            # documented divergence).
+            if b in sdp_dead:
+                continue
+            from blasr_tpu.pipeline.secondary_refine import (
+                revcomp_codes, sdp_block_score)
+
+            n_b = int(batch.lengths[b])
+            qc = batch.codes[b, :n_b]
+            if int(strand[i2]) == 1:
+                qc = revcomp_codes(qc)
+            sdp_sc = sdp_block_score(
+                qc, genome_host, path.ops,
+                path.q_start, g_start,
+                match=params.match_score, mismatch=params.mismatch_score,
+                indel=params.insertion_score,
+                min_run=params.sdp_tuple_size,
+            )
+            if sdp_sc > params.max_score:
+                sdp_dead.add(b)
+                continue
         ci = int(seqdb.contig_of(g_start))
         c_off = int(seqdb.starts[ci])
         c_len = int(lens[ci])

@@ -491,6 +491,89 @@ def test_long_read_bursty_insertions_guided_band():
     assert not misses, (misses, len(unm))
 
 
+def test_band_escalation_rescues_narrow_band_clipping():
+    """Band-escalation retry (params.band_escalation): with the packed
+    narrow band stretched over every bucket (W=32 at 3 kb — the fast
+    serving point), a read with a long insertion burst aligns as
+    low-identity mush inside the narrow band (the trigger signature; on
+    the repeat-bearing bench genome the same mush loses to decoy loci —
+    scripts/escalation_probe2.py measured 40 misplacements, 29/30 rescued
+    on TPU). The retry must fire on the <80% similarity signature,
+    re-map through the per-item guided wide band, and replace the record
+    with a strictly better-scoring, high-identity alignment at the exact
+    locus."""
+    import dataclasses
+
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import (ErrorModel, parse_truth, simulate_genome,
+                               simulate_reads_alchemy)
+
+    from blasr_tpu.io.batching import Read
+
+    g = simulate_genome(150_000, seed=41, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    rng = np.random.default_rng(7)
+    # published-CLR reads (mild bursts) plus directed 180-base insertion
+    # bursts mid-read — the clustered-drift shape that overflowed the W=32
+    # band on the full bench genome (scripts/escalation_probe2.py victims)
+    model = ErrorModel.published_clr()
+    model.lengths = [2400]
+    model.length_probs = [1.0]
+    reads, _ = simulate_reads_alchemy(g, model, 6, seed=43)
+    reads = list(reads)
+    for i, t0 in enumerate((20_000, 80_000)):
+        tpl = g[t0 : t0 + 2400]
+        burst = rng.integers(0, 4, 180).astype(np.uint8)
+        q = np.concatenate([tpl[:1200], burst, tpl[1200:]])
+        reads.append(
+            Read(f"burst/{i}|ref|{t0}|{t0 + 2400}|0", q, None, 100 + i)
+        )
+    params = MappingParams(
+        batch_size=8, max_read_len=3072, n_candidates=2, best_n=1,
+        min_match_length=13, narrow_band=32, narrow_band_max=3072,
+    )
+    assert params.band_width_for(3072) == 32
+
+    def best_of(p):
+        recs, unm = run_mapping(index, reads, p)
+        byname = {}
+        for r in recs:
+            c = byname.get(r.qname)
+            if c is None or r.score < c.score:
+                byname[r.qname] = r
+        return byname
+
+    bare = best_of(dataclasses.replace(params, band_escalation=False))
+    esc = best_of(params)
+    for rd in reads:
+        if not rd.name.startswith("burst"):
+            continue
+        b = bare[rd.name]
+        # premise: the narrow band cannot thread the burst as one affine
+        # gap — it aligns low-identity mush, the escalation trigger
+        assert b.pct_similarity < 80.0, (rd.name, b.pct_similarity)
+        r = esc[rd.name]
+        assert r.score < b.score, (rd.name, r.score, b.score)
+        assert r.pct_similarity >= 80.0, (rd.name, r.pct_similarity)
+        s, e, st = parse_truth(rd.name)
+        assert r.tstrand == st and abs(r.tstart_fwd - s) < 100
+        assert abs(r.tend_fwd - e) < 100
+    # non-burst published-CLR reads still place exactly under escalation
+    for rd in reads:
+        if rd.name.startswith("burst"):
+            continue
+        r = esc.get(rd.name)
+        s, e, st = parse_truth(rd.name)
+        assert r is not None and r.tstrand == st
+        assert abs(r.tstart_fwd - s) < 100 and abs(r.tend_fwd - e) < 100
+
+
 def test_min_avg_qual_filter():
     """-minAvgQual rejects low-quality FASTQ reads at input
     (Blasr.cpp:3327-3343 role)."""
