@@ -142,8 +142,13 @@ def main():
         ),
         file=sys.stderr,
     )
-    if accuracy < 0.9:
-        print(json.dumps({"warning": f"accuracy {accuracy:.3f} below 0.9"}), file=sys.stderr)
+    # guard tight enough to catch a ~1% regression (steady-state accuracy
+    # on this corpus is 0.982-0.983; VERDICT r4 asked for >= 0.975)
+    if accuracy < 0.975:
+        print(
+            json.dumps({"warning": f"accuracy {accuracy:.3f} below 0.975"}),
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

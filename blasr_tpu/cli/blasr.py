@@ -392,12 +392,17 @@ def _run_resumable(args, params, index, reads, fm):
         "sam": bool(args.sam),
     }
     skip = 0
+    pending_prev: list[str] = []
     if os.path.exists(manifest_path) and os.path.exists(args.out):
         try:
             with open(manifest_path) as f:
                 m = _json.load(f)
             if m.get("key") == key:
                 skip = int(m.get("batches_done", 0))
+                # reads whose records were stream-deferred (retry passes
+                # could still replace them) in already-flushed batches of
+                # the interrupted run: re-map them in a follow-up pass
+                pending_prev = list(m.get("deferred", []))
         except (OSError, ValueError):
             pass
     mode = "a" if skip else "w"
@@ -414,9 +419,9 @@ def _run_resumable(args, params, index, reads, fm):
         for line in sam_header(index.seqdb, " ".join(sys.argv), [movie]):
             out_f.write(line + "\n")
 
-    state = {"done": skip}
+    state = {"done": skip, "deferred": set(pending_prev)}
 
-    def on_batch(bi, recs, unm):
+    def on_batch(bi, recs, unm, deferred=None):
         if args.sam:
             # per-read primary selection within the batch (all candidates
             # for one read land in the same batch)
@@ -451,16 +456,39 @@ def _run_resumable(args, params, index, reads, fm):
             for rec in recs:
                 out_f.write(format_m4(rec) + "\n")
         out_f.flush()
-        state["done"] = max(state["done"], bi + 1)
+        if bi >= 0:
+            state["done"] = max(state["done"], bi + 1)
+            if deferred:
+                state["deferred"].update(deferred)
+        else:
+            # final delivery of the retry-resolved records: those reads
+            # are now on disk, drop them from the pending set
+            state["deferred"].difference_update(r.qname for r in recs)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            _json.dump({"key": key, "batches_done": state["done"]}, f)
+            _json.dump(
+                {
+                    "key": key,
+                    "batches_done": state["done"],
+                    "deferred": sorted(state["deferred"]),
+                },
+                f,
+            )
         os.replace(tmp, manifest_path)
 
     try:
         records, unmapped = _run(
             index, reads, params, fm=fm, on_batch=on_batch, skip_batches=skip
         )
+        if pending_prev:
+            # deferred reads from flushed batches of the interrupted run:
+            # their records never reached the output file — re-map them
+            # through the full retry cascade and append the results
+            sub = [r for r in reads if r.name in set(pending_prev)]
+            if sub:
+                r2, _ = _run(index, sub, params, fm=fm)
+                records = records + r2
+                on_batch(-1, r2, [])
     finally:
         out_f.close()
     return records, unmapped

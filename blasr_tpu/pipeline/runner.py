@@ -56,6 +56,45 @@ class MappingMetrics:
 LAST_RUN_METRICS = MappingMetrics()
 
 
+def _escalation_candidates(records, params) -> set:
+    """Read names whose best record shows the narrow-band clipping
+    signature (pct similarity < 80 or query coverage < 0.90 on a
+    narrow-band bucket). One predicate shared by the band-escalation
+    retry and the streaming deferral below, so the set of reads held
+    back from streaming is exactly the set the retry may replace."""
+    best_by: dict = {}
+    for r in records:
+        cur = best_by.get(r.qname)
+        if cur is None or r.score < cur.score:
+            best_by[r.qname] = r
+    names = set()
+    for nm, rec in best_by.items():
+        if params.band_width_for(rec.qlength) >= 128:
+            continue  # already mapped with a wide band
+        qcov = (rec.qend - rec.qstart) / max(rec.qlength, 1)
+        if rec.pct_similarity < 80.0 or qcov < 0.90:
+            names.add(nm)
+    return names
+
+
+def _stream_defer_names(records, params) -> set:
+    """Read names a retry pass may still REPLACE records for — held back
+    from per-batch streaming so streamed output equals the in-memory
+    result (the round-4 divergence: escalation/sensitive replacements
+    reached only the returned list, never the -resume stream)."""
+    names: set = set()
+    if params.band_escalation and params.narrow_band:
+        names |= _escalation_candidates(records, params)
+    if params.sensitive_retry:
+        best_pct: dict = {}
+        for r in records:
+            best_pct[r.qname] = max(
+                best_pct.get(r.qname, 0.0), r.pct_similarity
+            )
+        names |= {n for n, p in best_pct.items() if p < 80.0}
+    return names
+
+
 @dataclasses.dataclass
 class AlignmentRecord:
     """One reported alignment (all coordinates ready for m4/SAM printing)."""
@@ -165,6 +204,27 @@ def run_mapping(
     inflight: deque = deque()
     drained = [0]
 
+    # streamed == in-memory discipline: when a retry pass may REPLACE a
+    # record (band escalation on narrow-band buckets), hold the affected
+    # reads' records back from the per-batch stream and deliver the
+    # resolved versions in the final on_batch(-1, ...) call, so streaming
+    # consumers (-resume writers) see the same record set as the in-memory
+    # return. The resumable writer persists the held-back names in its
+    # manifest (4th on_batch argument) so an interrupted run re-maps them.
+    defer_stream = on_batch is not None and (
+        (params.band_escalation and bool(params.narrow_band))
+        or params.sensitive_retry
+    )
+    deferred_names: set[str] = set()
+    on_batch_4 = False
+    if on_batch is not None:
+        import inspect
+
+        try:
+            on_batch_4 = len(inspect.signature(on_batch).parameters) >= 4
+        except (TypeError, ValueError):
+            on_batch_4 = False
+
     def drain_one():
         t0 = _time.time()
         bi, batch, fut = inflight.popleft()
@@ -172,7 +232,17 @@ def run_mapping(
         out.extend(out_b)
         unmapped.extend(unm_b)
         if on_batch is not None:
-            on_batch(bi, out_b, unm_b)
+            stream_b = out_b
+            dn: set[str] = set()
+            if defer_stream:
+                dn = _stream_defer_names(out_b, params)
+                if dn:
+                    deferred_names.update(dn)
+                    stream_b = [r for r in out_b if r.qname not in dn]
+            if on_batch_4:
+                on_batch(bi, stream_b, unm_b, dn)
+            else:
+                on_batch(bi, stream_b, unm_b)
         drained[0] += 1
         met.finalize_seconds += _time.time() - t0
         met.n_batches += 1
@@ -204,7 +274,10 @@ def run_mapping(
     while inflight:
         drain_one()
     fetch_pool.shutdown(wait=False)
-    stream_extra: list[AlignmentRecord] = []
+    # late_names: reads whose records never reached per-batch streaming
+    # (expand-recovered, stream-deferred, sensitive-recovered); their FINAL
+    # records (after every retry pass resolved) go out in on_batch(-1, ...)
+    late_names: set[str] = set()
     if params.max_expand > params.min_expand and unmapped:
         # expand-retry cascade (Blasr.cpp:2263,2554-2578 do/while +
         # CheckForSufficientMatch at :1974): reads with no sufficient match
@@ -220,7 +293,7 @@ def run_mapping(
             )
             r2, u2 = run_mapping(index, retry_reads, pe, fm=fm)
             out.extend(r2)
-            stream_extra.extend(r2)
+            late_names.update(rec.qname for rec in r2)
             got = {rec.qname for rec in r2}
             unmapped = [u for u in unmapped if u not in got]
             still = set(u2)
@@ -248,13 +321,7 @@ def run_mapping(
             cur = best_by.get(r.qname)
             if cur is None or r.score < cur.score:
                 best_by[r.qname] = r
-        retry_names = set()
-        for nm, rec in best_by.items():
-            if params.band_width_for(rec.qlength) >= 128:
-                continue  # already mapped with a wide band
-            qcov = (rec.qend - rec.qstart) / max(rec.qlength, 1)
-            if rec.pct_similarity < 80.0 or qcov < 0.90:
-                retry_names.add(nm)
+        retry_names = _escalation_candidates(out, params)
         retry_reads = [r for r in reads if r.name in retry_names]
         if retry_reads:
             esc = dataclasses.replace(
@@ -273,10 +340,9 @@ def run_mapping(
             out = [
                 r for r in out if r.qname not in use_retry
             ] + [r for r in r2 if r.qname in use_retry]
-            # batch-streaming consumers saw the narrow-pass records already;
-            # only reads with no prior record could be appended, and every
-            # escalated read has one — improvements reach the in-memory
-            # result (and the sorted return) only
+            # streaming consumers never saw the narrow-pass records of
+            # these reads (drain_one deferred them); the resolved versions
+            # are delivered in the final on_batch(-1, ...) below
     if params.sensitive_retry:
         # reference sensitive retry (Blasr.cpp:3498-3507): re-map reads that
         # are unmapped or aligned below 80% similarity with wider search
@@ -311,17 +377,24 @@ def run_mapping(
             out = [
                 r for r in out if r.qname not in use_retry
             ] + [r for r in r2 if r.qname in use_retry]
-            # streaming writers already flushed earlier batches, so only
-            # NEW reads (no prior record) can be appended there;
-            # score-improving replacements reach the in-memory result only
-            stream_extra.extend(
-                r for r in r2 if r.qname in use_retry and r.qname not in best1
+            # reads recovered here had no streamed record (previously
+            # unmapped, or deferred by _stream_defer_names which covers the
+            # pct < 80 retry trigger); replacements for deferred reads are
+            # delivered via late_names below
+            late_names.update(
+                r.qname for r in r2
+                if r.qname in use_retry and r.qname not in best1
             )
             unmapped = [u for u in unmapped if u not in best2]
-    if on_batch is not None and stream_extra:
-        # retry-recovered records reach batch-streaming consumers too
-        # (bi=-1: appended without advancing the resume manifest)
-        on_batch(-1, stream_extra, [])
+    late_names |= deferred_names
+    if on_batch is not None and late_names:
+        # resolved records of every never-streamed read (original if no
+        # retry won, the replacement if one did) reach batch-streaming
+        # consumers in one final call (bi=-1: appended without advancing
+        # the resume manifest) — streamed record set == in-memory set
+        stream_extra = [r for r in out if r.qname in late_names]
+        if stream_extra:
+            on_batch(-1, stream_extra, [])
     order = {r.name: i for i, r in enumerate(reads)}
     if params.place_repeats_randomly:
         # -placeRepeatsRandomly (Blasr.cpp:3041-3086): tied-best alignments
@@ -440,7 +513,7 @@ def _finalize_batch(
                 qc, genome_host, path.ops,
                 path.q_start, g_start,
                 match=params.match_score, mismatch=params.mismatch_score,
-                indel=params.insertion_score,
+                ins=params.insertion_score, dele=params.deletion_score,
                 min_run=params.sdp_tuple_size,
             )
             if sdp_sc > params.max_score:

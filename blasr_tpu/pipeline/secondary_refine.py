@@ -40,7 +40,8 @@ def sdp_block_score(
     match: int = -5,
     mismatch: int = 6,
     n_score: int = 0,
-    indel: int = 5,
+    ins: int = 5,          # query-gap (insertion) cost, -indel
+    dele: int = 5,         # target-gap (deletion) cost, -deletion
     min_run: int = 11,     # sdpTupleSize (MappingParameters.h default 11)
 ) -> int:
     """Block-chain score of a DP path under the reference's SDP-stats
@@ -84,7 +85,9 @@ def sdp_block_score(
         qgap = int(bq[j + 1] - (bq[j] + bl[j]))
         tgap = int(bt[j + 1] - (bt[j] + bl[j]))
         common = min(qgap, tgap)
-        score += indel * (qgap - common) + indel * (tgap - common)
+        # the two gap directions carry their own costs (reference
+        # ComputeAlignmentStats scores -indel and -deletion separately)
+        score += ins * (qgap - common) + dele * (tgap - common)
         if common > 0:
             qc = q_codes[bq[j + 1] - common : bq[j + 1]]
             tc = t_codes[bt[j + 1] - common : bt[j + 1]]

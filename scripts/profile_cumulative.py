@@ -37,10 +37,12 @@ def main():
     index = load_index(os.path.join(bench_dir, "genome.fasta"), k=14)
     reads = read_records(os.path.join(bench_dir, "reads.fasta"))
     W = int(os.environ.get("BLASR_PROF_W", "32"))
+    B = int(os.environ.get("BLASR_PROF_B", "64"))
     params = MappingParams(
-        batch_size=64, max_read_len=3328, n_candidates=4,
+        batch_size=B, max_read_len=3328, n_candidates=4,
         n_dp_candidates=cd, anchor_stride=stride, best_n=1,
         max_anchors_per_read=A, narrow_band=W,
+        narrow_band_max=int(os.environ.get("BLASR_PROF_NBMAX", "1536")),
     )
     mapper = Mapper(index, params)
     di = mapper.device_index
@@ -52,7 +54,7 @@ def main():
     codes = jnp.asarray(batches[0].codes)
     lengths = jnp.asarray(batches[0].lengths)
     np.asarray(codes[:1, :1])
-    print(f"backend={jax.default_backend()} stride={stride} CD={cd} A={A}")
+    print(f"backend={jax.default_backend()} B={B} stride={stride} CD={cd} A={A}")
 
     from blasr_tpu.pipeline.mapper import default_use_pallas
 
