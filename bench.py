@@ -75,6 +75,10 @@ def main():
         guided_band=bool(int(os.environ.get("BLASR_BENCH_GUIDED", "0"))),
         narrow_band_max=int(os.environ.get("BLASR_BENCH_NBMAX", "3328")),
         best_n=1,
+        # m4 serving: coordinates+stats only; move strings would dominate
+        # the tunnel d2h (~577 B/read at ~6.5 MB/s). Same setting the -m 4
+        # CLI uses (cli/blasr.py params_from_args).
+        emit_moves=bool(int(os.environ.get("BLASR_BENCH_MOVES", "0"))),
     )
 
     # serving operating point (env-overridable): top-2 windows DP'd per

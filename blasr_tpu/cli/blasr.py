@@ -367,6 +367,11 @@ def params_from_args(args) -> MappingParams:
             if args.useGuidedAlign is None
             else {"guided_band": args.useGuidedAlign}
         ),
+        # -m 4 output is fully determined by coordinates + stats; only
+        # SAM/m0-m5/piecewise consumers replay the per-base move strings,
+        # so the m4 serving path skips shipping them over the host link
+        # (see MappingParams.emit_moves). best_n > 1 forces them back on.
+        emit_moves=bool(args.sam or args.m != 4 or args.alignContigs),
     )
 
 

@@ -217,14 +217,18 @@ def make_qoff_num(L: int, T: int, W: int, diag: int, num) -> "jax.Array":
 
 
 def clamp_knots_to_shared(
-    knots: jax.Array, qoff_shared: jax.Array, W: int, margin: int = 8
+    knots: jax.Array, qoff_shared: jax.Array, W: int, margin: int = 8,
+    max_dev: int | None = None,
 ) -> jax.Array:
-    """Clamp per-item knots to within +-(W - margin) of the shared line.
+    """Clamp per-item knots to within the fetch span of the shared line.
 
     The Pallas guided kernel places its window-block fetches from the
-    SHARED schedule; a per-item schedule can deviate at most ~W lanes
-    before its band leaves the fetched span, so knots are clamped against
-    the shared schedule's value at each knot step. Clamping two monotone
+    SHARED schedule; a per-item schedule can deviate at most the fetched
+    margin before its band leaves the span, so knots are clamped against
+    the shared schedule's value at each knot step. The bound is
+    ``W - margin`` for the unpacked guided kernel (4-block fetch) or an
+    explicit ``max_dev`` (= mL*W - margin for the chunked kernel's wider
+    NB-block fetch, banded_pallas._guided_geometry). Clamping two monotone
     sequences preserves monotonicity and the <= KNOT_SPACING step bound,
     so the {0, 1} per-step delta invariant survives. Must be applied
     BEFORE the schedule is used anywhere (DP and walk see identical
@@ -235,7 +239,7 @@ def clamp_knots_to_shared(
         jnp.arange(NK, dtype=jnp.int32) * KNOT_SPACING, S - 1
     )
     ks = qoff_shared[ak][None, :]
-    c = W - margin
+    c = (W - margin) if max_dev is None else max_dev
     return jnp.clip(knots, ks - c, ks + c)
 
 

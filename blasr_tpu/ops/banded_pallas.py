@@ -62,11 +62,21 @@ import os
 # items per grid row (sublane-dim batching) and anti-diagonals per grid
 # iteration — env-overridable for hardware sweeps (scripts/sweep_dp.py)
 ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "256"))
-UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "2"))
+UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "0"))  # 0 = auto by rows
 # sweep history (I=256, L=1024, W=128, real v5e via tunnel): with
 # block-staged windows IT=32/U=2 23.6 ms, IT=64/U=4 20.4, IT=128/U=2 16.5,
 # IT=256/U=2 15.6, IT=256/U=8 16.9 — large item tiles amortize grid
 # overhead now that per-iter VMEM is 6 (IT, LW) blocks, not full rows
+
+
+def _auto_unroll(rows: int, IT: int) -> int:
+    """Anti-diagonals per grid iteration. Measured round 5 (in-pipeline
+    marginals, scripts/profile_cumulative.py): U=8 at IT=32 costs 4.32 ms
+    vs U=2's 2.72 at the bench point — the _subwin select chains and the
+    longer unrolled body outweigh the saved per-iteration fixed cost at
+    every tile size tried (U=8/IT=256 regressed in round 2 as well). U=2
+    everywhere; BLASR_DP_UNROLL overrides for sweeps."""
+    return 2
 
 
 def _shift(
@@ -87,6 +97,26 @@ def _shift(
     for d in range(lo + 1, hi + 1):
         out = jnp.where(dlt == d, xp[:, padl + d * P : padl + d * P + LW], out)
     return out
+
+
+def _shift_ch(
+    x: jax.Array, dlt: jax.Array, LW: int, W: int, w_ar: jax.Array, fill,
+    lo: int = -1, hi: int = 1,
+) -> jax.Array:
+    """Chunked-layout counterpart of _shift: value at band index w + dlt
+    where band index w = lane % W (P items occupy CONTIGUOUS W-lane chunks
+    instead of interleaved lanes). ``dlt`` may vary per lane (each chunk
+    follows its own guided schedule). A +-1 band shift is a +-1 LANE shift;
+    lanes whose source band index w + d falls outside [0, W) — which
+    includes every cross-chunk leak — get ``fill`` (the band edge)."""
+    padl = 1 if lo < 0 else 0
+    padr = 1 if hi > 0 else 0
+    xp = jnp.pad(x, ((0, 0), (padl, padr)), constant_values=fill)
+    out = xp[:, padl + lo : padl + lo + LW]
+    for d in range(lo + 1, hi + 1):
+        out = jnp.where(dlt == d, xp[:, padl + d : padl + d + LW], out)
+    wt = w_ar + dlt
+    return jnp.where((wt >= 0) & (wt < W), out, fill)
 
 
 def _subwin(rolled: jax.Array, off: jax.Array, LW: int, P: int, max_off: int) -> jax.Array:
@@ -141,11 +171,26 @@ def _cell_dtype_for(scores: AlignScores, L: int, T: int):
     return np.int32, np.int32(INF)
 
 
+def _guided_geometry(guided: bool, P: int, W: int) -> tuple[int, int]:
+    """(NB, mL): fetched window blocks per array and blocks LEFT of the
+    shared line. Non-guided packed mode reads 3 blocks at the shared
+    offset; guided unpacked (P=1) fetches 4 from one block left (per-item
+    deviation clamp +-(W-8) = +-120 at W=128); chunked guided (P>1)
+    fetches a wider span per chunk so narrow bands keep a useful clamp:
+    W=32 -> 8 blocks (span 256, clamp +-88), W=64 -> 6 (span 384, +-120).
+    Clamp bound = mL*W - 8 (clamp_knots_to_shared's max_dev)."""
+    if not guided:
+        return 3, 0
+    if P == 1:
+        return 4, 1
+    return (8, 3) if W == 32 else (6, 2)
+
+
 def _make_kernel(
     scores: AlignScores, S: int, W: int, P: int, IT: int, Tp: int,
     with_traceback: bool, with_qual: bool, cdt, inf_k,
     qual_dual: bool = False,
-    guided: bool = False, NKp: int = 0,
+    guided: bool = False, NKp: int = 0, U: int = 2,
 ):
     m_sc = cdt(scores.match)
     x_sc = cdt(scores.mismatch)
@@ -154,10 +199,10 @@ def _make_kernel(
     del_sc = cdt(scores.deletion)
     go = cdt(scores.affine_open)
     ge = cdt(scores.affine_extend)
-    U = UNROLL
     LW = W * P
 
-    NB = 4 if guided else 3                # fetched window blocks per array
+    chunked = guided and P > 1             # per-item guides in a packed band
+    NB, mL = _guided_geometry(guided, P, W)
 
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
@@ -204,14 +249,100 @@ def _make_kernel(
             # kernel time)
             Hbs[:] = jnp.zeros((IT, LW), cdt)
             Abs_[:] = jnp.zeros((IT, LW), jnp.int32)
-            if guided:
+            if chunked:
+                # schedule value at a = 0 is knot 0 exactly -> s1(0) = 0;
+                # per-lane: chunk p's knot 0 broadcast over its W lanes
+                qo_prev_s[:] = jnp.concatenate(
+                    [
+                        jnp.broadcast_to(
+                            kn_ref[:, p * NKp : p * NKp + 1], (IT, W)
+                        )
+                        for p in range(P)
+                    ],
+                    axis=1,
+                )
+                s_prev_s[:] = jnp.zeros((IT, LW), jnp.int32)
+            elif guided:
                 # schedule value at a = 0 is knot 0 exactly -> s1(0) = 0
                 qo_prev_s[:] = kn_ref[:, 0:1]
                 s_prev_s[:] = jnp.zeros((IT, 1), jnp.int32)
 
         a0 = it * U
         qo0 = qoff_ref[a0]
-        if guided:
+        if chunked:
+            # ---- chunked guided mode: P items per row in CONTIGUOUS
+            # W-lane chunks (lane = W*p + w), each following its OWN knot
+            # schedule — the reference's per-read guide (GuidedAlign.h:104)
+            # inside a packed narrow band. The shared line places the
+            # NB-block fetches; each chunk's span is assembled by static
+            # slices and rolled per ROW (one item per row per chunk array,
+            # so _roll_item's per-row conditional rolls apply). Knots are
+            # clamped to +-(mL*W - 8) of the shared line by the caller.
+            j0 = a0 >> KNOT_LOG2
+            kn = kn_ref[:]
+            k0s, k1s, k2s = [], [], []
+            for p in range(P):
+                knp = kn[:, p * NKp : (p + 1) * NKp]
+                kroll = pltpu.roll(knp, shift=(NKp - j0) % NKp, axis=1)
+                k0s.append(kroll[:, 0:1])
+                k1s.append(kroll[:, 1:2])
+                k2s.append(kroll[:, 2:3])
+
+            def qoff_item_p(p, u):
+                a = a0 + u
+                jr = (a >> KNOT_LOG2) - j0     # 0 or 1 (KS >= U)
+                r = a & (KNOT_SPACING - 1)
+                ka = jnp.where(jr == 0, k0s[p], k1s[p])
+                kb = jnp.where(jr == 0, k1s[p], k2s[p])
+                return (ka * (KNOT_SPACING - r) + kb * r) >> KNOT_LOG2
+
+            def bc(vs):                        # P x (IT, 1) -> (IT, LW)
+                return jnp.concatenate(
+                    [jnp.broadcast_to(v, (IT, W)) for v in vs], axis=1
+                )
+
+            qo_base_p = [qoff_item_p(p, 0) for p in range(P)]
+            qo_base = bc(qo_base_p)            # (IT, LW) per-lane
+
+            def qoff_item(u):                  # per-lane schedule value
+                return bc([qoff_item_p(p, u) for p in range(P)])
+
+            qin = jnp.maximum(qo0 // W - mL, 0) * W
+            qb = [b[:] for b in qblk]
+            tbv = [b[:] for b in tblk]
+            qub = [b[:] for b in qublk] if with_qual else None
+            tb_sh = ((Tp - 1 - W) - (a0 - qo0) - (U - 1)) // W
+            tin = jnp.maximum(tb_sh - mL, 0) * W
+            qrolls, trolls, qurolls = [], [], []
+            for p in range(P):
+                sl = slice(W * p, W * (p + 1))
+                qspan = jnp.concatenate([b[:, sl] for b in qb], axis=1)
+                qrolls.append(_roll_item(qspan, qo_base_p[p] - qin))
+                tbase_p = (Tp - 1 - W) - (a0 - qo_base_p[p]) - (U - 1)
+                tspan = jnp.concatenate([b[:, sl] for b in tbv], axis=1)
+                trolls.append(_roll_item(tspan, tbase_p - tin))
+                if with_qual:
+                    quspan = jnp.concatenate([b[:, sl] for b in qub], axis=1)
+                    qurolls.append(_roll_item(quspan, qo_base_p[p] - qin))
+            # U candidate windows per array (offset o from each chunk's
+            # base); the substep selects per lane by its chunk's qd
+            qcand = [
+                jnp.concatenate([r_[:, o : o + W] for r_ in qrolls], axis=1)
+                for o in range(U)
+            ]
+            tcand = [
+                jnp.concatenate([r_[:, o : o + W] for r_ in trolls], axis=1)
+                for o in range(U)
+            ]
+            qucand = None
+            if with_qual:
+                qucand = [
+                    jnp.concatenate(
+                        [r_[:, o : o + W] for r_ in qurolls], axis=1
+                    )
+                    for o in range(U)
+                ]
+        elif guided:
             # Per-item guided schedules (banded_align.make_qoff_knots): the
             # shared prefetched schedule only PLACES the 4-block fetch; each
             # item's band offset comes from its own knot lerp, clamped by
@@ -282,8 +413,17 @@ def _make_kernel(
         Ab = Abs_[:]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (IT, LW), 1)
-        w_ar = lane // P if P > 1 else lane         # band index per lane
+        if chunked:
+            w_ar = lane % W                         # chunk-local band index
+        else:
+            w_ar = lane // P if P > 1 else lane     # band index per lane
         inf = jnp.asarray(inf_k)
+        if chunked:
+            def shf(x, dlt, fill):
+                return _shift_ch(x, dlt, LW, W, w_ar, fill)
+        else:
+            def shf(x, dlt, fill):
+                return _shift(x, dlt, LW, P, fill)
         # int16 mode: masks must be born in the (16,128)-tile domain —
         # Mosaic cannot relayout an (8,128) i1 mask from int32 compares
         # onto int16 lanes — so position math and code compares run in cdt
@@ -304,7 +444,7 @@ def _make_kernel(
         for u in range(U):
             a = a0 + u
             if guided:
-                qo = qoff_item(u)              # (IT, 1)
+                qo = qoff_item(u)              # (IT, 1) / chunked (IT, LW)
                 s1 = qo - qo_prev              # in {0, 1} by construction
                 s2 = s_prev
                 qo_prev = qo
@@ -316,10 +456,17 @@ def _make_kernel(
                 if u > 0:
                     qd = qd + s1
                 qo = qo0 + qd
-            qwin = _subwin(qroll, qd, LW, P, U - 1)
             # tstart(a) - tbase = (U - 1) + (qd - u), in {0..U-1}
             toff = (U - 1) + qd - u
-            twin = _subwin(troll, toff, LW, P, U - 1)
+            if chunked:
+                qwin = qcand[0]
+                twin = tcand[0]
+                for o in range(1, U):
+                    qwin = jnp.where(qd == o, qcand[o], qwin)
+                    twin = jnp.where(toff == o, tcand[o], twin)
+            else:
+                qwin = _subwin(qroll, qd, LW, P, U - 1)
+                twin = _subwin(troll, toff, LW, P, U - 1)
 
             qwin = cast(qwin)
             twin = cast(twin)
@@ -334,7 +481,12 @@ def _make_kernel(
             )
 
             if with_qual:
-                quwin = _subwin(quroll, qd, LW, P, U - 1)
+                if chunked:
+                    quwin = qucand[0]
+                    for o in range(1, U):
+                        quwin = jnp.where(qd == o, qucand[o], quwin)
+                else:
+                    quwin = _subwin(quroll, qd, LW, P, U - 1)
                 if qual_dual:
                     # IDS dual streams: low byte = sq (mismatch scale),
                     # high byte = iq (insertion scale)
@@ -357,13 +509,13 @@ def _make_kernel(
                 anyn = (qwin >= 4) | (twin >= 4)
                 sub = jnp.where(eq, m_sc, jnp.where(anyn, n_sc, x_cell))
 
-            H1_up = _shift(H1, s1 - 1, LW, P, fill=inf_k)
-            H1_left = _shift(H1, s1, LW, P, fill=inf_k)
-            E1_left = _shift(E1, s1, LW, P, fill=inf_k)
-            F1_up = _shift(F1, s1 - 1, LW, P, fill=inf_k)
-            H2_diag = _shift(H2, s1 + s2 - 1, LW, P, fill=inf_k)
-            R2_diag = _shift(R2, s1 + s2 - 1, LW, P, fill=cdt(0))
-            M2_diag = _shift(M2, s1 + s2 - 1, LW, P, fill=cdt(0))
+            H1_up = shf(H1, s1 - 1, inf_k)
+            H1_left = shf(H1, s1, inf_k)
+            E1_left = shf(E1, s1, inf_k)
+            F1_up = shf(F1, s1 - 1, inf_k)
+            H2_diag = shf(H2, s1 + s2 - 1, inf_k)
+            R2_diag = shf(R2, s1 + s2 - 1, cdt(0))
+            M2_diag = shf(M2, s1 + s2 - 1, cdt(0))
 
             e_open = H1_left + go
             E_new = jnp.minimum(E1_left, e_open) + ge
@@ -461,7 +613,9 @@ def _make_kernel(
             # (first step, then first lane) tie order exactly
             H32 = Hb if cdt == np.int32 else Hb.astype(jnp.int32)
             big = jnp.int32(INF)
-            par = lane - w_ar * P
+            # item-selection mask per packed slot: interleaved parity
+            # (lane % P) or contiguous chunk (lane // W)
+            par = (lane // W) if chunked else (lane - w_ar * P)
             mins, amins, wmins = [], [], []
             for p in range(P):
                 Hp = jnp.where(par == p, H32, big) if P > 1 else H32
@@ -486,6 +640,21 @@ def _interleave(x: jax.Array, P: int) -> jax.Array:
     """(I, N) -> (I//P, N*P) with column P*j+p = x[P*r+p, j]."""
     I, N = x.shape
     return x.reshape(I // P, P, N).transpose(0, 2, 1).reshape(I // P, N * P)
+
+
+def _chunk_blocks(x: jax.Array, P: int, W: int) -> jax.Array:
+    """(I, N) -> (I//P, N*P) block-chunked: 128-lane block jb holds the
+    W-wide source block jb of all P chunk items — column
+    128*jb + W*p + w = x[P*r+p, W*jb + w]. The chunked guided kernel's
+    block fetches then cover the same source span for every chunk while
+    each chunk's lanes stay CONTIGUOUS (per-chunk static slicing works)."""
+    I, N = x.shape
+    nb = N // W
+    return (
+        x.reshape(I // P, P, nb, W)
+        .transpose(0, 2, 1, 3)
+        .reshape(I // P, N * P)
+    )
 
 
 @functools.partial(
@@ -522,8 +691,8 @@ def banded_align_pallas(
     P = 128 // W if W < 128 else 1      # packed items per lane row
     LW = W * P
     guided = qoff_knots is not None
+    chunked = guided and W < 128
     if guided:
-        assert P == 1, "guided schedules need an unpacked band (W >= 128)"
         assert L >= W and qoff_knots.shape[0] == I0
     tlo = jnp.maximum(tlo, 0)  # kernel relies on tlo >= 0 (see valid mask)
     # rows after packing must tile; items pad to IT*P. Per-iter VMEM scales
@@ -548,11 +717,13 @@ def banded_align_pallas(
     R = I // P
 
     # rows sized to a whole number of W-wide blocks: the grid fetches the
-    # 3 blocks covering the moving window (scalar-prefetch index maps), so
-    # coverage must exist for block j..j+2 at the largest window start
-    Lq = (L // W + 3) * W
+    # NB blocks covering the moving window (scalar-prefetch index maps)
+    # starting mL blocks left of the shared line, so coverage must exist
+    # for the largest fetched block index
+    NB, mL = _guided_geometry(guided, P, W)
+    Lq = (L // W + NB - mL) * W
     Tp = T + 2 * W
-    Lt = ((Tp - 1 - W) // W + 3) * W
+    Lt = ((Tp - 1 - W) // W + NB - mL) * W
     qext = jnp.pad(
         query.astype(jnp.int32), ((0, 0), (0, Lq - L)), constant_values=4
     )
@@ -561,9 +732,10 @@ def banded_align_pallas(
     ]
     trev = jnp.pad(trev, ((0, 0), (0, Lt - Tp)), constant_values=5)
 
-    # steps grouped UNROLL per grid iteration; pad the step arrays
-    NIT = -(-S // UNROLL)
-    S2p = NIT * UNROLL
+    # steps grouped U per grid iteration; pad the step arrays
+    U = UNROLL if UNROLL else _auto_unroll(R, IT)
+    NIT = -(-S // U)
+    S2p = NIT * U
     qoff = qoff.astype(jnp.int32)
     s1 = jnp.diff(qoff, prepend=qoff[:1])
     s2 = jnp.concatenate([jnp.zeros(1, jnp.int32), s1[:-1]])
@@ -581,15 +753,27 @@ def banded_align_pallas(
             constant_values=(15 | (15 << 8)) if qual_dual else 15,
         )
     if P > 1:
-        qext = _interleave(qext, P)
-        trev = _interleave(trev, P)
-        if with_qual:
-            quext = _interleave(quext, P)
+        if chunked:
+            qext = _chunk_blocks(qext, P, W)
+            trev = _chunk_blocks(trev, P, W)
+            if with_qual:
+                quext = _chunk_blocks(quext, P, W)
 
-        def _scal(x):  # (I,) -> (R, LW) interleaved broadcast
-            return jnp.broadcast_to(
-                x.astype(jnp.int32).reshape(R, 1, P), (R, W, P)
-            ).reshape(R, LW)
+            def _scal(x):  # (I,) -> (R, LW) chunk-contiguous broadcast
+                return jnp.broadcast_to(
+                    x.astype(jnp.int32).reshape(R, P, 1), (R, P, W)
+                ).reshape(R, LW)
+
+        else:
+            qext = _interleave(qext, P)
+            trev = _interleave(trev, P)
+            if with_qual:
+                quext = _interleave(quext, P)
+
+            def _scal(x):  # (I,) -> (R, LW) interleaved broadcast
+                return jnp.broadcast_to(
+                    x.astype(jnp.int32).reshape(R, 1, P), (R, W, P)
+                ).reshape(R, LW)
 
         qlen_in = _scal(qlen)
         tlo_in = _scal(tlo)
@@ -613,10 +797,13 @@ def banded_align_pallas(
             qoff_knots.astype(jnp.int32), ((0, 0), (0, NKp - NK)),
             mode="edge",
         )
+        if chunked:
+            # chunk p's knots at columns [p*NKp, (p+1)*NKp) of its row
+            kn_in = kn_in.reshape(R, P * NKp)
     cdt, inf_k = _cell_dtype_for(scores, L, T)
     kernel = _make_kernel(
         scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k,
-        qual_dual, guided=guided, NKp=NKp,
+        qual_dual, guided=guided, NKp=NKp, U=U,
     )
 
     out_shapes = [
@@ -633,23 +820,20 @@ def banded_align_pallas(
         out_shapes = [jax.ShapeDtypeStruct((S2p, R, LW), jnp.uint16)] + out_shapes
         out_specs = [
             pl.BlockSpec(
-                (UNROLL, IT, LW), lambda i, s, *_: (s, i, 0),
+                (U, IT, LW), lambda i, s, *_: (s, i, 0),
                 memory_space=pltpu.VMEM,
             )
         ] + out_specs
 
-    U = UNROLL
-    NB = 4 if guided else 3
-
     def _wspec(block_off):
         # query window block: covers band cols [jq*W, (jq+1)*W) (packed
         # cols [jq*LW, (jq+1)*LW)) with jq from the prefetched band offset.
-        # Guided mode fetches 4 blocks from one block LEFT of the shared
-        # line (clamped at 0) so per-item deviations up to +-(W-8) stay
-        # inside the span.
+        # Guided modes fetch NB blocks from mL blocks LEFT of the shared
+        # line (clamped at 0) so per-item deviations up to +-(mL*W - 8)
+        # stay inside the span.
         if guided:
             def _map(i, s, qoff, s1, s2, _o=block_off):
-                return (i, jnp.maximum(qoff[s * U] // W - 1, 0) + _o)
+                return (i, jnp.maximum(qoff[s * U] // W - mL, 0) + _o)
         else:
             def _map(i, s, qoff, s1, s2, _o=block_off):
                 return (i, qoff[s * U] // W + _o)
@@ -660,7 +844,7 @@ def banded_align_pallas(
         def _map(i, s, qoff, s1, s2, _o=block_off):
             tb = ((Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)) // W
             if guided:
-                tb = jnp.maximum(tb - 1, 0)
+                tb = jnp.maximum(tb - mL, 0)
             return (i, tb + _o)
 
         return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
@@ -668,8 +852,8 @@ def banded_align_pallas(
     wspecs = [_wspec(o) for o in range(NB)]
     tspecs = [_tspec(o) for o in range(NB)]
     kn_specs = (
-        [pl.BlockSpec((IT, NKp), lambda i, s, *_: (i, 0),
-                      memory_space=pltpu.VMEM)]
+        [pl.BlockSpec((IT, P * NKp if chunked else NKp),
+                      lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM)]
         if guided else []
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -690,8 +874,10 @@ def banded_align_pallas(
             pltpu.VMEM((IT, LW), cdt),        # Hb (per-lane running best)
             pltpu.VMEM((IT, LW), jnp.int32),  # Ab (step achieving Hb)
         ] + (
-            [pltpu.VMEM((IT, 1), jnp.int32),  # qo_prev (guided schedule)
-             pltpu.VMEM((IT, 1), jnp.int32)]  # s_prev
+            # guided schedule state: per-lane for chunked (each chunk has
+            # its own schedule), per-row for unpacked guided
+            [pltpu.VMEM((IT, LW if chunked else 1), jnp.int32),  # qo_prev
+             pltpu.VMEM((IT, LW if chunked else 1), jnp.int32)]  # s_prev
             if guided else []
         ),
     )

@@ -82,7 +82,9 @@ def packed_width(S: int) -> int:
     return (S2 + 3) // 4
 
 
-@functools.partial(jax.jit, static_argnames=("qoff_params", "pack"))
+@functools.partial(
+    jax.jit, static_argnames=("qoff_params", "pack", "pack_layout")
+)
 def walk_arrows_device(
     arrows: jax.Array,   # (S, IA, W) uint16 (pack>1: (S, IA//pack, W*pack))
     qoff: jax.Array,     # (S,) int32
@@ -96,6 +98,9 @@ def walk_arrows_device(
     qoff_num: jax.Array | None = None,  # traced slope numerator (QOFF_SHIFT fp)
     pack: int = 1,
     qoff_knots: jax.Array | None = None,  # (I, NK) per-item guided knots
+    pack_layout: str = "interleave",  # packed lane order: "interleave"
+                                      # (lane = pack*w + p) or "chunk"
+                                      # (lane = W*p + w, chunked guided)
 ) -> DeviceTraceback:
     """Walk I paths through an (S, IA, W) arrow tensor.
 
@@ -108,7 +113,7 @@ def walk_arrows_device(
     identical fixed-point arithmetic.
 
     ``pack`` mirrors the Pallas kernel's item packing: pack items share an
-    arrow row with band lanes interleaved (lane = pack*w + item%pack).
+    arrow row with band lanes laid out per ``pack_layout``.
     """
     if pack > 1:
         S, IAr, WL = arrows.shape
@@ -192,7 +197,13 @@ def walk_arrows_device(
         nmatch, nmis, nins, ndel = stats
         ac = jnp.clip(a, 0, S - 1)
         wc = jnp.clip(w, 0, W - 1)
-        if pack > 1:
+        if pack > 1 and pack_layout == "chunk":
+            # contiguous chunks: row ii//pack, lane W*(ii%pack) + w
+            byte = flat[
+                (ac * (IA // pack) + ii // pack) * (W * pack)
+                + (ii % pack) * W + wc
+            ].astype(jnp.int32)
+        elif pack > 1:
             # interleaved lanes: row ii//pack, lane pack*w + ii%pack
             byte = flat[
                 (ac * (IA // pack) + ii // pack) * (W * pack)

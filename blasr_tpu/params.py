@@ -138,6 +138,18 @@ class MappingParams:
                                       # schedule instead of the shared
                                       # drift-slope line, so the full band
                                       # stays at base width at every length
+    emit_moves: bool = True           # ship per-alignment 2-bit move
+                                      # strings over the host link. m4
+                                      # output needs only coordinates+stats
+                                      # (already in sel_ints), and the d2h
+                                      # tunnel pays ~6.5 MB/s — at ~577 B of
+                                      # packed moves per read the m4 serving
+                                      # path is TRANSFER-bound, so the plain
+                                      # -m 4 CLI/bench turn this off.
+                                      # Forced on when best_n > 1 (the
+                                      # secondary SDP admission replays
+                                      # path.ops); SAM/m0-m5/piecewise
+                                      # consumers require it on.
     nproc: int = 1                    # host worker threads for IO/traceback
     ndevices: int = 1                 # chips used by the serving path:
                                       # 1 = default device, 0 = all visible,

@@ -616,7 +616,7 @@ def _map_batch_impl(
     # stays inside the base-width band — long buckets keep W=128 instead
     # of the length-scaled fallback (params.band_width_for).
     knots = None
-    if params.guided_band and W >= 128 and L >= W:
+    if params.guided_band and L >= W:
         S_dp = L + T - 1
         atr_g = at[row]                                     # (I, A)
         aqr_g = aq[row]
@@ -628,7 +628,17 @@ def _map_batch_impl(
             2 * aqr_g + din_g + pad2, aqr_g - W // 2, m_g,
             S_dp, L, W, diag=pad2, num=qoff_num,
         )
-        knots = clamp_knots_to_shared(knots, qoff, W)
+        if W < 128:
+            # chunked guided narrow band: the NB-block fetch span allows
+            # deviations up to mL*W - 8 (banded_pallas._guided_geometry)
+            from blasr_tpu.ops.banded_pallas import _guided_geometry
+
+            _, mL_g = _guided_geometry(True, 128 // W, W)
+            knots = clamp_knots_to_shared(
+                knots, qoff, W, max_dev=mL_g * W - 8
+            )
+        else:
+            knots = clamp_knots_to_shared(knots, qoff, W)
 
     t0f = d0 - pad2                                         # (I,) global
 
@@ -704,6 +714,11 @@ def _map_batch_impl(
         qoff_num=qoff_num,
         pack=(128 // W) if (use_pallas and W < 128) else 1,
         qoff_knots=knots,
+        pack_layout=(
+            "chunk"
+            if (knots is not None and use_pallas and W < 128)
+            else "interleave"
+        ),
     )
 
     if stop_after == "walk":
@@ -841,14 +856,22 @@ def _map_batch_impl(
         [sc, sv.astype(jnp.int32)], axis=1
     ).astype(jnp.int32)
 
-    moves_sel = tb.moves_codes[sel_item]
+    emit_moves = params.emit_moves or params.best_n > 1
+    moves_sel = tb.moves_codes[sel_item] if emit_moves else None
     if stop_after == "presel":
         return _probe(sel_ints, read_ints, moves_sel)
+    if emit_moves:
+        moves_packed = pack_codes_rows(
+            moves_sel, tb.nops[sel_item], packed_width(L + T - 1)
+        )
+    else:
+        # m4-style serving: coordinates and stats (sel_ints) fully
+        # determine the output; the move strings would dominate the d2h
+        # wire (~577 B/read through a ~6.5 MB/s link)
+        moves_packed = jnp.zeros((sel_item.shape[0], 0), jnp.uint8)
     return MapBatchResult(
         sel_ints=sel_ints,
-        moves_packed=pack_codes_rows(
-            moves_sel, tb.nops[sel_item], packed_width(L + T - 1)
-        ),
+        moves_packed=moves_packed,
         read_ints=read_ints,
     )
 
@@ -942,7 +965,7 @@ class Mapper:
         return WireResult(
             wire=wire,
             i2=B * p.best_n,
-            p=packed_width(S),
+            p=packed_width(S) if (p.emit_moves or p.best_n > 1) else 0,
             b=B,
             rcols=2 * p.dp_candidates,
         )

@@ -425,9 +425,14 @@ def _paths_from_device(res) -> list[Optional[AlignmentPath]]:
                 t_start=int(res.t_start[i]),
                 t_end=int(res.t_end[i]),
                 # ops materialize lazily from the packed walk output; the
-                # native SAM assembly consumes the packed form directly
+                # native SAM assembly consumes the packed form directly.
+                # emit_moves=False serving ships no move strings at all
+                # (coordinate/stat output formats only)
                 ops=None,
-                packed=res.moves_packed[i],
+                packed=(
+                    res.moves_packed[i]
+                    if res.moves_packed.shape[1] else None
+                ),
                 packed_nops=int(res.nops[i]),
                 score=int(res.sel_score[i]),
                 n_match=int(res.n_match[i]),
@@ -476,6 +481,78 @@ def _finalize_batch(
         if path is None or not valid[i2]:
             continue
         score = int(scores[i2])
+        rank = i2 % params.best_n
+        if rank >= 1 and genome_host is not None:
+            # -bestn secondary admission + geometry, reference semantics:
+            # each candidate interval's reported alignment is its SDPAlign
+            # (Local, detailed) result and the -maxScore cut acts on THAT
+            # score (AlignIntervals Blasr.cpp:1716-1724 ->
+            # RemoveLowQualityAlignments :2618 truncation). A secondary
+            # whose seed chain supports only part of the read scores far
+            # above -maxScore there even though its best LOCAL subpath
+            # (our DP score) passes — and when it IS admitted, the
+            # reference's span follows the chain, not the full-window
+            # local path. Primaries keep our local DP record (strictly
+            # better scores; documented divergence).
+            if b in sdp_dead:
+                continue
+            from blasr_tpu.pipeline.secondary_refine import (
+                blocks_to_ops, revcomp_codes, sdp_interval_align,
+                stats_from_blocks)
+
+            n_b = int(batch.lengths[b])
+            qc = batch.codes[b, :n_b]
+            if int(strand[i2]) == 1:
+                qc = revcomp_codes(qc)
+            t0_i = int(t0[i2])
+            T_w = batch.codes.shape[1] + params.target_pad
+            g_mid = t0_i + (path.t_start + path.t_end) // 2
+            ci_w = int(seqdb.contig_of(min(max(g_mid, 0),
+                                           seqdb.total_length - 1)))
+            c_lo = int(seqdb.starts[ci_w])
+            c_hi = c_lo + int(seqdb.lengths()[ci_w])
+            w_lo = max(t0_i, c_lo)
+            w_hi = min(t0_i + T_w, c_hi)
+            window = genome_host[w_lo:w_hi]
+            sdp_sc, sdp_blocks = sdp_interval_align(
+                qc, window,
+                word=params.sdp_tuple_size,
+                match=params.match_score, mismatch=params.mismatch_score,
+                ins=params.insertion_score, dele=params.deletion_score,
+                indel_rate=params.indel_rate * 3,
+            )
+            if not sdp_blocks or sdp_sc > params.max_score:
+                # sorted-list truncation: reference drops this and every
+                # later-ranked record of the read (Blasr.cpp:2063-2070)
+                sdp_dead.add(b)
+                continue
+            # geometry: keep our (better-scoring) record when it covers
+            # the same span; adopt the reference's chain-derived span when
+            # the two disagree (the guided-vs-free span tail)
+            q_s2 = sdp_blocks[0][0]
+            q_e2 = sdp_blocks[-1][0] + sdp_blocks[-1][2]
+            t_s2 = w_lo + sdp_blocks[0][1] - t0_i
+            t_e2 = w_lo + sdp_blocks[-1][1] + sdp_blocks[-1][2] - t0_i
+            def _agree(lo1, hi1, lo2, hi2):
+                ov = min(hi1, hi2) - max(lo1, lo2)
+                return ov / max(hi1 - lo1, hi2 - lo2, 1) >= 0.9
+            if not (
+                _agree(path.q_start, path.q_end, q_s2, q_e2)
+                and _agree(path.t_start, path.t_end, t_s2, t_e2)
+            ):
+                nm, nx, ni, nd = stats_from_blocks(
+                    sdp_blocks, qc, window
+                )
+                from blasr_tpu.pipeline.traceback import AlignmentPath
+
+                path = AlignmentPath(
+                    q_start=q_s2, q_end=q_e2,
+                    t_start=t_s2, t_end=t_e2,
+                    ops=blocks_to_ops(sdp_blocks),
+                    score=sdp_sc,
+                    n_match=nm, n_mismatch=nx, n_ins=ni, n_del=nd,
+                )
+                score = sdp_sc
         if score > params.max_score:
             continue
         if path.pct_similarity < params.min_pct_similarity:
@@ -490,35 +567,6 @@ def _finalize_batch(
         g_end = int(t0[i2]) + path.t_end
         if g_start < 0 or g_end > seqdb.total_length:
             continue
-        rank = i2 % params.best_n
-        if rank >= 1 and genome_host is not None:
-            # -bestn secondary admission, reference semantics: the -maxScore
-            # cut acts on the interval's SDP block-chain score
-            # (RemoveLowQualityAlignments pre-refine, Blasr.cpp:1994+) — a
-            # secondary whose seed chain supports only part of the read
-            # rescores far above -maxScore there even though its best LOCAL
-            # subpath (our DP score, already tested above) passes. Primaries
-            # keep the local gate (ours maps strictly more primaries, a
-            # documented divergence).
-            if b in sdp_dead:
-                continue
-            from blasr_tpu.pipeline.secondary_refine import (
-                revcomp_codes, sdp_block_score)
-
-            n_b = int(batch.lengths[b])
-            qc = batch.codes[b, :n_b]
-            if int(strand[i2]) == 1:
-                qc = revcomp_codes(qc)
-            sdp_sc = sdp_block_score(
-                qc, genome_host, path.ops,
-                path.q_start, g_start,
-                match=params.match_score, mismatch=params.mismatch_score,
-                ins=params.insertion_score, dele=params.deletion_score,
-                min_run=params.sdp_tuple_size,
-            )
-            if sdp_sc > params.max_score:
-                sdp_dead.add(b)
-                continue
         ci = int(seqdb.contig_of(g_start))
         c_off = int(seqdb.starts[ci])
         c_len = int(lens[ci])

@@ -103,3 +103,654 @@ def revcomp_codes(codes: np.ndarray) -> np.ndarray:
     """Reverse complement of 0..4 codes (4 = N maps to itself)."""
     comp = np.array([3, 2, 1, 0, 4], np.uint8)
     return comp[codes[::-1]]
+
+
+# ---------------------------------------------------------------------------
+# Reference-faithful SDP interval alignment (the -bestn secondary scorer).
+#
+# Role of SDPAlign(..., Local, detailed) as called from AlignIntervals
+# (Blasr.cpp:1716-1724) — the alignment whose ComputeAlignmentStats score
+# feeds RemoveLowQualityAlignments' -maxScore truncation (Blasr.cpp:2618,
+# 2022-2090). A secondary interval whose seed chain supports only part of
+# the read scores far above -maxScore THERE (the chain-global replay pays
+# for every gap), even though its best LOCAL subpath — our DP score —
+# passes; this is the round-4-identified -bestn tail mechanism. The
+# pipeline emits the primary from its own (better-scoring) local DP and
+# runs this aligner for rank >= 1 candidates only.
+# ---------------------------------------------------------------------------
+
+
+def _kmer_match_positions(q, t, k, q_off=0, t_off=0):
+    """Exact k-mer matches (StoreMatchingPositions, TupleMatching.h:37-61):
+    every (query pos, target pos) pair with identical N-free k-mers."""
+    if len(q) < k or len(t) < k:
+        return []
+    base = np.int64(5)
+
+    def keys(s):
+        s = s.astype(np.int64)
+        ok = np.ones(len(s) - k + 1, bool)
+        key = np.zeros(len(s) - k + 1, np.int64)
+        mul = np.int64(1)
+        for j in range(k):
+            w = s[j : j + len(key)]
+            key += w * mul
+            ok &= w < 4
+            mul *= base
+        return key, ok
+
+    tk, tok = keys(t)
+    qk, qok = keys(q)
+    order = np.argsort(tk[tok], kind="stable")
+    t_pos = np.flatnonzero(tok)[order]
+    t_sorted = tk[tok][order]
+    out = []
+    for qi in np.flatnonzero(qok):
+        lo = np.searchsorted(t_sorted, qk[qi], side="left")
+        hi = np.searchsorted(t_sorted, qk[qi], side="right")
+        for ti in t_pos[lo:hi]:
+            out.append((int(qi) + q_off, int(ti) + t_off))
+    return out
+
+
+class _Frag:
+    __slots__ = ("x", "y", "length", "weight", "cost", "chain_prev",
+                 "chain_len", "above", "index")
+
+    def __init__(self, x, y, length, weight):
+        self.x = x
+        self.y = y
+        self.length = length
+        self.weight = weight
+        self.cost = 0
+        self.chain_prev = -1
+        self.chain_len = 0
+        self.above = -1
+        self.index = -1
+
+
+def _sdp_chain_local(frags, k, sdp_ins, sdp_del, match):
+    """SDPLongestCommonSubsequence (SparseDynamicProgramming.h:71-322),
+    Local variant: Baker–Giancarlo sweep with the reference's exact
+    transition structure — colSet (retired fragments, per-column minima
+    with the suffix invariant), sweepSet (fragments within the last k
+    rows, ordered by DIAGONAL y-x then x; SDPFragment.h:78-90), and the
+    precomputed 'above' neighbour (StoreAbove). Returns the min-cost chain
+    as a list of fragment indices (start -> end)."""
+    import bisect
+
+    if not frags:
+        return []
+    INF = 1 << 60
+    frags.sort(key=lambda f: (f.x, f.y))
+    for i, f in enumerate(frags):
+        f.index = i
+    # StoreAbove: in (y, x) order, mark the immediate predecessor that
+    # overlaps in x and has smaller y
+    by_y = sorted(frags, key=lambda f: (f.y, f.x))
+    for i in range(1, len(by_y)):
+        p, c = by_y[i - 1], by_y[i]
+        if p.x <= c.x < p.x + p.length and p.y < c.y:
+            c.above = p.index
+
+    sweep_keys = []   # sorted (diag, x) keys
+    sweep_vals = []   # fragment refs, parallel
+    col_keys = []     # sorted column values
+    col_vals = []     # optFragment index, parallel
+
+    min_cost, min_idx = INF, -1
+    f_sweep = 0
+    f_trail = 0
+    n = len(frags)
+    row0 = frags[0].x
+    qlen_rows = max(f.x for f in frags) + k + 1
+    for row in range(row0, qlen_rows + 1):
+        start_f = f_sweep
+        while f_sweep < n and frags[f_sweep].x == row:
+            cur = frags[f_sweep]
+            cp = cl = ca = INF
+            found = False
+            # colSet predecessor: greatest col < cur.y
+            j = bisect.bisect_left(col_keys, cur.y) - 1
+            if j >= 0:
+                pf = frags[col_vals[j]]
+                cp = (
+                    pf.cost
+                    + int(np.sqrt(abs((cur.x + cur.y) - (pf.x + pf.y))))
+                    - k
+                )
+                cp_prev = col_vals[j]
+                found = True
+            # sweepSet predecessor: greatest (diag, x) < (cur diag, cur x)
+            j = bisect.bisect_left(sweep_keys, (cur.y - cur.x, cur.x)) - 1
+            if j >= 0:
+                pf = sweep_vals[j]
+                drift = (cur.x - cur.y) - (pf.x - pf.y)
+                pen = drift * sdp_ins if drift > 0 else -drift * sdp_del
+                cl = (
+                    pf.cost
+                    + min((k - (cur.y - pf.y)) * match, 0)
+                    + pen
+                )
+                cl_prev = pf.index
+                found = True
+            if cur.above >= 0:
+                pf = frags[cur.above]
+                drift = (cur.x - cur.y) - (pf.x - pf.y)
+                pen = drift * sdp_ins if drift > 0 else -drift * sdp_del
+                ca = (
+                    pf.cost
+                    + (k - (cur.y - pf.y)) * match
+                    + pen
+                )
+                found = True
+            mc = min(cp, cl, ca)
+            if found and mc < 0:          # Local: extend only paying chains
+                cur.cost = mc - cur.weight
+                if mc == cp:
+                    cur.chain_prev = cp_prev
+                elif mc == cl:
+                    cur.chain_prev = cl_prev
+                else:
+                    cur.chain_prev = cur.above
+                cur.chain_len = frags[cur.chain_prev].chain_len + 1
+            else:
+                cur.chain_prev = -1
+                cur.cost = k * match - cur.weight
+                cur.chain_len = 1
+            if cur.cost < min_cost:
+                min_cost, min_idx = cur.cost, cur.index
+            f_sweep += 1
+        # insert the row's fragments into the sweep set
+        for fi in range(start_f, f_sweep):
+            key = (frags[fi].y - frags[fi].x, frags[fi].x)
+            j = bisect.bisect_left(sweep_keys, key)
+            if j < len(sweep_keys) and sweep_keys[j] == key:
+                sweep_vals[j] = frags[fi]
+            else:
+                sweep_keys.insert(j, key)
+                sweep_vals.insert(j, frags[fi])
+        # retire fragments older than k rows into the column set
+        if row >= k + 1:
+            trail_row = row - k - 1
+            while f_trail < n and frags[f_trail].x < trail_row:
+                f_trail += 1
+            while f_trail < n and frags[f_trail].x == trail_row:
+                tf = frags[f_trail]
+                j = bisect.bisect_left(col_keys, tf.y)
+                member = j < len(col_keys) and col_keys[j] == tf.y
+                # NOTE the reference's replacement condition reads
+                # existing.cost < trail.cost (SparseDynamicProgramming.h:
+                # 259-267) — it replaces a column entry when the EXISTING
+                # one scores better, and keeps the old entry otherwise.
+                # Inverted or not, the golden output is defined by this
+                # exact behavior, so it is replicated verbatim.
+                store = (not member) or frags[col_vals[j]].cost < tf.cost
+                if store:
+                    if j < len(col_keys) and col_keys[j] == tf.y:
+                        col_vals[j] = tf.index
+                    else:
+                        col_keys.insert(j, tf.y)
+                        col_vals.insert(j, tf.index)
+                        j = bisect.bisect_left(col_keys, tf.y)
+                    # suffix invariant: drop later columns with worse cost
+                    jj = j + 1
+                    while (
+                        jj < len(col_keys)
+                        and frags[col_vals[jj]].cost > tf.cost
+                    ):
+                        del col_keys[jj]
+                        del col_vals[jj]
+                key = (tf.y - tf.x, tf.x)
+                j = bisect.bisect_left(sweep_keys, key)
+                if j < len(sweep_keys) and sweep_keys[j] == key:
+                    del sweep_keys[j]
+                    del sweep_vals[j]
+                f_trail += 1
+    if min_idx < 0:
+        return []
+    chain = []
+    i = min_idx
+    while i != -1:
+        chain.append(i)
+        i = frags[i].chain_prev
+    chain.reverse()
+    return chain
+
+
+def _chain_to_blocks(frags, chain, indel_rate):
+    """Chain fragments -> gapless blocks (SDPAlign.h:298-414): condense
+    contiguous (x+1, y+1) runs, trim overlaps against the next block, drop
+    zero-length blocks and off-diagonal outliers (3-sigma random-walk
+    heuristic with indelRate)."""
+    blocks = []
+    f = 0
+    while f < len(chain):
+        start_f = f
+        while (
+            f < len(chain) - 1
+            and frags[chain[f]].x == frags[chain[f + 1]].x - 1
+            and frags[chain[f]].y == frags[chain[f + 1]].y - 1
+        ):
+            f += 1
+        qpos = frags[chain[start_f]].x
+        tpos = frags[chain[start_f]].y
+        length = frags[chain[f]].x + frags[chain[f]].length - qpos
+        blocks.append([qpos, tpos, length])
+        f += 1
+    for b in range(len(blocks) - 1):
+        if blocks[b][0] + blocks[b][2] > blocks[b + 1][0]:
+            blocks[b][2] = blocks[b + 1][0] - blocks[b][0]
+        if blocks[b][1] + blocks[b][2] > blocks[b + 1][1]:
+            blocks[b][2] = blocks[b + 1][1] - blocks[b][1]
+    good = [blk[2] > 0 for blk in blocks]
+    for b in range(1, len(blocks) - 1):
+        prev_diag = abs(
+            (blocks[b][1] - blocks[b][0])
+            - (blocks[b - 1][1] - blocks[b - 1][0])
+        )
+        prev_dist = min(
+            blocks[b][1] - blocks[b - 1][1], blocks[b][0] - blocks[b - 1][0]
+        )
+        next_diag = abs(
+            (blocks[b + 1][1] - blocks[b + 1][0])
+            - (blocks[b][1] - blocks[b][0])
+        )
+        next_dist = min(
+            blocks[b + 1][1] - blocks[b][1], blocks[b + 1][0] - blocks[b][0]
+        )
+        if prev_dist * indel_rate < prev_diag and next_dist * indel_rate < next_diag:
+            good[b] = False
+    return [blocks[b] for b in range(len(blocks)) if good[b]]
+
+
+def _sub_cost(qc, tc, match, mismatch, n_score):
+    if qc >= 4 or tc >= 4:
+        return n_score
+    return match if qc == tc else mismatch
+
+
+def _sw_global(q, t, match, mismatch, n_score, ins, dele):
+    """Global alignment (SWAlign.h Global type), linear gaps; returns
+    gapless blocks [[q, t, len], ...]. Vectorized rows; traceback favors
+    diagonal on ties (block boundaries only — the SCORE is tie-free)."""
+    nq, nt = len(q), len(t)
+    if nq == 0 or nt == 0:
+        return []
+    qv = q.astype(np.int16)
+    tv = t.astype(np.int16)
+    sub = np.where(
+        (qv[:, None] >= 4) | (tv[None, :] >= 4),
+        np.int32(n_score),
+        np.where(qv[:, None] == tv[None, :], np.int32(match), np.int32(mismatch)),
+    )
+    H = np.zeros((nq + 1, nt + 1), np.int32)
+    H[0, :] = np.arange(nt + 1, dtype=np.int32) * dele
+    H[:, 0] = np.arange(nq + 1, dtype=np.int32) * ins
+    for i in range(1, nq + 1):
+        row_prev = H[i - 1]
+        diag = row_prev[:-1] + sub[i - 1]
+        up = row_prev[1:] + ins
+        row = np.minimum(diag, up)
+        # left dependency is sequential: running min scan
+        r = H[i]
+        r[0] = H[i, 0]
+        acc = r[0]
+        for j in range(1, nt + 1):
+            acc = min(row[j - 1], acc + dele)
+            r[j] = acc
+    # traceback
+    blocks = []
+    i, j = nq, nt
+    cur_len = 0
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and H[i, j] == H[i - 1, j - 1] + sub[i - 1, j - 1]:
+            i -= 1
+            j -= 1
+            cur_len += 1
+        else:
+            if cur_len:
+                blocks.append([i, j, cur_len])
+                cur_len = 0
+            if i > 0 and H[i, j] == H[i - 1, j] + ins:
+                i -= 1
+            elif j > 0:
+                j -= 1
+            else:
+                i -= 1
+    if cur_len:
+        blocks.append([0, 0, cur_len])
+    blocks.reverse()
+    return blocks
+
+
+def _gather_fragments(q, t, word, prefix_len, cap):
+    """SDPAlign.h:140-266 fragment collection: whole-sequence word-k
+    matches plus small-word (5) matches in the first/last prefix_len bases
+    of query AND target, deduped by (x, y). weight is the big word size
+    for every fragment; length is each fragment's own word size."""
+    small = min(word, 5)
+    frags = []
+
+    def add(matches, length):
+        by_q = {}
+        for x, y in matches:
+            by_q.setdefault(x, []).append(y)
+        for x, ys in by_q.items():
+            if cap and len(ys) > cap:
+                continue  # StoreMatchingPositions drops the position wholesale
+            for y in ys:
+                frags.append(_Frag(x, y, length, word))
+
+    pl_t = min(len(t), prefix_len)
+    sl_t = min(len(t) - pl_t, prefix_len)
+    pl_q = min(len(q), prefix_len)
+    sl_q = min(len(q) - pl_q, prefix_len)
+    add(_kmer_match_positions(q[:pl_q], t[:pl_t], small), small)
+    if sl_q > 0 and sl_t > 0:
+        add(
+            _kmer_match_positions(
+                q[len(q) - sl_q :], t[len(t) - sl_t :], small,
+                q_off=len(q) - sl_q, t_off=len(t) - sl_t,
+            ),
+            small,
+        )
+    add(_kmer_match_positions(q, t, word), word)
+    frags.sort(key=lambda f: (f.x, f.y))
+    out = []
+    for f in frags:
+        if out and out[-1].x == f.x and out[-1].y == f.y:
+            continue
+        out.append(f)
+    return out
+
+
+def sdp_interval_align(
+    q_codes: np.ndarray,
+    t_codes: np.ndarray,
+    *,
+    word: int = 11,
+    sdp_ins: int = 5,
+    sdp_del: int = 10,
+    match: int = -5,
+    mismatch: int = 6,
+    n_score: int = 0,
+    ins: int = 5,
+    dele: int = 5,
+    indel_rate: float = 0.9,      # params.indelRate * 3 (Blasr.cpp:1716)
+    prefix_len: int = 50,
+    recurse: int = 3,
+    no_recurse_under: int = 10000,
+    cap: int = 0,
+    _align_type: str = "local",
+) -> tuple[int, list]:
+    """Reference-faithful SDPAlign (Local, detailed): fragment chain ->
+    blocks -> detailed gap alignment (global SW under noRecurseUnder cells,
+    recursive SDP above) -> stats-replay score. Returns (score, blocks in
+    input coordinates); (0, []) when no fragment chains (SDPAlign.h:277).
+
+    This is the score RemoveLowQualityAlignments' -maxScore truncation
+    gates on (Blasr.cpp:2618) — the -bestn secondary admission semantics.
+    """
+    q = np.asarray(q_codes, np.uint8)
+    t = np.asarray(t_codes, np.uint8)
+    frags = _gather_fragments(q, t, word, prefix_len, cap)
+    if not frags:
+        return 0, []
+    if _align_type == "local":
+        chain = _sdp_chain_local(frags, word, sdp_ins, sdp_del, match)
+    else:
+        chain = _sdp_chain_global(frags, word, sdp_ins, sdp_del, match)
+    if not chain:
+        return 0, []
+    blocks = _chain_to_blocks(frags, chain, indel_rate)
+    if not blocks:
+        return 0, []
+
+    full: list = []
+    if _align_type == "global" and recurse != 0 and (
+        blocks[0][0] > 0 and blocks[0][1] > 0
+    ):
+        # front-anchored global alignment of the pre-chain region
+        # (SDPAlign.h:416-478; SW only at recurse == 0)
+        s2, b2 = sdp_interval_align(
+            q[: blocks[0][0]], t[: blocks[0][1]],
+            word=max(word - 4, 5), sdp_ins=sdp_ins, sdp_del=sdp_del,
+            match=match, mismatch=mismatch, n_score=n_score,
+            ins=ins, dele=dele, indel_rate=indel_rate,
+            prefix_len=prefix_len, recurse=recurse - 1,
+            no_recurse_under=no_recurse_under, cap=cap,
+            _align_type="global",
+        )
+        full.extend(b2)
+    for b in range(len(blocks) - 1):
+        full.append(blocks[b])
+        q0 = blocks[b][0] + blocks[b][2]
+        t0 = blocks[b][1] + blocks[b][2]
+        ql = blocks[b + 1][0] - q0
+        tl = blocks[b + 1][1] - t0
+        if ql > 0 and tl > 0:
+            if ql * tl < no_recurse_under:
+                gb = _sw_global(
+                    q[q0 : q0 + ql], t[t0 : t0 + tl],
+                    match, mismatch, n_score, ins, dele,
+                )
+            elif recurse != 0:
+                _, gb = sdp_interval_align(
+                    q[q0 : q0 + ql], t[t0 : t0 + tl],
+                    word=max(word - 4, 5), sdp_ins=sdp_ins, sdp_del=sdp_del,
+                    match=match, mismatch=mismatch, n_score=n_score,
+                    ins=ins, dele=dele, indel_rate=indel_rate,
+                    prefix_len=0, recurse=recurse - 1,
+                    no_recurse_under=no_recurse_under, cap=cap,
+                    _align_type="global",
+                )
+            else:
+                gb = []
+            for blk in gb:
+                full.append([blk[0] + q0, blk[1] + t0, blk[2]])
+    full.append(blocks[-1])
+    score = _blocks_stats_score(
+        full, q, t, match=match, mismatch=mismatch, n_score=n_score,
+        ins=ins, dele=dele,
+    )
+    return score, full
+
+
+def _sdp_chain_global(frags, k, sdp_ins, sdp_del, match):
+    """Global variant of the sweep (chains always extend; start cost pays
+    the full corner deletion, SparseDynamicProgramming.h:210-214; answer =
+    longest chain). Only reached through gap recursion."""
+    import bisect
+
+    if not frags:
+        return []
+    INF = 1 << 60
+    frags.sort(key=lambda f: (f.x, f.y))
+    for i, f in enumerate(frags):
+        f.index = i
+    by_y = sorted(frags, key=lambda f: (f.y, f.x))
+    for i in range(1, len(by_y)):
+        p, c = by_y[i - 1], by_y[i]
+        if p.x <= c.x < p.x + p.length and p.y < c.y:
+            c.above = p.index
+    sweep_keys, sweep_vals = [], []
+    col_keys, col_vals = [], []
+    max_len, max_idx = 0, -1
+    f_sweep = f_trail = 0
+    n = len(frags)
+    row0 = frags[0].x
+    rows_hi = max(f.x for f in frags) + k + 1
+    for row in range(row0, rows_hi + 1):
+        start_f = f_sweep
+        while f_sweep < n and frags[f_sweep].x == row:
+            cur = frags[f_sweep]
+            cp = cl = ca = INF
+            found = False
+            j = bisect.bisect_left(col_keys, cur.y) - 1
+            if j >= 0:
+                pf = frags[col_vals[j]]
+                cp = (
+                    pf.cost
+                    + int(np.sqrt(abs((cur.x + cur.y) - (pf.x + pf.y))))
+                    - k
+                )
+                cp_prev = col_vals[j]
+                found = True
+            j = bisect.bisect_left(sweep_keys, (cur.y - cur.x, cur.x)) - 1
+            if j >= 0:
+                pf = sweep_vals[j]
+                drift = (cur.x - cur.y) - (pf.x - pf.y)
+                pen = drift * sdp_ins if drift > 0 else -drift * sdp_del
+                cl = pf.cost + min((k - (cur.y - pf.y)) * match, 0) + pen
+                cl_prev = pf.index
+                found = True
+            if cur.above >= 0:
+                pf = frags[cur.above]
+                drift = (cur.x - cur.y) - (pf.x - pf.y)
+                pen = drift * sdp_ins if drift > 0 else -drift * sdp_del
+                ca = pf.cost + (k - (cur.y - pf.y)) * match + pen
+                found = True
+            mc = min(cp, cl, ca)
+            if found:
+                cur.cost = mc - cur.weight
+                if mc == cp:
+                    cur.chain_prev = cp_prev
+                elif mc == cl:
+                    cur.chain_prev = cl_prev
+                else:
+                    cur.chain_prev = cur.above
+                cur.chain_len = frags[cur.chain_prev].chain_len + 1
+            else:
+                cur.chain_prev = -1
+                cur.cost = (cur.x + cur.y) * sdp_del + k * match - cur.weight
+                cur.chain_len = 1
+            if cur.chain_len > max_len:
+                max_len, max_idx = cur.chain_len, cur.index
+            f_sweep += 1
+        for fi in range(start_f, f_sweep):
+            key = (frags[fi].y - frags[fi].x, frags[fi].x)
+            j = bisect.bisect_left(sweep_keys, key)
+            if j < len(sweep_keys) and sweep_keys[j] == key:
+                sweep_vals[j] = frags[fi]
+            else:
+                sweep_keys.insert(j, key)
+                sweep_vals.insert(j, frags[fi])
+        if row >= k + 1:
+            trail_row = row - k - 1
+            while f_trail < n and frags[f_trail].x < trail_row:
+                f_trail += 1
+            while f_trail < n and frags[f_trail].x == trail_row:
+                tf = frags[f_trail]
+                j = bisect.bisect_left(col_keys, tf.y)
+                member = j < len(col_keys) and col_keys[j] == tf.y
+                store = (not member) or frags[col_vals[j]].cost < tf.cost
+                if store:
+                    if member:
+                        col_vals[j] = tf.index
+                    else:
+                        col_keys.insert(j, tf.y)
+                        col_vals.insert(j, tf.index)
+                    jj = j + 1
+                    while (
+                        jj < len(col_keys)
+                        and frags[col_vals[jj]].cost > tf.cost
+                    ):
+                        del col_keys[jj]
+                        del col_vals[jj]
+                key = (tf.y - tf.x, tf.x)
+                j = bisect.bisect_left(sweep_keys, key)
+                if j < len(sweep_keys) and sweep_keys[j] == key:
+                    del sweep_keys[j]
+                    del sweep_vals[j]
+                f_trail += 1
+    if max_idx < 0:
+        return []
+    chain = []
+    i = max_idx
+    while i != -1:
+        chain.append(i)
+        i = frags[i].chain_prev
+    chain.reverse()
+    return chain
+
+
+def _blocks_stats_score(
+    blocks, q, t, *, match, mismatch, n_score, ins, dele
+) -> int:
+    """ComputeAlignmentStats score over a block list (AlignmentUtils.h:
+    466-533 rendering): per-column scores inside blocks; between blocks
+    the COMMON part of the (qgap, tgap) pair renders as aligned columns
+    over the LAST common bases, the remainder as pure indels."""
+    score = 0
+    for bq, bt, bl in blocks:
+        qc = q[bq : bq + bl].astype(np.int16)
+        tc = t[bt : bt + bl].astype(np.int16)
+        anyn = (qc >= 4) | (tc >= 4)
+        score += int(
+            np.where(
+                anyn, n_score, np.where(qc == tc, match, mismatch)
+            ).sum()
+        )
+    for b in range(len(blocks) - 1):
+        q0 = blocks[b][0] + blocks[b][2]
+        t0 = blocks[b][1] + blocks[b][2]
+        qgap = blocks[b + 1][0] - q0
+        tgap = blocks[b + 1][1] - t0
+        common = min(qgap, tgap)
+        score += ins * (qgap - common) + dele * (tgap - common)
+        if common > 0:
+            qc = q[blocks[b + 1][0] - common : blocks[b + 1][0]].astype(np.int16)
+            tc = t[blocks[b + 1][1] - common : blocks[b + 1][1]].astype(np.int16)
+            anyn = (qc >= 4) | (tc >= 4)
+            score += int(
+                np.where(
+                    anyn, n_score, np.where(qc == tc, match, mismatch)
+                ).sum()
+            )
+    return score
+
+
+def stats_from_blocks(blocks, q, t) -> tuple[int, int, int, int]:
+    """(n_match, n_mismatch, n_ins, n_del) under the same rendering as
+    _blocks_stats_score."""
+    nm = nx = ni = nd = 0
+    for b, (bq, bt, bl) in enumerate(blocks):
+        if b > 0:
+            q0 = blocks[b - 1][0] + blocks[b - 1][2]
+            t0 = blocks[b - 1][1] + blocks[b - 1][2]
+            qgap = bq - q0
+            tgap = bt - t0
+            common = min(qgap, tgap)
+            ni += qgap - common
+            nd += tgap - common
+            if common > 0:
+                qc = q[bq - common : bq].astype(np.int16)
+                tc = t[bt - common : bt].astype(np.int16)
+                eq = (qc == tc) & (qc < 4) & (tc < 4)
+                nm += int(eq.sum())
+                nx += common - int(eq.sum())
+        qc = q[bq : bq + bl].astype(np.int16)
+        tc = t[bt : bt + bl].astype(np.int16)
+        eq = (qc == tc) & (qc < 4) & (tc < 4)
+        nm += int(eq.sum())
+        nx += bl - int(eq.sum())
+    return nm, nx, ni, nd
+
+
+def blocks_to_ops(blocks) -> np.ndarray:
+    """Render a block list to OP_M/OP_I/OP_D columns (start->end), using
+    the same between-block gap rendering as _blocks_stats_score."""
+    ops: list = []
+    for b, (bq, bt, bl) in enumerate(blocks):
+        if b > 0:
+            q0 = blocks[b - 1][0] + blocks[b - 1][2]
+            t0 = blocks[b - 1][1] + blocks[b - 1][2]
+            qgap = bq - q0
+            tgap = bt - t0
+            common = min(qgap, tgap)
+            ops.extend([OP_I] * (qgap - common))
+            ops.extend([OP_D] * (tgap - common))
+            ops.extend([OP_M] * common)
+        ops.extend([OP_M] * bl)
+    return np.asarray(ops, np.uint8)

@@ -574,6 +574,97 @@ def test_band_escalation_rescues_narrow_band_clipping():
         assert abs(r.tstart_fwd - s) < 100 and abs(r.tend_fwd - e) < 100
 
 
+def test_chunked_guided_narrow_band_holds_burst_reads():
+    """The chunked guided narrow band (per-item knot schedules inside the
+    packed W=64 band — round-5 de-interleaved layout) must hold burst
+    reads WITHOUT the band-escalation retry: the same corpus whose bursts
+    break the unguided narrow band (test_band_escalation_... premise) maps
+    to the exact locus at high identity with escalation OFF."""
+    import dataclasses
+
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.batching import Read
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import (ErrorModel, parse_truth, simulate_genome,
+                               simulate_reads_alchemy)
+
+    g = simulate_genome(150_000, seed=41, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    rng = np.random.default_rng(7)
+    model = ErrorModel.published_clr()
+    model.lengths = [2400]
+    model.length_probs = [1.0]
+    reads, _ = simulate_reads_alchemy(g, model, 6, seed=43)
+    reads = list(reads)
+    for i, t0 in enumerate((20_000, 80_000)):
+        tpl = g[t0 : t0 + 2400]
+        burst = rng.integers(0, 4, 180).astype(np.uint8)
+        q = np.concatenate([tpl[:1200], burst, tpl[1200:]])
+        reads.append(
+            Read(f"burst/{i}|ref|{t0}|{t0 + 2400}|0", q, None, 100 + i)
+        )
+    params = MappingParams(
+        batch_size=8, max_read_len=3072, n_candidates=2, best_n=1,
+        min_match_length=13, narrow_band=64, narrow_band_max=3072,
+        guided_band=True, band_escalation=False, sensitive_retry=False,
+    )
+    assert params.band_width_for(3072) == 64
+    recs, unm = run_mapping(index, reads, params)
+    byname = {}
+    for r in recs:
+        c = byname.get(r.qname)
+        if c is None or r.score < c.score:
+            byname[r.qname] = r
+    for rd in reads:
+        r = byname.get(rd.name)
+        s, e, st = parse_truth(rd.name)
+        assert r is not None, rd.name
+        assert r.tstrand == st and abs(r.tstart_fwd - s) < 100, (
+            rd.name, r.tstart_fwd, s
+        )
+        assert abs(r.tend_fwd - e) < 100, (rd.name, r.tend_fwd, e)
+        if rd.name.startswith("burst"):
+            # the guided band threads the burst as one affine gap
+            assert r.pct_similarity >= 80.0, (rd.name, r.pct_similarity)
+
+
+def test_emit_moves_off_same_m4_records():
+    """emit_moves=False (the -m 4 serving path: no per-base move strings
+    cross the host link) must produce byte-identical m4 records and the
+    same unmapped set as the default path — coordinates and stats are
+    computed on device either way."""
+    import dataclasses
+
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.output.m4 import format_m4
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    g = simulate_genome(80_000, seed=5, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 24, mean_len=600, seed=6)
+    p = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=2, best_n=1,
+        min_match_length=13,
+    )
+    r1, u1 = run_mapping(index, reads, p)
+    r2, u2 = run_mapping(index, reads, dataclasses.replace(p, emit_moves=False))
+    assert sorted(format_m4(x) for x in r1) == sorted(format_m4(x) for x in r2)
+    assert sorted(u1) == sorted(u2)
+    # paths without move strings still expose length/stats (no lazy ops)
+    assert all(rec.path.n_aligned > 0 for rec in r2)
+
+
 def test_min_avg_qual_filter():
     """-minAvgQual rejects low-quality FASTQ reads at input
     (Blasr.cpp:3327-3343 role)."""

@@ -132,6 +132,108 @@ def test_pallas_guided_band_tpu():
         )
 
 
+@pytest.mark.parametrize("W", [32, 64])
+def test_pallas_chunked_guided_tpu(W):
+    """CHUNKED guided narrow band on real hardware (P = 128//W items per
+    row in contiguous W-lane chunks, per-item knot schedules): scores,
+    arrows and the chunk-layout knot-walk must bit-match the (S, I) XLA
+    oracle. Mirrors test_guided.test_chunked_guided_pallas_interpret...,
+    which only proved interpret-mode equality."""
+    from blasr_tpu.ops.banded_align import (
+        QOFF_NUM_HALF, banded_align, clamp_knots_to_shared, make_qoff,
+        make_qoff_knots, qoff_from_knots,
+    )
+    from blasr_tpu.ops.banded_pallas import _guided_geometry, banded_align_pallas
+    from blasr_tpu.ops.traceback_device import walk_arrows_device
+
+    rng = np.random.default_rng(23)
+    P = 128 // W
+    I = 2 * P + 1
+    L = 512
+    pad2 = 64
+    T = L + 2 * pad2
+    S = L + T - 1
+    Q = np.full((I, L), 4, np.uint8)
+    Tc = np.full((I, T), 5, np.uint8)
+    qlen = np.zeros(I, np.int32)
+    aq_all = np.zeros((I, 8), np.int32)
+    at_all = np.zeros((I, 8), np.int32)
+    msk = np.zeros((I, 8), bool)
+    for i in range(I):
+        tpl = rng.integers(0, 4, 400).astype(np.uint8)
+        if i % 3 == 0:
+            q = np.concatenate(
+                [tpl[:200], rng.integers(0, 4, 50).astype(np.uint8), tpl[200:]]
+            )
+        elif i % 3 == 1:
+            q = np.concatenate([tpl[:150], tpl[200:]])
+        else:
+            q = tpl.copy()
+        mut = rng.random(len(q)) < 0.04
+        q = q.copy()
+        q[mut] = (q[mut] + rng.integers(1, 4, mut.sum())) % 4
+        Q[i, : len(q)] = q
+        qlen[i] = len(q)
+        Tc[i, pad2 : pad2 + 400] = tpl
+        Tc[i, :pad2] = rng.integers(0, 4, pad2)
+        Tc[i, pad2 + 400 :] = rng.integers(0, 4, T - pad2 - 400)
+        for k in range(8):
+            p = 40 * k + 10
+            qp = p
+            if i % 3 == 0 and p >= 200:
+                qp = p + 50
+            elif i % 3 == 1 and p >= 150:
+                if p < 200:
+                    continue
+                qp = p - 50
+            aq_all[i, k] = qp
+            at_all[i, k] = pad2 + p
+            msk[i, k] = True
+    qoff_shared = make_qoff(L, T, W, pad2)
+    knots = make_qoff_knots(
+        jnp.asarray(aq_all + at_all), jnp.asarray(aq_all - W // 2),
+        jnp.asarray(msk), S, L, W, diag=pad2, num=QOFF_NUM_HALF,
+    )
+    _, mL = _guided_geometry(True, P, W)
+    knots = clamp_knots_to_shared(
+        knots, jnp.asarray(qoff_shared), W, max_dev=mL * W - 8
+    )
+    qoff2 = qoff_from_knots(knots, S)
+    r_o = banded_align(
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32), qoff2,
+        with_traceback=True, band_width=W,
+    )
+    r_p = banded_align_pallas(
+        jnp.asarray(Q), jnp.asarray(qlen), jnp.asarray(Tc),
+        jnp.zeros(I, jnp.int32), jnp.full(I, T, jnp.int32),
+        jnp.asarray(qoff_shared),
+        with_traceback=True, band_width=W, qoff_knots=knots,
+    )
+    np.testing.assert_array_equal(np.asarray(r_o.score), np.asarray(r_p.score))
+    np.testing.assert_array_equal(np.asarray(r_o.best_a), np.asarray(r_p.best_a))
+    np.testing.assert_array_equal(np.asarray(r_o.best_w), np.asarray(r_p.best_w))
+    ar_p = np.asarray(r_p.arrows)
+    Sp, R, LW = ar_p.shape
+    np.testing.assert_array_equal(
+        np.asarray(r_o.arrows), ar_p.reshape(Sp, R * P, W)[:, :I, :]
+    )
+    wc = walk_arrows_device(
+        r_p.arrows, jnp.asarray(qoff_shared), r_p.best_a, r_p.best_w,
+        r_p.score, jnp.asarray(Q), jnp.asarray(Tc),
+        qoff_knots=knots, pack=P, pack_layout="chunk",
+    )
+    wo = walk_arrows_device(
+        r_o.arrows, qoff2[:, 0], r_o.best_a, r_o.best_w, r_o.score,
+        jnp.asarray(Q), jnp.asarray(Tc), qoff_knots=knots,
+    )
+    for f in ("nops", "q_start", "q_end", "t_start", "t_end",
+              "n_match", "n_mismatch", "n_ins", "n_del"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(wc, f)), np.asarray(getattr(wo, f)), err_msg=f
+        )
+
+
 def test_pallas_packed_narrow_band_tpu():
     """Packed W=64 (two items interleaved per lane row) on real hardware:
     scores and walked paths bit-match the XLA oracle."""
