@@ -101,6 +101,9 @@ def main():
     records, unmapped = run_mapping(index, reads, params)
     wall = time.time() - t0
     reads_per_s = len(reads) / wall
+    from blasr_tpu.pipeline import runner as _runner
+
+    met = _runner.LAST_RUN_METRICS
 
     # accuracy guard: mapped to true location
     byname = {}
@@ -141,6 +144,9 @@ def main():
                     "index_load_s": round(t_index, 2),
                     "warm_pass_s": round(warm_s, 3),
                     "vs_singlethread_ref": round(reads_per_s / 442.0, 2),
+                    "dispatch_s": round(met.dispatch_seconds, 3),
+                    "finalize_s": round(met.finalize_seconds, 3),
+                    "n_batches": met.n_batches,
                 }
             }
         ),

@@ -69,14 +69,18 @@ UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "0"))  # 0 = auto by rows
 # overhead now that per-iter VMEM is 6 (IT, LW) blocks, not full rows
 
 
-def _auto_unroll(rows: int, IT: int) -> int:
-    """Anti-diagonals per grid iteration. Measured round 5 (in-pipeline
-    marginals, scripts/profile_cumulative.py): U=8 at IT=32 costs 4.32 ms
-    vs U=2's 2.72 at the bench point — the _subwin select chains and the
-    longer unrolled body outweigh the saved per-iteration fixed cost at
-    every tile size tried (U=8/IT=256 regressed in round 2 as well). U=2
-    everywhere; BLASR_DP_UNROLL overrides for sweeps."""
-    return 2
+def _auto_unroll(rows: int, IT: int, chunked: bool = False) -> int:
+    """Anti-diagonals per grid iteration. Measured round 5
+    (profile_cumulative marginals + scripts/micro_chunked.py):
+    - packed/unguided: U=8 at IT=32 costs 4.32 ms vs U=2's 2.72 at the
+      bench point (the _subwin select chains and longer unrolled body
+      outweigh the saved per-iteration fixed cost at every tile size
+      tried; U=8/IT=256 regressed in round 2 too) -> U=2.
+    - CHUNKED guided: the per-chunk window rolls dominate and run once
+      per grid iteration, so amortizing them wins big: W=32 I=128
+      measured 10.6 / 8.0 / 5.8 ms at U=2/4/8 -> U=8.
+    BLASR_DP_UNROLL overrides for sweeps."""
+    return 8 if chunked else 2
 
 
 def _shift(
@@ -658,7 +662,10 @@ def _chunk_blocks(x: jax.Array, P: int, W: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scores", "with_traceback", "band_width", "interpret")
+    jax.jit,
+    static_argnames=(
+        "scores", "with_traceback", "band_width", "interpret", "unroll"
+    ),
 )
 def banded_align_pallas(
     query: jax.Array,    # (I, L) uint8 codes 0..4
@@ -674,6 +681,8 @@ def banded_align_pallas(
     band_width: int = 128,
     interpret: bool = False,
     qoff_knots: jax.Array | None = None,  # (I, NK) per-item guided knots
+    unroll: int | None = None,  # anti-diagonals per grid iteration;
+                                # None = BLASR_DP_UNROLL env or auto
 ) -> BandedResult:
     """``qoff_knots`` switches on guided mode (per-read band guides, the
     GuidedAlign.h:104 role): each item follows its own knot-lerp schedule
@@ -733,7 +742,7 @@ def banded_align_pallas(
     trev = jnp.pad(trev, ((0, 0), (0, Lt - Tp)), constant_values=5)
 
     # steps grouped U per grid iteration; pad the step arrays
-    U = UNROLL if UNROLL else _auto_unroll(R, IT)
+    U = unroll or UNROLL or _auto_unroll(R, IT, chunked)
     NIT = -(-S // U)
     S2p = NIT * U
     qoff = qoff.astype(jnp.int32)

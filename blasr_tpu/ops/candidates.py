@@ -138,7 +138,7 @@ def chain_stats(
     *,
     k: int,              # anchor k-mer length
     win: int,            # diagonal window width (same as select_candidates)
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, tuple]:
     """Colinear-chain evidence per candidate window — the GlobalChain /
     LIS-p-value role (reference GlobalChain.h:100 max-weight colinear chain
     inside each stored interval; ComputeLISPValue, LISPValue.h:86-172,
@@ -223,6 +223,40 @@ def chain_stats(
     any_mem = jnp.any(mem, axis=-1)
     single_ok = jnp.any(mem & pair_ok[:, None, :], axis=-1)
 
+    # ---- chain corners (WeightedInterval qStart/qEnd/tStart/tEnd role):
+    # span of members PARTICIPATING in the colinear chain — having a
+    # non-overlapping colinear predecessor or successor. The symmetric
+    # successor test mirrors has_prev: max t over members with
+    # q >= q_j + k must be >= t_j + k.
+    cs = jnp.sum(
+        (qj[:, None, :] < (qj + k)[:, :, None]) & v_s[:, None, :],
+        axis=-1,
+    ).astype(jnp.int32)                                    # first idx with q_i >= q_j + k
+    tmask_hi = jnp.where(mem, t_s[:, None, :], -BIG)
+    cummax_t = jax.lax.associative_scan(
+        jnp.maximum, tmask_hi[:, :, ::-1], axis=-1
+    )[:, :, ::-1]
+    csj = jnp.broadcast_to(cs[:, None, :], mem.shape)
+    succ_t = jnp.take_along_axis(
+        cummax_t, jnp.minimum(csj, A - 1), axis=-1
+    )
+    has_succ = (csj < A) & (succ_t >= t_s[:, None, :] + k)
+    part = mem & (has_prev | has_succ)
+    # fall back to all members when no pair chains (single-match windows)
+    use = jnp.where(jnp.any(part, axis=-1, keepdims=True), part, mem)
+    qpart = jnp.broadcast_to(q_s[:, None, :], mem.shape)
+    tpart = jnp.broadcast_to(t_s[:, None, :], mem.shape)
+    q_lo_ch = jnp.min(jnp.where(use, qpart, BIG), axis=-1)
+    q_hi_ch = jnp.max(jnp.where(use, qpart + k, -BIG), axis=-1)
+    t_lo_ch = jnp.min(jnp.where(use, tpart, BIG), axis=-1)
+    t_hi_ch = jnp.max(jnp.where(use, tpart + k, -BIG), axis=-1)
+    corners = (
+        jnp.where(any_mem, q_lo_ch, 0).astype(jnp.int32),
+        jnp.where(any_mem, q_hi_ch, 0).astype(jnp.int32),
+        jnp.where(any_mem, t_lo_ch, 0).astype(jnp.int32),
+        jnp.where(any_mem, t_hi_ch, 0).astype(jnp.int32),
+    )
+
     # union length of member [q, q+k) intervals: q_s ascending, so each
     # member contributes min(k, next member q - own q); the last (and any
     # duplicate-q) members contribute k (and 0) respectively
@@ -241,6 +275,7 @@ def chain_stats(
         n_link + any_mem.astype(jnp.int32),
         jnp.any(chained, axis=-1) | single_ok,
         mass,
+        corners,
     )
 
 

@@ -234,7 +234,7 @@ def make_device_index(
 SEL_FIELDS = (
     "sel_score", "sel_t0", "sel_strand", "sel_valid", "nops",
     "q_start", "q_end", "t_start", "t_end",
-    "n_match", "n_mismatch", "n_ins", "n_del", "mapqv",
+    "n_match", "n_mismatch", "n_ins", "n_del", "mapqv", "sel_cd",
 )
 
 
@@ -250,7 +250,9 @@ class MapBatchResult(NamedTuple):
 
     sel_ints: jax.Array      # (len(SEL_FIELDS), I2) int32, rows = SEL_FIELDS
     moves_packed: jax.Array  # (I2, P) uint8 packed ops, END->START order
-    read_ints: jax.Array     # (B, 2*CD) int32: cand_scores | cand_valid
+    read_ints: jax.Array     # (B, 6*CD) int32: cand_scores | cand_valid |
+                             # chain corners qlo|qhi|tlo|thi (the
+                             # reference interval geometry)
 
 
 class WireResult(NamedTuple):
@@ -286,9 +288,14 @@ class HostBatchResult(NamedTuple):
     n_ins: np.ndarray
     n_del: np.ndarray
     mapqv: np.ndarray        # per selected alignment (I2,)
+    sel_cd: np.ndarray       # DP-candidate index of each selected record
     moves_packed: np.ndarray
     cand_scores: np.ndarray
     cand_valid: np.ndarray
+    cand_qlo: np.ndarray     # (B, CD) chain read-span corners
+    cand_qhi: np.ndarray
+    cand_tlo: np.ndarray     # (B, CD) chain genome-span corners
+    cand_thi: np.ndarray
 
 
 def unpack_result(
@@ -312,6 +319,10 @@ def unpack_result(
         moves_packed=moves,
         cand_scores=rints[:, :CD],
         cand_valid=rints[:, CD : 2 * CD].astype(bool),
+        cand_qlo=rints[:, 2 * CD : 3 * CD],
+        cand_qhi=rints[:, 3 * CD : 4 * CD],
+        cand_tlo=rints[:, 4 * CD : 5 * CD],
+        cand_thi=rints[:, 5 * CD : 6 * CD],
         **fields,
     )
 
@@ -504,7 +515,7 @@ def _map_batch_impl(
         vld2 = vld2 & (jnp.arange(2 * C, dtype=jnp.int32)[None, :] < C)
     b_ar = jnp.arange(B, dtype=jnp.int32)[:, None]
     if params.pval_type in (0, 1):
-        n_chain, chained_any, cmass = chain_stats(
+        n_chain, chained_any, cmass, ch_corners = chain_stats(
             at, aq, avalid, cand.dstar, cand.valid, k=k, win=CW,
         )                                                   # (2B, C)
         nch2 = to2(n_chain)
@@ -850,10 +861,25 @@ def _map_batch_impl(
             tb.n_ins[sel_item],
             tb.n_del[sel_item],
             sel_mapq,
+            topi.reshape(-1),
         ]
     ).astype(jnp.int32)
+    # anchor-chain corners of each DP candidate (WeightedInterval
+    # qStart/qEnd/tStart/tEnd): the host secondary admission rebuilds the
+    # reference's corner-anchored interval from these (Blasr.cpp:1247-63)
+    if params.pval_type in (0, 1):
+        qlo_c, qhi_c, tlo_c, thi_c = ch_corners
+    else:
+        qlo_c, qhi_c = cand.q_lo, cand.q_hi
+        tlo_c = cand.d0 + cand.q_lo
+        thi_c = cand.d0 + cand.q_hi + k
+    qlo_sel = jnp.take_along_axis(to2(qlo_c), topj, axis=1)
+    qhi_sel = jnp.take_along_axis(to2(qhi_c), topj, axis=1)
+    tlo_sel = jnp.take_along_axis(to2(tlo_c), topj, axis=1)
+    thi_sel = jnp.take_along_axis(to2(thi_c), topj, axis=1)
     read_ints = jnp.concatenate(
-        [sc, sv.astype(jnp.int32)], axis=1
+        [sc, sv.astype(jnp.int32), qlo_sel, qhi_sel, tlo_sel, thi_sel],
+        axis=1,
     ).astype(jnp.int32)
 
     emit_moves = params.emit_moves or params.best_n > 1
@@ -967,6 +993,6 @@ class Mapper:
             i2=B * p.best_n,
             p=packed_width(S) if (p.emit_moves or p.best_n > 1) else 0,
             b=B,
-            rcols=2 * p.dp_candidates,
+            rcols=6 * p.dp_candidates,
         )
 

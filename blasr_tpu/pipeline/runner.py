@@ -468,12 +468,13 @@ def _finalize_batch(
     mapped_reads: set[int] = set()
     B = batch.codes.shape[0]
     lens = seqdb.lengths()
-    # secondary admission truncation state (see gate below): once a rank
-    # fails the SDP-block cut, later ranks of that read are dropped too —
-    # the reference's RemoveLowQualityAlignments truncates the sorted list
-    # at the first failure (Blasr.cpp:2063-2070)
-    sdp_dead: set[int] = set()
+    # (the reference's RemoveLowQualityAlignments truncates ITS sorted
+    # list at the first score > maxScore — but that list is sorted by the
+    # same score, so failures are always a suffix and truncation equals a
+    # per-record filter; our rank order can interleave, so filtering each
+    # record independently is the faithful behavior)
     genome_host = mapper.index.genome if params.best_n > 1 else None
+    anchor_cache: dict = {}   # (batch row, strand) -> reference anchor list
     for i2, path in enumerate(paths):
         b = i2 // params.best_n
         if batch.indices[b] < 0:
@@ -494,37 +495,89 @@ def _finalize_batch(
             # reference's span follows the chain, not the full-window
             # local path. Primaries keep our local DP record (strictly
             # better scores; documented divergence).
-            if b in sdp_dead:
-                continue
             from blasr_tpu.pipeline.secondary_refine import (
-                blocks_to_ops, revcomp_codes, sdp_interval_align,
-                stats_from_blocks)
+                blocks_to_ops, reference_anchor_list, revcomp_codes,
+                sdp_interval_align, stats_from_blocks, sum_anchors_window)
 
             n_b = int(batch.lengths[b])
             qc = batch.codes[b, :n_b]
             if int(strand[i2]) == 1:
                 qc = revcomp_codes(qc)
             t0_i = int(t0[i2])
-            T_w = batch.codes.shape[1] + params.target_pad
-            g_mid = t0_i + (path.t_start + path.t_end) // 2
+            # PASS 1 — chain discovery: SDP Local on an unstretched window
+            # around the device chain corners with end matching OFF
+            # (prefix_len=0, so window-edge junk cannot seed the chain).
+            # Its chain span reproduces the reference's interval corners
+            # (the LIS chain the WeightedInterval carries).
+            cd_i = int(res.sel_cd[i2])
+            g_lo_ch = int(res.cand_tlo[b, cd_i])
+            g_hi_ch = int(res.cand_thi[b, cd_i])
+            g_mid = (g_lo_ch + g_hi_ch) // 2
             ci_w = int(seqdb.contig_of(min(max(g_mid, 0),
                                            seqdb.total_length - 1)))
             c_lo = int(seqdb.starts[ci_w])
             c_hi = c_lo + int(seqdb.lengths()[ci_w])
-            w_lo = max(t0_i, c_lo)
-            w_hi = min(t0_i + T_w, c_hi)
-            window = genome_host[w_lo:w_hi]
-            sdp_sc, sdp_blocks = sdp_interval_align(
-                qc, window,
+            w0_lo = max(g_lo_ch - 64, c_lo)
+            w0_hi = min(g_hi_ch + 64, c_hi)
+            sdp_kw = dict(
                 word=params.sdp_tuple_size,
                 match=params.match_score, mismatch=params.mismatch_score,
                 ins=params.insertion_score, dele=params.deletion_score,
                 indel_rate=params.indel_rate * 3,
+                affine_open=params.affine_open,
+                affine_extend=params.affine_extend,
             )
+            _, b0 = sdp_interval_align(
+                qc, genome_host[w0_lo:w0_hi], prefix_len=0, **sdp_kw
+            )
+            if not b0:
+                continue
+            q_lo0 = b0[0][0]
+            q_hi0 = b0[-1][0] + b0[-1][2]
+            t_lo0 = w0_lo + b0[0][1]
+            t_hi0 = w0_lo + b0[-1][1] + b0[-1][2]
+            # interval-formation gate (StoreLargestIntervals minSize:
+            # SumAnchors over a readLen*(1+indelRate) window containing
+            # the cluster must EXCEED minInterval, FindMaxInterval.h:479)
+            L_int = int(n_b * (1 + params.indel_rate))
+            ws_lo = max(min(t_lo0, t_hi0 - L_int), c_lo)
+            ws_hi = min(max(t_hi0, t_lo0 + L_int), c_hi)
+            sum_a = None
+            if len(mapper.index.sa):    # FM-only indexes skip the gate
+                akey = (b, int(strand[i2]))
+                if akey not in anchor_cache:
+                    anchor_cache[akey] = reference_anchor_list(
+                        qc, genome_host, mapper.index.sa,
+                        mapper.index.sa_kmers, mapper.index.k,
+                        min_match=params.min_match_length,
+                    )
+                _aq_r, at_r, al_r = anchor_cache[akey]
+                sum_a = sum_anchors_window(at_r, al_r, ws_lo, ws_hi)
+            if sum_a is not None and sum_a <= params.min_interval:
+                import os as _os
+                if _os.environ.get("BLASR_SDP_DEBUG"):
+                    print(f"[sdp2] {batch.names[b]} rank={rank} "
+                          f"sum_anchors={sum_a} <= {params.min_interval}"
+                          " (no interval)")
+                continue
+            # PASS 2 — the reference's aligned interval: chain corners
+            # stretched by approximateMaxInsertionRate=1.3 times the
+            # unaligned read prefix/suffix (Blasr.cpp:1247-1263), full
+            # SDPAlign(Local, detailed, sdpPrefix=50). The corner-anchored
+            # window is load-bearing: the small-word end matching over the
+            # window's first/last 50 bases reproduces the reference's
+            # junk-prefix/suffix score blow-up for partially supported
+            # secondaries (the round-4 root cause).
+            w_lo = max(int(t_lo0 - q_lo0 * 1.3), c_lo)
+            w_hi = min(int(t_hi0 + (n_b - q_hi0) * 1.3), c_hi)
+            window = genome_host[w_lo:w_hi]
+            sdp_sc, sdp_blocks = sdp_interval_align(qc, window, **sdp_kw)
+            import os as _os
+            if _os.environ.get("BLASR_SDP_DEBUG"):
+                print(f"[sdp2] {batch.names[b]} rank={rank} strand={int(strand[i2])} "
+                      f"w=[{w_lo},{w_hi}) sum_a={sum_a} sc={sdp_sc} "
+                      f"nb={len(sdp_blocks)} qlen={n_b}")
             if not sdp_blocks or sdp_sc > params.max_score:
-                # sorted-list truncation: reference drops this and every
-                # later-ranked record of the read (Blasr.cpp:2063-2070)
-                sdp_dead.add(b)
                 continue
             # geometry: keep our (better-scoring) record when it covers
             # the same span; adopt the reference's chain-derived span when

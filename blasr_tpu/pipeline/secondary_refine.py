@@ -479,9 +479,12 @@ def sdp_interval_align(
     dele: int = 5,
     indel_rate: float = 0.9,      # params.indelRate * 3 (Blasr.cpp:1716)
     prefix_len: int = 50,
-    recurse: int = 3,
-    no_recurse_under: int = 10000,
+    recurse: int = 2,             # params.recurse (MappingParameters.h:329)
+    no_recurse_under: int = 1000,  # params.recurseOver (:330)
     cap: int = 0,
+    affine: bool = True,          # params.affineAlign (defaults TRUE,
+    affine_open: int = 50,        # MappingParameters.h:338-340) — the
+    affine_extend: int = 0,       # stats-score gap-run semantics
     _align_type: str = "local",
 ) -> tuple[int, list]:
     """Reference-faithful SDPAlign (Local, detailed): fragment chain ->
@@ -508,21 +511,28 @@ def sdp_interval_align(
         return 0, []
 
     full: list = []
-    if _align_type == "global" and recurse != 0 and (
-        blocks[0][0] > 0 and blocks[0][1] > 0
-    ):
-        # front-anchored global alignment of the pre-chain region
-        # (SDPAlign.h:416-478; SW only at recurse == 0)
-        s2, b2 = sdp_interval_align(
-            q[: blocks[0][0]], t[: blocks[0][1]],
-            word=max(word - 4, 5), sdp_ins=sdp_ins, sdp_del=sdp_del,
-            match=match, mismatch=mismatch, n_score=n_score,
-            ins=ins, dele=dele, indel_rate=indel_rate,
-            prefix_len=prefix_len, recurse=recurse - 1,
-            no_recurse_under=no_recurse_under, cap=cap,
-            _align_type="global",
-        )
-        full.extend(b2)
+    if _align_type == "global" and blocks[0][0] > 0 and blocks[0][1] > 0:
+        # front global alignment of the pre-chain region (SDPAlign.h:
+        # 416-478): dense SW only when recursion is exhausted AND the
+        # region is small; recursive SDP otherwise; nothing when recursion
+        # is exhausted on a large region — the reference's exact branch
+        fq = q[: blocks[0][0]]
+        ft = t[: blocks[0][1]]
+        if recurse == 0 and len(fq) * len(ft) < no_recurse_under:
+            full.extend(
+                _sw_global(fq, ft, match, mismatch, n_score, ins, dele)
+            )
+        elif recurse != 0:
+            _, b2 = sdp_interval_align(
+                fq, ft,
+                word=max(word - 4, 5), sdp_ins=sdp_ins, sdp_del=sdp_del,
+                match=match, mismatch=mismatch, n_score=n_score,
+                ins=ins, dele=dele, indel_rate=indel_rate,
+                prefix_len=prefix_len, recurse=recurse - 1,
+                no_recurse_under=no_recurse_under, cap=cap,
+                _align_type="global",
+            )
+            full.extend(b2)
     for b in range(len(blocks) - 1):
         full.append(blocks[b])
         q0 = blocks[b][0] + blocks[b][2]
@@ -552,7 +562,8 @@ def sdp_interval_align(
     full.append(blocks[-1])
     score = _blocks_stats_score(
         full, q, t, match=match, mismatch=mismatch, n_score=n_score,
-        ins=ins, dele=dele,
+        ins=ins, dele=dele, affine=affine, affine_open=affine_open,
+        affine_extend=affine_extend,
     )
     return score, full
 
@@ -676,12 +687,20 @@ def _sdp_chain_global(frags, k, sdp_ins, sdp_del, match):
 
 
 def _blocks_stats_score(
-    blocks, q, t, *, match, mismatch, n_score, ins, dele
+    blocks, q, t, *, match, mismatch, n_score, ins, dele,
+    affine: bool = True, affine_open: int = 50, affine_extend: int = 0,
 ) -> int:
     """ComputeAlignmentStats score over a block list (AlignmentUtils.h:
-    466-533 rendering): per-column scores inside blocks; between blocks
-    the COMMON part of the (qgap, tgap) pair renders as aligned columns
-    over the LAST common bases, the remainder as pure indels."""
+    466-533 rendering + the string ComputeAlignmentScore :61-124):
+    per-column scores inside blocks; between blocks the COMMON part of
+    the (qgap, tgap) pair renders as aligned columns over the LAST common
+    bases, the remainder as indel columns. With ``affine`` (blasrmc's
+    params.affineAlign defaults TRUE, MappingParameters.h:338), each
+    contiguous gap-column RUN costs min(len * linear-of-last-column,
+    affineOpen + len * affineExtend) — the remainder columns of one gap
+    pair are adjacent, so they form ONE run; this is what lets the
+    reference score a 300-base unsupported gap at 50 instead of 1500 and
+    is the admission-score semantics at RemoveLowQualityAlignments."""
     score = 0
     for bq, bt, bl in blocks:
         qc = q[bq : bq + bl].astype(np.int16)
@@ -698,7 +717,19 @@ def _blocks_stats_score(
         qgap = blocks[b + 1][0] - q0
         tgap = blocks[b + 1][1] - t0
         common = min(qgap, tgap)
-        score += ins * (qgap - common) + dele * (tgap - common)
+        q_rem = qgap - common
+        t_rem = tgap - common
+        run = q_rem + t_rem
+        if run > 0:
+            if affine:
+                # render order: q-remainder (ins cols) then t-remainder
+                # (del cols) — one contiguous run; the affine branch rates
+                # the WHOLE run at the LAST column's linear cost
+                # (AlignmentUtils.h:86-100, a reference quirk kept as-is)
+                linear = run * (dele if t_rem > 0 else ins)
+                score += min(linear, affine_open + run * affine_extend)
+            else:
+                score += q_rem * ins + t_rem * dele
         if common > 0:
             qc = q[blocks[b + 1][0] - common : blocks[b + 1][0]].astype(np.int16)
             tc = t[blocks[b + 1][1] - common : blocks[b + 1][1]].astype(np.int16)
@@ -736,6 +767,137 @@ def stats_from_blocks(blocks, q, t) -> tuple[int, int, int, int]:
         nm += int(eq.sum())
         nx += bl - int(eq.sum())
     return nm, nx, ni, nd
+
+
+def reference_anchor_list(
+    q_codes: np.ndarray,
+    genome: np.ndarray,
+    sa: np.ndarray,        # suffix array (lexicographic order)
+    sa_kmers: np.ndarray,  # ascending packed k-mers per SA row
+    k: int,
+    *,
+    min_match: int = 14,
+    trim: int | None = None,
+    max_ext: int = 256,
+    max_range: int = 10_000,
+    max_anchors_per_position: int = 1000,
+    length_deficit: int = 5,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The reference's anchor list for one read orientation: per position
+    the SA hits achieving the position's MAXIMAL match length
+    (MapBySuffixArray.h:100-212 LCP narrowing + unique-match heuristics —
+    a unique k-match that cannot extend backs off below minMatch and
+    yields nothing), then RemoveOverlappingAnchors
+    (FindMaxInterval.h:279-312, called Blasr.cpp:2381): an anchor
+    diagonal-encompassed by an anchor at the previous target position is
+    dropped, leaving ~one anchor per maximal run. Returns (q, t, len)
+    arrays — the list SumAnchors clusters over.
+
+    The maximal-match DOMINANCE plus the encompass removal are what keep
+    repeat-copy windows sparse (their SumAnchors fall under minInterval,
+    so the reference never forms candidate intervals there), while
+    fixed-k anchoring covers the same windows densely.
+
+    ``length_deficit``: blasrmc run with a sawriter-built ``.sa`` (13-base
+    lookup table, SAWriter.cpp default) reports every anchor 5 bases
+    SHORT: MapReadToGenome receives params.lookupTableLength = 8 as the
+    base prefix length while StoreLCPBounds starts its bounds list at the
+    file's 13-mer lookup level, so matchLength = 8 + searchLen - 1
+    undercounts by 13 - 8 (verified: anchors at q777/824/884 of the
+    golden corpus read sim/1050 report 20/15/18 with -sa vs their true
+    25/20/23 without). Anchors whose deficit length falls below minMatch
+    vanish entirely — a large part of the reference's anchor sparsity on
+    ~15-18-base repeat matches. The golden protocol maps with a
+    precomputed .sa, so the deficit defaults on; pass 0 to model an
+    in-memory (prefix-8) index run."""
+    from blasr_tpu.core.encode import pack_kmers
+
+    q = np.asarray(q_codes, np.uint8)
+    n = len(q)
+    if trim is None:
+        trim = min_match + 1
+    keys, kvalid = pack_kmers(q, k)
+    G = len(genome)
+    end_p = max(0, n - trim)
+    lo_all = np.searchsorted(sa_kmers, keys[:end_p], side="left")
+    hi_all = np.searchsorted(sa_kmers, keys[:end_p], side="right")
+    counts = hi_all - lo_all
+    pos_ok = kvalid[:end_p] & (counts > 0) & (counts <= max_range)
+    valid_p = np.flatnonzero(pos_ok)
+    if len(valid_p) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # flatten all hits, grouped by position (vectorized — the python
+    # per-position loop cost ~100 ms/position on repeat-heavy reads)
+    hit_p = np.repeat(valid_p, counts[valid_p]).astype(np.int64)
+    hit_sa = np.concatenate(
+        [np.arange(lo_all[p], hi_all[p]) for p in valid_p]
+    )
+    hit_t = sa[hit_sa].astype(np.int64)
+    H = len(hit_t)
+    # extension past the k-mer for every hit at once, alive-set compaction
+    ext = np.zeros(H, np.int64)
+    idx = np.arange(H)
+    step = 0
+    qi = hit_p + k
+    ti = hit_t + k
+    while len(idx) and step < max_ext:
+        pi = qi[idx] + step
+        gi = ti[idx] + step
+        ok = (pi < n) & (gi < G)
+        eq = np.zeros(len(idx), bool)
+        eq[ok] = (q[pi[ok]] == genome[gi[ok]]) & (q[pi[ok]] < 4)
+        ext[idx[eq]] += 1
+        idx = idx[eq]
+        step += 1
+    # per-position maximal-match narrowing: segment max over hit groups
+    bounds = np.flatnonzero(np.diff(hit_p, prepend=-1))
+    seg_max = np.maximum.reduceat(ext, bounds)
+    pmax = np.repeat(seg_max, np.diff(np.append(bounds, H)))
+    sel = ext == pmax
+    n_sel_seg = np.add.reduceat(sel.astype(np.int64), bounds)
+    n_sel = np.repeat(n_sel_seg, np.diff(np.append(bounds, H)))
+    length = k + pmax - length_deficit
+    keep_h = sel & (length >= min_match) & (
+        n_sel <= max_anchors_per_position
+    ) & ~((n_sel == 1) & (pmax == 0))
+    # (unique match ending at an error backs off one step — the widened
+    # interval's length k-1 falls below minMatch)
+    aqv = hit_p[keep_h]
+    atv = hit_t[keep_h]
+    alv = length[keep_h]
+    if len(aqv) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    # RemoveOverlappingAnchors: drop an anchor encompassed in BOTH
+    # coordinates by an anchor at the previous target position (the
+    # diagonal-run sparsifier)
+    amap = {}
+    for i in range(len(aqv)):
+        amap.setdefault(int(atv[i]), []).append(i)
+    keep = np.ones(len(aqv), bool)
+    for i in range(len(aqv)):
+        prev = amap.get(int(atv[i]) - 1)
+        if not prev:
+            continue
+        for j in prev:
+            if (
+                aqv[j] < aqv[i]
+                and alv[j] + aqv[j] >= alv[i] + aqv[i]
+                and alv[j] + atv[j] >= alv[i] + atv[i]
+            ):
+                keep[i] = False
+                break
+    return aqv[keep], atv[keep], alv[keep]
+
+
+def sum_anchors_window(
+    at: np.ndarray, al: np.ndarray, w_lo: int, w_hi: int
+) -> int:
+    """SumAnchors over a genomic window (FindMaxInterval.h:314-321) — the
+    cluster-admission currency gated > minInterval."""
+    m = (at >= w_lo) & (at < w_hi)
+    return int(al[m].sum())
 
 
 def blocks_to_ops(blocks) -> np.ndarray:

@@ -47,7 +47,7 @@ def test_chain_stats_matches_bruteforce(seed):
     ).astype(np.int32)
     cvalid = np.ones((B, C), bool)
 
-    n_chain, chained_any, _mass = chain_stats(
+    n_chain, chained_any, _mass, _corners = chain_stats(
         jnp.asarray(t), jnp.asarray(q), jnp.asarray(valid),
         jnp.asarray(dstar), jnp.asarray(cvalid), k=k, win=win,
     )
@@ -77,7 +77,7 @@ def test_chain_gate_rejects_scattered_window():
     valid = jnp.ones((2, 2), bool)
     dstar = jnp.asarray([[40], [80]], jnp.int32)
     cvalid = jnp.ones((2, 1), bool)
-    n_chain, chained_any, _mass = chain_stats(
+    n_chain, chained_any, _mass, _corners = chain_stats(
         t, q, valid, dstar, cvalid, k=k, win=win
     )
     assert not bool(chained_any[0, 0])
@@ -95,7 +95,7 @@ def test_invalid_candidate_has_no_chain():
     valid = jnp.ones((1, 2), bool)
     dstar = jnp.asarray([[90]], jnp.int32)
     cvalid = jnp.zeros((1, 1), bool)
-    n_chain, chained_any, _mass = chain_stats(
+    n_chain, chained_any, _mass, _corners = chain_stats(
         t, q, valid, dstar, cvalid, k=14, win=128
     )
     assert int(n_chain[0, 0]) == 0
@@ -119,7 +119,7 @@ def test_mass_is_union_of_member_intervals():
     dstar = np.stack([diag[:, 0], diag[:, 0] + 1000], axis=1).astype(np.int32)
     cvalid = np.ones((B, C), bool)
 
-    _, _, mass = chain_stats(
+    _, _, mass, _ = chain_stats(
         jnp.asarray(t), jnp.asarray(q), jnp.asarray(valid),
         jnp.asarray(dstar), jnp.asarray(cvalid), k=k, win=win,
     )
