@@ -145,6 +145,7 @@ def main():
                     "warm_pass_s": round(warm_s, 3),
                     "vs_singlethread_ref": round(reads_per_s / 442.0, 2),
                     "dispatch_s": round(met.dispatch_seconds, 3),
+                    "wait_s": round(met.wait_seconds, 3),
                     "finalize_s": round(met.finalize_seconds, 3),
                     "n_batches": met.n_batches,
                 }

@@ -363,13 +363,18 @@ def _revcomp_rows(codes: jax.Array, lengths: jax.Array) -> jax.Array:
     wv = jnp.take_along_axis(
         jnp.pad(w, ((0, 0), (0, 1))), jnp.clip(widx, 0, L // 8), axis=1
     )
-    nsh = jnp.arange(8, dtype=jnp.int32) * 4
-    b = ((wv[:, :, None] >> nsh[None, None, :]) & 15).astype(jnp.uint8)
-    b = b.reshape(B, NW * 8)
+    # sub-word re-alignment in the WORD domain (8x fewer elements than the
+    # old per-code 8-way select), then one unpack
+    wu = jax.lax.bitcast_convert_type(wv, jnp.uint32)
+    wnext = jnp.concatenate([wu[:, 1:], wu[:, -1:]], axis=1)
     r = s & 7
-    out = b[:, 0:L]
+    aligned = wu
     for ph in range(1, 8):
-        out = jnp.where((r == ph)[:, None], b[:, ph : ph + L], out)
+        cand = (wu >> jnp.uint32(4 * ph)) | (wnext << jnp.uint32(32 - 4 * ph))
+        aligned = jnp.where((r == ph)[:, None], cand, aligned)
+    nsh = jnp.arange(8, dtype=jnp.uint32) * 4
+    b = ((aligned[:, :, None] >> nsh[None, None, :]) & 15).astype(jnp.uint8)
+    out = b.reshape(B, NW * 8)[:, 0:L]
     ar = jnp.arange(L, dtype=jnp.int32)[None, :]
     return jnp.where(ar < lengths[:, None], out, jnp.uint8(4))
 
@@ -578,10 +583,17 @@ def _map_batch_impl(
     # median (mixed ins-heavy/del-heavy batches) gets its residual split
     # across both band edges instead of accumulating at one end.
     pad2 = params.target_pad // 2
-    if W < 128:
+    # per-item anchor rows serve both the slope/centring fit and the knot
+    # guides: gather once, with (aq, valid) packed into one int32 so the
+    # three per-element row gathers become two
+    atr = aqr = avr = None
+    if W < 128 or (params.guided_band and L >= W):
+        aqv_pack = (aq << 1) | avalid.astype(jnp.int32)
         atr = at[row]                                       # (I, A)
-        aqr = aq[row]
-        avr = avalid[row]
+        _qp = aqv_pack[row]
+        aqr = _qp >> 1
+        avr = (_qp & 1).astype(bool)
+    if W < 128:
         din = atr - aqr - d0[:, None]
         m = avr & (jnp.abs(din) <= CW)
         mf = m.astype(jnp.float32)
@@ -629,10 +641,9 @@ def _map_batch_impl(
     knots = None
     if params.guided_band and L >= W:
         S_dp = L + T - 1
-        atr_g = at[row]                                     # (I, A)
-        aqr_g = aq[row]
-        din_g = atr_g - aqr_g - d0[:, None]
-        m_g = avalid[row] & (jnp.abs(din_g) <= CW) & cvalid[:, None]
+        aqr_g = aqr
+        din_g = atr - aqr - d0[:, None]
+        m_g = avr & (jnp.abs(din_g) <= CW) & cvalid[:, None]
         # window coords: t_loc = at - t0f = din + aq + pad2, so the anchor
         # sits on anti-diagonal a = q + t_loc = 2q + din + pad2
         knots = make_qoff_knots(
@@ -663,12 +674,24 @@ def _map_batch_impl(
     NW8 = T // 8 + 2
     widx = word0[:, None] + jnp.arange(NW8, dtype=jnp.int32)[None, :]
     wv = genome_pad[jnp.clip(widx, 0, genome_pad.shape[0] - 1)]
-    nsh = jnp.arange(8, dtype=jnp.int32) * 4
-    bts = ((wv[:, :, None] >> nsh[None, None, :]) & 15).astype(jnp.uint8)
-    bts = bts.reshape(I_items, NW8 * 8)
-    tcodes = bts[:, 0:T]
-    for _s in range(1, 8):
-        tcodes = jnp.where((phase == _s)[:, None], bts[:, _s : _s + T], tcodes)
+    # phase-align in the WORD domain (8x fewer elements than selecting
+    # per-code): combine each word with its successor shifted by 4*phase
+    # bits, THEN unpack nibbles once — the old 8-way select over the
+    # (I, T) code array was the dominant setup cost
+    wu = jax.lax.bitcast_convert_type(wv, jnp.uint32)
+    wnext = jnp.concatenate([wu[:, 1:], wu[:, -1:]], axis=1)
+    aligned = wu
+    for _p in range(1, 8):
+        sh = jnp.uint32(4 * _p)
+        cand = (wu >> sh) | (wnext << jnp.uint32(32 - 4 * _p))
+        aligned = jnp.where((phase == _p)[:, None], cand, aligned)
+    if stop_after == "twords":
+        return _probe(aligned, d0, cvalid)
+    nsh = jnp.arange(8, dtype=jnp.uint32) * 4
+    bts = ((aligned[:, :, None] >> nsh[None, None, :]) & 15).astype(jnp.uint8)
+    tcodes = bts.reshape(I_items, NW8 * 8)[:, 0:T]
+    if stop_after == "tcodes":
+        return _probe(tcodes, d0, cvalid)
 
     # contig bounds for boundary masking
     mid = jnp.clip(t0f + T // 2, 0, G - 1)
@@ -677,7 +700,27 @@ def _map_batch_impl(
     tlo = jnp.maximum(starts[ci] - t0f, 0).astype(jnp.int32)
     thi = jnp.minimum(starts[ci + 1] - t0f, T).astype(jnp.int32)
 
-    qitems = reads2[row]                                    # (I, L)
+    # query row fetch: nibble-pack reads2 once (8 codes/int32 word), row-
+    # gather L/8 WORDS per item and unpack — XLA TPU random gathers pay
+    # per ELEMENT (~100 M/s) regardless of payload width, so the packed
+    # fetch is ~8x cheaper than reads2[row] (same trick as the genome
+    # window fetch above; measured ~0.5 -> ~0.15 ms/batch)
+    if L % 8 == 0:
+        r2w = (
+            reads2.astype(jnp.int32).reshape(2 * B, L // 8, 8)
+            << (jnp.arange(8, dtype=jnp.int32) * 4)
+        ).sum(axis=2)                                       # (2B, L/8)
+        qw = r2w[row]                                       # (I, L/8)
+        nshq = jnp.arange(8, dtype=jnp.int32) * 4
+        qitems = (
+            ((qw[:, :, None] >> nshq[None, None, :]) & 15)
+            .astype(jnp.uint8)
+            .reshape(-1, L)
+        )
+    else:
+        qitems = reads2[row]                                # (I, L)
+    if stop_after == "qitems":
+        return _probe(qitems, tcodes, d0)
     qlens = lens2[row]
     quitems = qual2[row] if qual2 is not None else None
 

@@ -41,6 +41,7 @@ class MappingMetrics:
     total_aligned_bases: int = 0
     total_dp_cells: int = 0
     dispatch_seconds: float = 0.0   # host time enqueueing device work
+    wait_seconds: float = 0.0       # host time blocked on device + d2h
     finalize_seconds: float = 0.0   # host time draining + formatting
     wall_seconds: float = 0.0
     buckets: dict = dataclasses.field(default_factory=dict)
@@ -228,7 +229,11 @@ def run_mapping(
     def drain_one():
         t0 = _time.time()
         bi, batch, fut = inflight.popleft()
-        out_b, unm_b = _finalize_batch(mapper, batch, fut.result())
+        dres = fut.result()
+        t1 = _time.time()
+        met.wait_seconds += t1 - t0
+        t0 = t1
+        out_b, unm_b = _finalize_batch(mapper, batch, dres)
         out.extend(out_b)
         unmapped.extend(unm_b)
         if on_batch is not None:

@@ -99,10 +99,12 @@ def main():
     agree = strand_bad = locus_bad = 0
     score_deltas = []
     mapq_close = mapq_total = 0
+    divergent = []
     for n in sorted(common):
         a, b = ours[n], ref[n]
         if a["tname"] != b["tname"] or a["tstrand"] != b["tstrand"]:
             strand_bad += 1
+            divergent.append(n)
             continue
         lo = max(a["tstart"], b["tstart"])
         hi = min(a["tend"], b["tend"])
@@ -116,6 +118,7 @@ def main():
                 mapq_close += 1
         else:
             locus_bad += 1
+            divergent.append(n)
     n = len(common)
     print(f"common reads: {n}  ours-only: {only_ours}  ref-only: {only_ref}")
     print(f"locus+strand agreement: {agree}/{n} = {100.0 * agree / max(n,1):.2f}%")
@@ -133,6 +136,30 @@ def main():
             f"mapQV within +-1 on agreeing reads: {mapq_close}/{mapq_total} "
             f"= {100.0 * mapq_close / mapq_total:.2f}%"
         )
+    ledger_path = None
+    if "--ledger" in sys.argv:
+        ledger_path = sys.argv[sys.argv.index("--ledger") + 1]
+    if "--names" in sys.argv:
+        for n in divergent:
+            print("DIVERGENT", n, "ours:", ours[n], "ref:", ref[n])
+    if ledger_path:
+        # frozen-divergence enforcement (round-5 ledger, VERDICT item 6):
+        # every divergent read must be sanctioned in the ledger file
+        # (lines starting with 'read '); new divergences fail the check
+        sanctioned = set()
+        for line in open(ledger_path):
+            if line.startswith("read "):
+                sanctioned.add(line.split()[1])
+        new = [n for n in divergent if n not in sanctioned]
+        gone = sorted(sanctioned - set(divergent))
+        if gone:
+            print(f"ledger: {len(gone)} sanctioned divergences now AGREE "
+                  f"(update the ledger): {gone}")
+        if new:
+            print(f"LEDGER VIOLATION: {len(new)} unsanctioned divergences: "
+                  f"{new}")
+            sys.exit(1)
+        print(f"ledger: all {len(divergent)} divergences sanctioned")
 
 
 if __name__ == "__main__":

@@ -65,8 +65,8 @@ def main():
     )
 
     stages = [
-        "anchors", "candidates", "setup", "slope", "dp", "walk", "filters",
-        "presel", None,
+        "anchors", "candidates", "twords", "tcodes", "qitems",
+        "setup", "slope", "dp", "walk", "filters", "presel", None,
     ]
     prev = 0.0
     for st in stages:
