@@ -57,7 +57,11 @@ def main():
     t_index = time.time() - t0
     reads = read_records(READS_FA)
     params = MappingParams(
-        batch_size=int(os.environ.get("BLASR_BENCH_B", "64")),
+        # B=256 measured best end-to-end (6.5-6.7k vs 6.0-6.3k at B=64,
+        # tunnel spread included): the e2e wall is device-bound and larger
+        # batches amortize per-dispatch fixed cost (bench detail line:
+        # dispatch/wait/finalize split).
+        batch_size=int(os.environ.get("BLASR_BENCH_B", "256")),
         max_read_len=int(os.environ.get("BLASR_BENCH_MAXL", "3328")),
         n_candidates=int(os.environ.get("BLASR_BENCH_NC", "4")),
         n_dp_candidates=int(os.environ.get("BLASR_BENCH_CD", "2")),
@@ -79,6 +83,13 @@ def main():
         # the tunnel d2h (~577 B/read at ~6.5 MB/s). Same setting the -m 4
         # CLI uses (cli/blasr.py params_from_args).
         emit_moves=bool(int(os.environ.get("BLASR_BENCH_MOVES", "0"))),
+        # adaptive candidate depth: output-identical to flat CD=2 and ~90%
+        # of reads skip the second DP window, but measured SLOWER here
+        # (4.6k vs 6.8k at B=256): the device pipeline is overhead-bound,
+        # so halving the work barely moves the main pass while the retry
+        # sub-run adds fixed cost. Off by default; useful once per-item
+        # work dominates (real multi-chip serving, longer reads).
+        adaptive_cd=bool(int(os.environ.get("BLASR_BENCH_ADAPTIVE", "0"))),
     )
 
     # serving operating point (env-overridable): top-2 windows DP'd per

@@ -210,20 +210,24 @@ def _make_kernel(
 
     def kernel(
         qoff_ref, s1_ref, s2_ref,          # scalar prefetch (S2p,) int32
-        # NB query window blocks, NB rev-target blocks (each (IT, LW) i32)
+        # ONE wide query window ref + ONE rev-target ref, each
+        # (IT, NB*LW): the source arrays carry materialized OVERLAPPING
+        # NB-block windows (wrapper _widen) so a single block index serves
+        # the whole fetch — one index-map eval + DMA check per array per
+        # iteration instead of NB, and no in-kernel block concat
         *refs,
     ):
-        qblk = refs[:NB]
-        tblk = refs[NB : 2 * NB]
-        qlen_ref, tlo_ref, thi_ref = refs[2 * NB : 2 * NB + 3]
-        refs = refs[2 * NB + 3 :]
+        q_ref = refs[0]
+        t_ref = refs[1]
+        qlen_ref, tlo_ref, thi_ref = refs[2:5]
+        refs = refs[5:]
         kn_ref = None
         if guided:
             kn_ref = refs[0]               # (IT, NKp) int32 schedule knots
             refs = refs[1:]
         if with_qual:
-            qublk = refs[:NB]
-            refs = refs[NB:]
+            qu_ref = refs[0]
+            refs = refs[1:]
         if with_traceback:
             arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
             scratch = refs[4:]
@@ -312,22 +316,34 @@ def _make_kernel(
                 return bc([qoff_item_p(p, u) for p in range(P)])
 
             qin = jnp.maximum(qo0 // W - mL, 0) * W
-            qb = [b[:] for b in qblk]
-            tbv = [b[:] for b in tblk]
-            qub = [b[:] for b in qublk] if with_qual else None
+            qwide = q_ref[:]
+            twide = t_ref[:]
+            quwide = qu_ref[:] if with_qual else None
             tb_sh = ((Tp - 1 - W) - (a0 - qo0) - (U - 1)) // W
             tin = jnp.maximum(tb_sh - mL, 0) * W
+
+            def _chunk_span(wide, p):
+                return jnp.concatenate(
+                    [
+                        wide[:, b * LW + W * p : b * LW + W * p + W]
+                        for b in range(NB)
+                    ],
+                    axis=1,
+                )
+
             qrolls, trolls, qurolls = [], [], []
             for p in range(P):
-                sl = slice(W * p, W * (p + 1))
-                qspan = jnp.concatenate([b[:, sl] for b in qb], axis=1)
-                qrolls.append(_roll_item(qspan, qo_base_p[p] - qin))
+                qrolls.append(
+                    _roll_item(_chunk_span(qwide, p), qo_base_p[p] - qin)
+                )
                 tbase_p = (Tp - 1 - W) - (a0 - qo_base_p[p]) - (U - 1)
-                tspan = jnp.concatenate([b[:, sl] for b in tbv], axis=1)
-                trolls.append(_roll_item(tspan, tbase_p - tin))
+                trolls.append(
+                    _roll_item(_chunk_span(twide, p), tbase_p - tin)
+                )
                 if with_qual:
-                    quspan = jnp.concatenate([b[:, sl] for b in qub], axis=1)
-                    qurolls.append(_roll_item(quspan, qo_base_p[p] - qin))
+                    qurolls.append(
+                        _roll_item(_chunk_span(quwide, p), qo_base_p[p] - qin)
+                    )
             # U candidate windows per array (offset o from each chunk's
             # base); the substep selects per lane by its chunk's qd
             qcand = [
@@ -368,17 +384,14 @@ def _make_kernel(
 
             qo_base = qoff_item(0)             # (IT, 1) int32
             qin = jnp.maximum(qo0 // W - 1, 0) * W
-            qcat = jnp.concatenate([b[:] for b in qblk], axis=1)
-            qroll = _roll_item(qcat, qo_base - qin)
+            qroll = _roll_item(q_ref[:], qo_base - qin)
             tb_sh = ((Tp - 1 - W) - (a0 - qo0) - (U - 1)) // W
             tin = jnp.maximum(tb_sh - 1, 0) * W
             tbase_i = (Tp - 1 - W) - (a0 - qo_base) - (U - 1)
-            tcat = jnp.concatenate([b[:] for b in tblk], axis=1)
-            troll = _roll_item(tcat, tbase_i - tin)
+            troll = _roll_item(t_ref[:], tbase_i - tin)
             quroll = None
             if with_qual:
-                qucat = jnp.concatenate([b[:] for b in qublk], axis=1)
-                quroll = _roll_item(qucat, qo_base - qin)
+                quroll = _roll_item(qu_ref[:], qo_base - qin)
         else:
             # The input specs deliver the 3 LW-wide blocks covering the
             # current window (index maps read the same prefetched scalars),
@@ -387,22 +400,19 @@ def _make_kernel(
             # sub-steps (the band offset moves <= 1/step). Packed columns =
             # P * band columns.
             qin = (qo0 // W) * W
-            qcat = jnp.concatenate([b[:] for b in qblk], axis=1)
             qroll = pltpu.roll(
-                qcat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
+                q_ref[:], shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
             )
             tstart0 = (Tp - 1 - W) - (a0 - qo0)
             tbase = tstart0 - (U - 1)
             tin = (tbase // W) * W
-            tcat = jnp.concatenate([b[:] for b in tblk], axis=1)
             troll = pltpu.roll(
-                tcat, shift=(3 * LW - P * (tbase - tin)) % (3 * LW), axis=1
+                t_ref[:], shift=(3 * LW - P * (tbase - tin)) % (3 * LW), axis=1
             )
             quroll = None
             if with_qual:
-                qucat = jnp.concatenate([b[:] for b in qublk], axis=1)
                 quroll = pltpu.roll(
-                    qucat, shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
+                    qu_ref[:], shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
                 )
 
         H1 = H1s[:]
@@ -809,6 +819,19 @@ def banded_align_pallas(
         if chunked:
             # chunk p's knots at columns [p*NKp, (p+1)*NKp) of its row
             kn_in = kn_in.reshape(R, P * NKp)
+    def _widen(x):
+        # materialize overlapping NB-block windows at LW granularity:
+        # wide block j = x[:, j*LW : j*LW + NB*LW] (see _wspec)
+        nb_src = x.shape[1] // LW
+        nj = nb_src - NB + 1
+        return jnp.concatenate(
+            [x[:, j * LW : j * LW + NB * LW] for j in range(nj)], axis=1
+        )
+
+    qext_w = _widen(qext)
+    trev_w = _widen(trev)
+    quext_w = _widen(quext) if with_qual else None
+
     cdt, inf_k = _cell_dtype_for(scores, L, T)
     kernel = _make_kernel(
         scores, S, W, P, IT, Tp, with_traceback, with_qual, cdt, inf_k,
@@ -834,32 +857,37 @@ def banded_align_pallas(
             )
         ] + out_specs
 
-    def _wspec(block_off):
-        # query window block: covers band cols [jq*W, (jq+1)*W) (packed
-        # cols [jq*LW, (jq+1)*LW)) with jq from the prefetched band offset.
-        # Guided modes fetch NB blocks from mL blocks LEFT of the shared
-        # line (clamped at 0) so per-item deviations up to +-(mL*W - 8)
-        # stay inside the span.
+    # ONE wide (IT, NB*LW) block per input array: the sources below are
+    # pre-expanded (_widen) so wide block j holds the OVERLAPPING span
+    # [j*LW, j*LW + NB*LW) — a single index-map eval + DMA check per
+    # array per grid iteration instead of NB, and no in-kernel concat.
+    # The window moves <= 1 block per ~W/U iterations, so the 3-8x source
+    # blowup costs one cheap on-device copy per call while the fetch
+    # traffic stays rare.
+    def _wspec():
+        # covers band cols [jq*W, ...) with jq from the prefetched band
+        # offset; guided modes start mL blocks LEFT of the shared line
+        # (clamped at 0) so per-item deviations up to +-(mL*W - 8) fit
         if guided:
-            def _map(i, s, qoff, s1, s2, _o=block_off):
-                return (i, jnp.maximum(qoff[s * U] // W - mL, 0) + _o)
+            def _map(i, s, qoff, s1, s2):
+                return (i, jnp.maximum(qoff[s * U] // W - mL, 0))
         else:
-            def _map(i, s, qoff, s1, s2, _o=block_off):
-                return (i, qoff[s * U] // W + _o)
+            def _map(i, s, qoff, s1, s2):
+                return (i, qoff[s * U] // W)
 
-        return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((IT, NB * LW), _map, memory_space=pltpu.VMEM)
 
-    def _tspec(block_off):
-        def _map(i, s, qoff, s1, s2, _o=block_off):
+    def _tspec():
+        def _map(i, s, qoff, s1, s2):
             tb = ((Tp - 1 - W) - (s * U - qoff[s * U]) - (U - 1)) // W
             if guided:
                 tb = jnp.maximum(tb - mL, 0)
-            return (i, tb + _o)
+            return (i, tb)
 
-        return pl.BlockSpec((IT, LW), _map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((IT, NB * LW), _map, memory_space=pltpu.VMEM)
 
-    wspecs = [_wspec(o) for o in range(NB)]
-    tspecs = [_tspec(o) for o in range(NB)]
+    wspecs = [_wspec()]
+    tspecs = [_tspec()]
     kn_specs = (
         [pl.BlockSpec((IT, P * NKp if chunked else NKp),
                       lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM)]
@@ -898,10 +926,10 @@ def banded_align_pallas(
         interpret=interpret,
     )(
         qoff_p, s1_p, s2_p,
-        *([qext] * NB), *([trev] * NB),
+        qext_w, trev_w,
         qlen_in, tlo_in, thi_in,
         *([kn_in] if guided else []),
-        *([quext] * NB if with_qual else []),
+        *([quext_w] if with_qual else []),
     )
     if with_traceback:
         arrows, best, besta, bestw = outs

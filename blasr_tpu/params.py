@@ -138,6 +138,20 @@ class MappingParams:
                                       # schedule instead of the shared
                                       # drift-slope line, so the full band
                                       # stays at base width at every length
+    adaptive_cd: bool = False         # adaptive candidate depth: map with
+                                      # ONE DP window per read, then re-map
+                                      # only reads where a SECOND window
+                                      # passed interval admission through
+                                      # the full n_dp_candidates program.
+                                      # Output is IDENTICAL to the flat
+                                      # CD program by construction (an
+                                      # unadmitted window contributes
+                                      # nothing to selection or MAPQ), and
+                                      # only ~10% of golden-corpus reads
+                                      # carry a second admitted window
+                                      # (scripts/calibrate_cd.py) — the
+                                      # other 90% skip nearly half the
+                                      # device pipeline. best_n == 1 only.
     emit_moves: bool = True           # ship per-alignment 2-bit move
                                       # strings over the host link. m4
                                       # output needs only coordinates+stats

@@ -250,9 +250,10 @@ class MapBatchResult(NamedTuple):
 
     sel_ints: jax.Array      # (len(SEL_FIELDS), I2) int32, rows = SEL_FIELDS
     moves_packed: jax.Array  # (I2, P) uint8 packed ops, END->START order
-    read_ints: jax.Array     # (B, 6*CD) int32: cand_scores | cand_valid |
-                             # chain corners qlo|qhi|tlo|thi (the
-                             # reference interval geometry)
+    read_ints: jax.Array     # (B, 6*CD + 1) int32: cand_scores |
+                             # cand_valid | chain corners qlo|qhi|tlo|thi
+                             # (the reference interval geometry) | ambig
+                             # (a second window passed admission)
 
 
 class WireResult(NamedTuple):
@@ -296,6 +297,7 @@ class HostBatchResult(NamedTuple):
     cand_qhi: np.ndarray
     cand_tlo: np.ndarray     # (B, CD) chain genome-span corners
     cand_thi: np.ndarray
+    cand_ambig: np.ndarray   # (B,) a second window passed admission
 
 
 def unpack_result(
@@ -323,6 +325,7 @@ def unpack_result(
         cand_qhi=rints[:, 3 * CD : 4 * CD],
         cand_tlo=rints[:, 4 * CD : 5 * CD],
         cand_thi=rints[:, 5 * CD : 6 * CD],
+        cand_ambig=rints[:, 6 * CD].astype(bool),
         **fields,
     )
 
@@ -545,10 +548,14 @@ def _map_batch_impl(
         )
         topw, topj = jax.lax.top_k(key, CD)                 # (B, CD)
         cvalid = (topw > 0).reshape(-1)
+        # second-admitted-window flag (adaptive_cd trigger): exact — a
+        # read without one behaves identically at any CD
+        ambig = jax.lax.top_k(key, 2)[0][:, 1] > 0
     else:
         wneg = jnp.where(vld2, wgt2, jnp.float32(-1.0))
         topw, topj = jax.lax.top_k(wneg, CD)                # (B, CD)
         cvalid = (topw > 0.0).reshape(-1)
+        ambig = jax.lax.top_k(wneg, 2)[0][:, 1] > 0.0
     dp_strand = (topj // C).astype(jnp.int32)               # 0 fwd / 1 rc
     dp_c = (topj % C).astype(jnp.int32)
     cand_item = (dp_strand * B + b_ar) * C + dp_c           # into (2B*C,) layout
@@ -921,7 +928,8 @@ def _map_batch_impl(
     tlo_sel = jnp.take_along_axis(to2(tlo_c), topj, axis=1)
     thi_sel = jnp.take_along_axis(to2(thi_c), topj, axis=1)
     read_ints = jnp.concatenate(
-        [sc, sv.astype(jnp.int32), qlo_sel, qhi_sel, tlo_sel, thi_sel],
+        [sc, sv.astype(jnp.int32), qlo_sel, qhi_sel, tlo_sel, thi_sel,
+         ambig.astype(jnp.int32)[:, None]],
         axis=1,
     ).astype(jnp.int32)
 
@@ -1036,6 +1044,6 @@ class Mapper:
             i2=B * p.best_n,
             p=packed_width(S) if (p.emit_moves or p.best_n > 1) else 0,
             b=B,
-            rcols=6 * p.dp_candidates,
+            rcols=6 * p.dp_candidates + 1,
         )
 

@@ -169,7 +169,23 @@ def run_mapping(
     global LAST_RUN_METRICS
     met = MappingMetrics()
     t_run0 = _time.time()
-    mapper = Mapper(index, params, fm=fm)
+    # adaptive candidate depth: the main pass runs a CD=1 program; reads
+    # whose batch result carries the second-admitted-window flag re-run
+    # through the full-CD program afterwards and their records are
+    # REPLACED wholesale. Exactness: a read without a second admitted
+    # window produces identical records at any CD (the extra slots are
+    # invalid and contribute nothing to selection or MAPQ), and flagged
+    # reads go through the ordinary full-CD program.
+    adaptive = (
+        params.adaptive_cd
+        and params.best_n == 1
+        and params.dp_candidates > 1
+    )
+    map_params = (
+        dataclasses.replace(params, n_dp_candidates=1) if adaptive else params
+    )
+    adaptive_names: set[str] = set()
+    mapper = Mapper(index, map_params, fm=fm)
     out: list[AlignmentRecord] = []
     unmapped: list[str] = []
     if params.min_read_length > 0 or params.min_avg_qual > 0:
@@ -215,6 +231,7 @@ def run_mapping(
     defer_stream = on_batch is not None and (
         (params.band_escalation and bool(params.narrow_band))
         or params.sensitive_retry
+        or adaptive
     )
     deferred_names: set[str] = set()
     on_batch_4 = False
@@ -234,13 +251,22 @@ def run_mapping(
         met.wait_seconds += t1 - t0
         t0 = t1
         out_b, unm_b = _finalize_batch(mapper, batch, dres)
+        amb: set[str] = set()
+        if adaptive:
+            resu = unpack_result(dres, mapper.params.dp_candidates)
+            amb = {
+                batch.names[bb]
+                for bb in range(len(batch.names))
+                if batch.indices[bb] >= 0 and resu.cand_ambig[bb]
+            }
+            adaptive_names.update(amb)
         out.extend(out_b)
         unmapped.extend(unm_b)
         if on_batch is not None:
             stream_b = out_b
-            dn: set[str] = set()
+            dn: set[str] = set(amb)
             if defer_stream:
-                dn = _stream_defer_names(out_b, params)
+                dn |= _stream_defer_names(out_b, params)
                 if dn:
                     deferred_names.update(dn)
                     stream_b = [r for r in out_b if r.qname not in dn]
@@ -279,6 +305,20 @@ def run_mapping(
     while inflight:
         drain_one()
     fetch_pool.shutdown(wait=False)
+    if adaptive and adaptive_names:
+        # full-depth re-map of the flagged ~10%: their CD=1 records are
+        # replaced WHOLESALE (the full-CD program is the ground truth for
+        # reads with a competing window); retries/escalation below then
+        # operate on the merged result exactly as in the flat-CD flow
+        retry_reads = [r for r in reads if r.name in adaptive_names]
+        pr = dataclasses.replace(
+            params, adaptive_cd=False,
+            band_escalation=False, sensitive_retry=False,
+            max_expand=params.min_expand,
+        )
+        r2, u2 = run_mapping(index, retry_reads, pr, fm=fm)
+        out = [r for r in out if r.qname not in adaptive_names] + r2
+        unmapped = [u for u in unmapped if u not in adaptive_names] + u2
     # late_names: reads whose records never reached per-batch streaming
     # (expand-recovered, stream-deferred, sensitive-recovered); their FINAL
     # records (after every retry pass resolved) go out in on_batch(-1, ...)

@@ -633,6 +633,38 @@ def test_chunked_guided_narrow_band_holds_burst_reads():
             assert r.pct_similarity >= 80.0, (rd.name, r.pct_similarity)
 
 
+def test_adaptive_cd_identical_records():
+    """adaptive_cd (CD=1 main pass + full-CD re-map of reads with a second
+    admitted window) must produce byte-identical m4 records and unmapped
+    set vs the flat CD=2 program — exactness by construction, checked on a
+    repeat-bearing genome so the flagged path actually runs."""
+    import dataclasses
+
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.output.m4 import format_m4
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    g = simulate_genome(120_000, seed=9, repeat_fraction=0.25)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 40, mean_len=700, seed=10)
+    p = MappingParams(
+        batch_size=16, max_read_len=1024, n_candidates=4,
+        n_dp_candidates=2, best_n=1, min_match_length=13,
+    )
+    r1, u1 = run_mapping(index, reads, p)
+    r2, u2 = run_mapping(
+        index, reads, dataclasses.replace(p, adaptive_cd=True)
+    )
+    assert sorted(format_m4(x) for x in r1) == sorted(format_m4(x) for x in r2)
+    assert sorted(u1) == sorted(u2)
+
+
 def test_emit_moves_off_same_m4_records():
     """emit_moves=False (the -m 4 serving path: no per-base move strings
     cross the host link) must produce byte-identical m4 records and the
