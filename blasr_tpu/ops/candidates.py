@@ -176,51 +176,48 @@ def chain_stats(
                    is why the reference never emits the weak secondary
                    records a free local DP can stitch out of such windows.
 
-    Fully vectorized: one q-argsort per strand-row, a pairwise boundary
-    count (q_i <= q_j - k), and per-window cumulative-min over t in
-    q-order; no serial scan over anchors.
+    Fully vectorized AND order-free: every "previous/next member" quantity
+    is a pairwise masked reduce over the anchor axis — no argsort, no
+    associative scan, and (decisive on TPU) no minor-dim take_along_axis,
+    which XLA lowers as a per-element gather at ~60 M elem/s (the original
+    sorted-cummin formulation spent ~5 of its 6.6 ms in those takes;
+    measured in scripts/micro_chain.py). The pairwise masks fuse into
+    their reductions, so nothing (B, C, A, A)-shaped is materialized.
     """
     B, A = t.shape
     BIG = jnp.int32(2**30)
+    d = t - q
 
-    order = jnp.argsort(jnp.where(valid, q, BIG), axis=1, stable=True)
-    q_s = jnp.take_along_axis(q, order, axis=1)
-    t_s = jnp.take_along_axis(t, order, axis=1)
-    v_s = jnp.take_along_axis(valid, order, axis=1)
-    d_s = t_s - q_s
+    # window membership per candidate: (B, C, A)
+    reld = d[:, None, :] - dstar[:, :, None]
+    mem = valid[:, None, :] & (reld >= 0) & (reld < win) & cvalid[:, :, None]
 
-    # b(j) = count of i with q_i <= q_j - k  (pairwise; q_s is sorted so
-    # this is searchsorted, but the O(A^2) mask sum fuses better on TPU
-    # than a vmapped binary search at these shapes)
-    qj = jnp.where(v_s, q_s, BIG)
-    b = jnp.sum(
-        (qj[:, None, :] <= (qj - k)[:, :, None]) & v_s[:, None, :],
-        axis=-1,
-    ).astype(jnp.int32)                                    # (B, A)
+    # colinear non-overlapping predecessor (GlobalChain link test):
+    # min t over members i with q_i <= q_j - k must be <= t_j - k.
+    # Pairwise (B, C, Aj, Ai) masked min, reduced over Ai.
+    q_i = q[:, None, None, :]                                # (B,1,1,Ai)
+    q_j = q[:, None, :, None]                                # (B,1,Aj,1)
+    mem_i = mem[:, :, None, :]                               # (B,C,1,Ai)
+    prev_mask = mem_i & (q_i <= q_j - k)
+    prev_t = jnp.min(
+        jnp.where(prev_mask, t[:, None, None, :], BIG), axis=-1
+    )                                                        # (B, C, Aj)
+    has_prev = prev_t <= t[:, None, :] - k
+    chained = mem & has_prev
+    n_link = jnp.sum(chained, axis=-1).astype(jnp.int32)
+    any_mem = jnp.any(mem, axis=-1)
 
     # single-maximal-match admission (PMatch role, see docstring): anchor j
     # composes with an overlapping same-diagonal predecessor i into an
     # exact match of length k + (q_j - q_i); length >= k+3 clears the gate.
     # The partner shares the diagonal, so j's window membership implies i's.
-    gap = q_s[:, :, None] - q_s[:, None, :]                # (B, Aj, Ai)
+    gap = q[:, :, None] - q[:, None, :]                      # (B, Aj, Ai)
     pair_ok = jnp.any(
-        (d_s[:, :, None] == d_s[:, None, :])
-        & v_s[:, :, None] & v_s[:, None, :]
+        (d[:, :, None] == d[:, None, :])
+        & valid[:, :, None] & valid[:, None, :]
         & (gap >= 3) & (gap <= k - 1),
         axis=-1,
-    )                                                      # (B, A) q-sorted
-
-    reld = d_s[:, None, :] - dstar[:, :, None]             # (B, C, A)
-    mem = v_s[:, None, :] & (reld >= 0) & (reld < win) & cvalid[:, :, None]
-    tmask = jnp.where(mem, t_s[:, None, :], BIG)
-    cummin_t = jax.lax.associative_scan(jnp.minimum, tmask, axis=-1)
-    # min t over members with q <= q_j - k: cummin at index b(j)-1
-    bj = jnp.broadcast_to(b[:, None, :], mem.shape)
-    prev_t = jnp.take_along_axis(cummin_t, jnp.maximum(bj - 1, 0), axis=-1)
-    has_prev = (bj > 0) & (prev_t <= t_s[:, None, :] - k)
-    chained = mem & has_prev
-    n_link = jnp.sum(chained, axis=-1).astype(jnp.int32)
-    any_mem = jnp.any(mem, axis=-1)
+    )                                                        # (B, A)
     single_ok = jnp.any(mem & pair_ok[:, None, :], axis=-1)
 
     # ---- chain corners (WeightedInterval qStart/qEnd/tStart/tEnd role):
@@ -228,24 +225,16 @@ def chain_stats(
     # non-overlapping colinear predecessor or successor. The symmetric
     # successor test mirrors has_prev: max t over members with
     # q >= q_j + k must be >= t_j + k.
-    cs = jnp.sum(
-        (qj[:, None, :] < (qj + k)[:, :, None]) & v_s[:, None, :],
-        axis=-1,
-    ).astype(jnp.int32)                                    # first idx with q_i >= q_j + k
-    tmask_hi = jnp.where(mem, t_s[:, None, :], -BIG)
-    cummax_t = jax.lax.associative_scan(
-        jnp.maximum, tmask_hi[:, :, ::-1], axis=-1
-    )[:, :, ::-1]
-    csj = jnp.broadcast_to(cs[:, None, :], mem.shape)
-    succ_t = jnp.take_along_axis(
-        cummax_t, jnp.minimum(csj, A - 1), axis=-1
+    succ_mask = mem_i & (q_i >= q_j + k)
+    succ_t = jnp.max(
+        jnp.where(succ_mask, t[:, None, None, :], -BIG), axis=-1
     )
-    has_succ = (csj < A) & (succ_t >= t_s[:, None, :] + k)
+    has_succ = succ_t >= t[:, None, :] + k
     part = mem & (has_prev | has_succ)
     # fall back to all members when no pair chains (single-match windows)
     use = jnp.where(jnp.any(part, axis=-1, keepdims=True), part, mem)
-    qpart = jnp.broadcast_to(q_s[:, None, :], mem.shape)
-    tpart = jnp.broadcast_to(t_s[:, None, :], mem.shape)
+    qpart = jnp.broadcast_to(q[:, None, :], mem.shape)
+    tpart = jnp.broadcast_to(t[:, None, :], mem.shape)
     q_lo_ch = jnp.min(jnp.where(use, qpart, BIG), axis=-1)
     q_hi_ch = jnp.max(jnp.where(use, qpart + k, -BIG), axis=-1)
     t_lo_ch = jnp.min(jnp.where(use, tpart, BIG), axis=-1)
@@ -257,18 +246,18 @@ def chain_stats(
         jnp.where(any_mem, t_hi_ch, 0).astype(jnp.int32),
     )
 
-    # union length of member [q, q+k) intervals: q_s ascending, so each
-    # member contributes min(k, next member q - own q); the last (and any
-    # duplicate-q) members contribute k (and 0) respectively
-    qmem = jnp.where(mem, jnp.broadcast_to(q_s[:, None, :], mem.shape), BIG)
-    nm = jax.lax.associative_scan(
-        jnp.minimum, qmem[:, :, ::-1], axis=-1
-    )[:, :, ::-1]
-    next_q = jnp.concatenate(
-        [nm[:, :, 1:], jnp.full_like(nm[:, :, :1], BIG)], axis=-1
-    )
+    # union length of member [q, q+k) intervals: each member contributes
+    # min(k, next_q - q) where next_q is the smallest member q strictly
+    # after it in (q, index) order — duplicates contribute 0 except the
+    # canonical last, exactly like the old sorted-scan formulation
+    idx_i = jnp.arange(A, dtype=jnp.int32)[None, None, None, :]
+    idx_j = jnp.arange(A, dtype=jnp.int32)[None, None, :, None]
+    after = (q_i > q_j) | ((q_i == q_j) & (idx_i > idx_j))
+    next_q = jnp.min(
+        jnp.where(mem_i & after, q_i, BIG), axis=-1
+    )                                                        # (B, C, Aj)
     contrib = jnp.where(
-        mem, jnp.minimum(jnp.int32(k), next_q - qmem), 0
+        mem, jnp.minimum(jnp.int32(k), next_q - q[:, None, :]), 0
     )
     mass = jnp.sum(contrib, axis=-1).astype(jnp.int32)
     return (

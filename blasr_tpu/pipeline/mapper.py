@@ -117,7 +117,18 @@ def make_device_index(
     gnib = np.zeros(n8, np.uint32)
     for j in range(8):
         gnib |= gp8[j::8].astype(np.uint32) << (4 * j)
-    gp = gnib.view(np.int32)
+    # DMA-fetch slack: ops/dma_gather.gather_spans fetches whole 128-word
+    # rows from a (N/128, 128) view, so the word array pads to a lane
+    # multiple with enough all-5 (out-of-genome) filler that every legal
+    # window start stays unclipped and any clipped start reads pure filler
+    # — identical semantics to the old per-element clamp (which clamped to
+    # 5-packed pad words)
+    nw_max = (params.max_read_len + params.target_pad) // 8 + 2
+    slack = (-(-nw_max // 128) + 2) * 128
+    n8p = -(-(n8 + slack) // 128) * 128
+    gnib_p = np.full(n8p, 0x55555555, np.uint32)
+    gnib_p[:n8] = gnib
+    gp = gnib_p.view(np.int32)
     if fm is not None:
         arrays = (
             jnp.asarray(fm.bwt_rows),
@@ -596,8 +607,20 @@ def _map_batch_impl(
     atr = aqr = avr = None
     if W < 128 or (params.guided_band and L >= W):
         aqv_pack = (aq << 1) | avalid.astype(jnp.int32)
-        atr = at[row]                                       # (I, A)
-        _qp = aqv_pack[row]
+        if use_pallas:
+            # ONE row DMA per item for both anchor tables (ops/dma_gather;
+            # XLA row gathers pay per element at ~60 M elem/s)
+            from blasr_tpu.ops.dma_gather import gather_rows
+
+            _A = at.shape[1]
+            fused = gather_rows(
+                jnp.concatenate([at, aqv_pack], axis=1), row
+            )                                               # (I, 2A)
+            atr = fused[:, :_A]
+            _qp = fused[:, _A:]
+        else:
+            atr = at[row]                                   # (I, A)
+            _qp = aqv_pack[row]
         aqr = _qp >> 1
         avr = (_qp & 1).astype(bool)
     if W < 128:
@@ -679,8 +702,17 @@ def _map_batch_impl(
     word0 = gpos >> 3
     phase = gpos & 7
     NW8 = T // 8 + 2
-    widx = word0[:, None] + jnp.arange(NW8, dtype=jnp.int32)[None, :]
-    wv = genome_pad[jnp.clip(widx, 0, genome_pad.shape[0] - 1)]
+    if use_pallas:
+        # one pipelined DMA per item instead of an (I, NW8) per-element
+        # XLA gather (23-45 M elem/s measured): 3.7 -> 1.2 ms at the
+        # B=256 bench shape (scripts/micro_dma.py). The device word array
+        # carries all-5 slack so every legal start is in range.
+        from blasr_tpu.ops.dma_gather import gather_spans
+
+        wv = gather_spans(genome_pad, word0, span=NW8)
+    else:
+        widx = word0[:, None] + jnp.arange(NW8, dtype=jnp.int32)[None, :]
+        wv = genome_pad[jnp.clip(widx, 0, genome_pad.shape[0] - 1)]
     # phase-align in the WORD domain (8x fewer elements than selecting
     # per-code): combine each word with its successor shifted by 4*phase
     # bits, THEN unpack nibbles once — the old 8-way select over the
@@ -717,7 +749,12 @@ def _map_batch_impl(
             reads2.astype(jnp.int32).reshape(2 * B, L // 8, 8)
             << (jnp.arange(8, dtype=jnp.int32) * 4)
         ).sum(axis=2)                                       # (2B, L/8)
-        qw = r2w[row]                                       # (I, L/8)
+        if use_pallas:
+            from blasr_tpu.ops.dma_gather import gather_rows
+
+            qw = gather_rows(r2w, row)                      # (I, L/8)
+        else:
+            qw = r2w[row]                                   # (I, L/8)
         nshq = jnp.arange(8, dtype=jnp.int32) * 4
         qitems = (
             ((qw[:, :, None] >> nshq[None, None, :]) & 15)

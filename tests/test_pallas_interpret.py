@@ -126,3 +126,35 @@ def test_pallas_interpret_sloped_qoff():
         np.testing.assert_array_equal(
             np.asarray(getattr(wt, f)), np.asarray(getattr(wa, f)), err_msg=f
         )
+
+
+def test_dma_gather_interpret_matches_xla():
+    """gather_spans / gather_rows (per-item DMA fetch, ops/dma_gather)
+    must equal the plain XLA gather formulation — interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blasr_tpu.ops.dma_gather import gather_rows, gather_spans
+
+    rng = np.random.default_rng(3)
+    N, I, S = 4096, 70, 162
+    src = jnp.asarray(rng.integers(0, 2**31 - 1, N).astype(np.int32))
+    starts = jnp.asarray(rng.integers(0, N - (-(-S // 128) + 1) * 128, I).astype(np.int32))
+    out = np.asarray(gather_spans(src, starts, span=S, interpret=True))
+    ref = np.asarray(src)[
+        np.asarray(starts)[:, None] + np.arange(S)[None, :]
+    ]
+    np.testing.assert_array_equal(out, ref)
+    # clipped start reads in-range data from the clip point
+    st2 = jnp.asarray(np.array([N - 10, 0, 5], np.int32))
+    out2 = np.asarray(gather_spans(src, st2, span=S, interpret=True))
+    lo = np.asarray(jnp.clip(st2, 0, N - (-(-S // 128) + 1) * 128))
+    ref2 = np.asarray(src)[lo[:, None] + np.arange(S)[None, :]]
+    np.testing.assert_array_equal(out2, ref2)
+
+    R, Lr = 96, 416
+    tbl = jnp.asarray(
+        rng.integers(0, 2**31 - 1, (R, Lr)).astype(np.int32))
+    rows = jnp.asarray(rng.integers(0, R, I).astype(np.int32))
+    outr = np.asarray(gather_rows(tbl, rows, interpret=True))
+    np.testing.assert_array_equal(outr, np.asarray(tbl)[np.asarray(rows)])

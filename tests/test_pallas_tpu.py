@@ -269,3 +269,26 @@ def test_pallas_packed_narrow_band_tpu():
         np.testing.assert_array_equal(
             np.asarray(getattr(wr, f)), np.asarray(getattr(wg, f)), err_msg=f
         )
+
+
+def test_dma_gather_tpu():
+    """Silicon check for the per-item DMA gathers (ops/dma_gather): exact
+    vs the XLA gather on the real chip, at the bench genome-window shape."""
+    from blasr_tpu.ops.dma_gather import gather_rows, gather_spans
+
+    rng = np.random.default_rng(7)
+    N, I, S = 600_064, 512, 162
+    src = jnp.asarray(rng.integers(0, 2**31 - 1, N).astype(np.int32))
+    starts = jnp.asarray(rng.integers(0, N - (-(-S // 128) + 1) * 128, I).astype(np.int32))
+    out = np.asarray(gather_spans(src, starts, span=S))
+    ref = np.asarray(src)[
+        np.asarray(starts)[:, None] + np.arange(S)[None, :]
+    ]
+    np.testing.assert_array_equal(out, ref)
+
+    R, Lr = 512, 128
+    tbl = jnp.asarray(
+        rng.integers(0, 2**31 - 1, (R, Lr)).astype(np.int32))
+    rows = jnp.asarray(rng.integers(0, R, I).astype(np.int32))
+    outr = np.asarray(gather_rows(tbl, rows))
+    np.testing.assert_array_equal(outr, np.asarray(tbl)[np.asarray(rows)])
