@@ -85,9 +85,9 @@ def main():
         emit_moves=bool(int(os.environ.get("BLASR_BENCH_MOVES", "0"))),
         # adaptive candidate depth: output-identical to flat CD=2 and ~90%
         # of reads skip the second DP window, but measured SLOWER here
-        # (4.6k vs 6.8k at B=256): the device pipeline is overhead-bound,
-        # so halving the work barely moves the main pass while the retry
-        # sub-run adds fixed cost. Off by default; useful once per-item
+        # (7.6k vs 11.4k at B=256, re-measured after the round-5 gather
+        # overhaul): the flagged-read re-map sub-run's fixed cost exceeds
+        # the saved window work. Off by default; useful once per-item
         # work dominates (real multi-chip serving, longer reads).
         adaptive_cd=bool(int(os.environ.get("BLASR_BENCH_ADAPTIVE", "0"))),
     )

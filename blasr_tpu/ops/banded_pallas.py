@@ -219,8 +219,10 @@ def _make_kernel(
     ):
         q_ref = refs[0]
         t_ref = refs[1]
-        qlen_ref, tlo_ref, thi_ref = refs[2:5]
-        refs = refs[5:]
+        scal_ref = refs[2]      # qlen | tlo | thi packed side by side —
+                                # one block (and one per-iteration DMA
+                                # check) instead of three
+        refs = refs[3:]
         kn_ref = None
         if guided:
             kn_ref = refs[0]               # (IT, NKp) int32 schedule knots
@@ -229,11 +231,11 @@ def _make_kernel(
             qu_ref = refs[0]
             refs = refs[1:]
         if with_traceback:
-            arrows_ref, best_ref, besta_ref, bestw_ref = refs[:4]
-            scratch = refs[4:]
+            arrows_ref, best3_ref = refs[:2]
+            scratch = refs[2:]
         else:
-            best_ref, besta_ref, bestw_ref = refs[:3]
-            scratch = refs[3:]
+            best3_ref = refs[0]     # best | besta | bestw packed (IT, 3P)
+            scratch = refs[1:]
         if guided:
             qo_prev_s, s_prev_s = scratch[-2:]
             scratch = scratch[:-2]
@@ -447,9 +449,10 @@ def _make_kernel(
         cast = (lambda x: x.astype(cdt)) if cdt != np.int32 else (lambda x: x)
         # (16-bit iota is unsupported in hardware: widen-from-int32 instead)
         w_ar_c = cast(w_ar)
-        qlen_c = cast(qlen_ref[:])
-        tlo_c = cast(tlo_ref[:])
-        thi_c = cast(thi_ref[:])
+        SC = LW if P > 1 else 1
+        qlen_c = cast(scal_ref[:, 0 * SC : 1 * SC])
+        tlo_c = cast(scal_ref[:, 1 * SC : 2 * SC])
+        thi_c = cast(scal_ref[:, 2 * SC : 3 * SC])
 
         if guided:
             qo_prev = qo_prev_s[:]             # (IT, 1) int32
@@ -643,9 +646,7 @@ def _make_kernel(
                 mins.append(mp)
                 amins.append(jnp.where(mp < 0, ap, 0))
                 wmins.append(jnp.where(mp < 0, wp, 0))
-            best_ref[:] = jnp.concatenate(mins, axis=1) if P > 1 else mins[0]
-            besta_ref[:] = jnp.concatenate(amins, axis=1) if P > 1 else amins[0]
-            bestw_ref[:] = jnp.concatenate(wmins, axis=1) if P > 1 else wmins[0]
+            best3_ref[:] = jnp.concatenate(mins + amins + wmins, axis=1)
 
     return kernel
 
@@ -794,18 +795,19 @@ def banded_align_pallas(
                     x.astype(jnp.int32).reshape(R, 1, P), (R, W, P)
                 ).reshape(R, LW)
 
-        qlen_in = _scal(qlen)
-        tlo_in = _scal(tlo)
-        thi_in = _scal(thi)
+        scal_in = jnp.concatenate(
+            [_scal(qlen), _scal(tlo), _scal(thi)], axis=1
+        )                                                   # (R, 3*LW)
         scal_spec = pl.BlockSpec(
-            (IT, LW), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            (IT, 3 * LW), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
         )
     else:
-        qlen_in = qlen.astype(jnp.int32)[:, None]
-        tlo_in = tlo.astype(jnp.int32)[:, None]
-        thi_in = thi.astype(jnp.int32)[:, None]
+        scal_in = jnp.stack(
+            [qlen.astype(jnp.int32), tlo.astype(jnp.int32),
+             thi.astype(jnp.int32)], axis=1
+        )                                                   # (R, 3)
         scal_spec = pl.BlockSpec(
-            (IT, 1), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+            (IT, 3), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
         )
     kn_in = None
     NKp = 0
@@ -839,14 +841,12 @@ def banded_align_pallas(
     )
 
     out_shapes = [
-        jax.ShapeDtypeStruct((R, P), jnp.int32),   # best
-        jax.ShapeDtypeStruct((R, P), jnp.int32),   # besta
-        jax.ShapeDtypeStruct((R, P), jnp.int32),   # bestw
+        jax.ShapeDtypeStruct((R, 3 * P), jnp.int32),  # best|besta|bestw
     ]
     out_specs = [
-        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IT, P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (IT, 3 * P), lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
     ]
     if with_traceback:
         out_shapes = [jax.ShapeDtypeStruct((S2p, R, LW), jnp.uint16)] + out_shapes
@@ -896,7 +896,7 @@ def banded_align_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(R // IT, NIT),
-        in_specs=wspecs + tspecs + [scal_spec, scal_spec, scal_spec]
+        in_specs=wspecs + tspecs + [scal_spec]
         + kn_specs + (wspecs if with_qual else []),
         out_specs=tuple(out_specs),
         scratch_shapes=[
@@ -927,18 +927,18 @@ def banded_align_pallas(
     )(
         qoff_p, s1_p, s2_p,
         qext_w, trev_w,
-        qlen_in, tlo_in, thi_in,
+        scal_in,
         *([kn_in] if guided else []),
         *([quext_w] if with_qual else []),
     )
     if with_traceback:
-        arrows, best, besta, bestw = outs
+        arrows, best3 = outs
         if S2p != S:
             arrows = arrows[:S]
     else:
-        best, besta, bestw = outs
+        (best3,) = outs
         arrows = None
-    best = best.reshape(-1)[:I0]
-    besta = besta.reshape(-1)[:I0]
-    bestw = bestw.reshape(-1)[:I0]
+    best = best3[:, 0 * P : 1 * P].reshape(-1)[:I0]
+    besta = best3[:, 1 * P : 2 * P].reshape(-1)[:I0]
+    bestw = best3[:, 2 * P : 3 * P].reshape(-1)[:I0]
     return BandedResult(best, besta, bestw, arrows)

@@ -59,10 +59,21 @@ LAST_RUN_METRICS = MappingMetrics()
 
 def _escalation_candidates(records, params) -> set:
     """Read names whose best record shows the narrow-band clipping
-    signature (pct similarity < 80 or query coverage < 0.90 on a
+    signature (pct similarity < 80 or query coverage < 0.97 on a
     narrow-band bucket). One predicate shared by the band-escalation
     retry and the streaming deferral below, so the set of reads held
-    back from streaming is exactly the set the retry may replace."""
+    back from streaming is exactly the set the retry may replace.
+
+    Trigger recalibrated round 5 on the reference-alchemy corpus
+    (scripts/escalation_probe2.py at HEAD): the narrow-everywhere band
+    newly breaks 1/1920 reads there, and the old qcov < 0.90 bound let
+    it escape (qcov 0.960, sim 82.3, len 2164). The tightened
+    qcov < 0.97 bound applies only to reads LONGER than 1536 bp — the
+    population that was wide-banded before narrow-everywhere and where
+    every observed victim lives — so it catches 1/1 while flagging only
+    2/897 long intact reads (bench-corpus reads, mostly <= 1536, keep
+    the cheap 0.90 bound: the tightened bound applied globally cost a
+    measured ~3% of bench throughput in ride-along retries)."""
     best_by: dict = {}
     for r in records:
         cur = best_by.get(r.qname)
@@ -73,7 +84,8 @@ def _escalation_candidates(records, params) -> set:
         if params.band_width_for(rec.qlength) >= 128:
             continue  # already mapped with a wide band
         qcov = (rec.qend - rec.qstart) / max(rec.qlength, 1)
-        if rec.pct_similarity < 80.0 or qcov < 0.90:
+        cov_thr = 0.97 if rec.qlength > 1536 else 0.90
+        if rec.pct_similarity < 80.0 or qcov < cov_thr:
             names.add(nm)
     return names
 
@@ -356,11 +368,10 @@ def run_mapping(
         # guided-128) and keep whichever pass scores better. This buys
         # the robustness the reference gets by running EVERY read inside
         # a per-read guide (GuidedAlign.h:279) while paying wide-band
-        # cost only on the flagged few (trigger calibrated on the
-        # published-CLR bursty corpus, scripts/escalation_probe2.py:
-        # 39/40 of the reads a narrow-everywhere band newly breaks are
-        # caught at <80% sim or <90% qcov, ~4% of normal reads ride
-        # along).
+        # cost only on the flagged few (trigger recalibrated round 5 on
+        # the reference-alchemy corpus, scripts/escalation_probe2.py at
+        # HEAD: 1/1 newly-broken reads caught at <80% sim or <97% qcov,
+        # 0.1% of intact reads ride along).
         best_by: dict[str, AlignmentRecord] = {}
         for r in out:
             cur = best_by.get(r.qname)
