@@ -16,7 +16,7 @@ from typing import IO, Iterable, Sequence
 
 import numpy as np
 
-from blasr_tpu.core.encode import codes_to_seq, revcomp_codes
+from blasr_tpu.core.encode import revcomp_codes
 from blasr_tpu.index.artifacts import GenomeIndex
 from blasr_tpu.io.batching import Read
 from blasr_tpu.pipeline.runner import AlignmentRecord
@@ -36,28 +36,31 @@ def alignment_strings(
     q = read.codes if rec.tstrand == 0 else revcomp_codes(read.codes)
     c_off = int(index.seqdb.starts[rec.contig_index])
     t = index.genome[c_off + rec.tstart_fwd : c_off + rec.tend_fwd]
-    qs, ts, ms = [], [], []
-    qi, ti = p.q_start, 0
-    for op in p.ops:
-        if op == OP_M:
-            qc, tc = int(q[qi]), int(t[ti])
-            qs.append(qc)
-            ts.append(tc)
-            ms.append("|" if (qc == tc and qc < 4) else "*")
-            qi += 1
-            ti += 1
-        elif op == OP_I:
-            qs.append(int(q[qi]))
-            ts.append(-1)
-            ms.append(gap_char)
-            qi += 1
-        else:
-            qs.append(-1)
-            ts.append(int(t[ti]))
-            ms.append(gap_char)
-            ti += 1
-    to_str = lambda cs: "".join("-" if c < 0 else codes_to_seq(np.array([c], np.uint8)) for c in cs)
-    return to_str(qs), "".join(ms), to_str(ts)
+    # vectorized replay: each op's query/target cursor is a prefix sum of
+    # the ops that advance it (the per-op Python loop with a per-character
+    # codes_to_seq call was the -m 5 formatting hot spot at bestn > 1)
+    ops = np.asarray(p.ops)
+    is_m = ops == OP_M
+    is_i = ops == OP_I
+    is_d = ~(is_m | is_i)
+    adv_q = is_m | is_i
+    adv_t = is_m | is_d
+    qi = p.q_start + np.cumsum(adv_q) - adv_q          # cursor BEFORE op
+    ti = np.cumsum(adv_t) - adv_t
+    qc = np.asarray(q)[np.minimum(qi, len(q) - 1)].astype(np.uint8)
+    tc = np.asarray(t)[np.minimum(ti, max(len(t) - 1, 0))].astype(np.uint8)
+    GAP = np.uint8(5)                                  # lut index for '-'
+    qcodes = np.where(is_d, GAP, np.minimum(qc, 4))
+    tcodes = np.where(is_i, GAP, np.minimum(tc, 4))
+    lut = np.frombuffer(b"ACGTN-", np.uint8)
+    qstr = lut[qcodes].tobytes().decode("ascii")
+    tstr = lut[tcodes].tobytes().decode("ascii")
+    mb = np.where(
+        is_m & (qcodes == tcodes) & (qcodes < 4),
+        np.uint8(ord("|")),
+        np.where(is_m, np.uint8(ord("*")), np.uint8(ord(gap_char))),
+    )
+    return qstr, mb.tobytes().decode("ascii"), tstr
 
 
 def format_m1(rec: AlignmentRecord) -> str:

@@ -460,6 +460,7 @@ def _map_batch_impl(
             k=k, n=fm_n,
             max_hits_per_pos=params.max_anchors_per_position,
             max_anchors_per_read=params.max_anchors_per_read,
+            anchor_stride=params.anchor_stride,
         )
     elif k > 15:
         sa_masked, kmer_hi, kmer_lo, lut = index_arrays

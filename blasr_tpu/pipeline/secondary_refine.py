@@ -124,7 +124,7 @@ def _kmer_match_positions(q, t, k, q_off=0, t_off=0):
     """Exact k-mer matches (StoreMatchingPositions, TupleMatching.h:37-61):
     every (query pos, target pos) pair with identical N-free k-mers."""
     if len(q) < k or len(t) < k:
-        return []
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     base = np.int64(5)
 
     def keys(s):
@@ -144,13 +144,25 @@ def _kmer_match_positions(q, t, k, q_off=0, t_off=0):
     order = np.argsort(tk[tok], kind="stable")
     t_pos = np.flatnonzero(tok)[order]
     t_sorted = tk[tok][order]
-    out = []
-    for qi in np.flatnonzero(qok):
-        lo = np.searchsorted(t_sorted, qk[qi], side="left")
-        hi = np.searchsorted(t_sorted, qk[qi], side="right")
-        for ti in t_pos[lo:hi]:
-            out.append((int(qi) + q_off, int(ti) + t_off))
-    return out
+    # one vectorized searchsorted pair over every query position, interval
+    # expansion by repeat arithmetic (the per-position Python loop was the
+    # -bestn>1 host hot spot: ~250k tiny searchsorted calls per batch)
+    qidx = np.flatnonzero(qok)
+    lo = np.searchsorted(t_sorted, qk[qidx], side="left")
+    hi = np.searchsorted(t_sorted, qk[qidx], side="right")
+    cnt = hi - lo
+    nz = cnt > 0
+    if not nz.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    starts = lo[nz]
+    lens = cnt[nz]
+    total = int(lens.sum())
+    base_off = np.repeat(
+        starts - (np.cumsum(lens) - lens), lens
+    ) + np.arange(total)
+    xs = np.repeat(qidx[nz], lens) + q_off
+    ys = t_pos[base_off] + t_off
+    return xs, ys
 
 
 class _Frag:
@@ -433,14 +445,23 @@ def _gather_fragments(q, t, word, prefix_len, cap):
     frags = []
 
     def add(matches, length):
-        by_q = {}
-        for x, y in matches:
-            by_q.setdefault(x, []).append(y)
-        for x, ys in by_q.items():
-            if cap and len(ys) > cap:
-                continue  # StoreMatchingPositions drops the position wholesale
-            for y in ys:
-                frags.append(_Frag(x, y, length, word))
+        xs, ys = matches
+        if len(xs) == 0:
+            return
+        # xs is ascending (vectorized expansion order); drop whole
+        # positions over the cap (StoreMatchingPositions semantics)
+        if cap:
+            ux, starts_u, cnts = np.unique(
+                xs, return_index=True, return_counts=True
+            )
+            bad = cnts > cap
+            if bad.any():
+                keep = np.ones(len(xs), bool)
+                for s, c in zip(starts_u[bad], cnts[bad]):
+                    keep[s : s + c] = False
+                xs, ys = xs[keep], ys[keep]
+        for x, y in zip(xs.tolist(), ys.tolist()):
+            frags.append(_Frag(x, y, length, word))
 
     pl_t = min(len(t), prefix_len)
     sl_t = min(len(t) - pl_t, prefix_len)

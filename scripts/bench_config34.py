@@ -78,6 +78,8 @@ def main() -> None:
         "wall_s": round(wall3, 3),
         "records": nrec3,
     }
+    print(json.dumps({"config3_bestn2_m5": out["config3_bestn2_m5"]}),
+          flush=True)
 
     # ---- config 4: BWT-FM anchor path, -m 4 ----
     from blasr_tpu.index.suffix_array import build_suffix_array
@@ -85,7 +87,11 @@ def main() -> None:
     t0 = time.time()
     fm = build_fm_index(index.genome, build_suffix_array(index.genome))
     fm_build_s = time.time() - t0
-    p4 = MappingParams(best_n=1, emit_moves=False, **base)
+    # the FM working set (BWT rows + sampled SA + backward-search state at
+    # 2B strands) exceeds HBM at B=256 (measured: 23.5G of 15.75G) — the
+    # low-memory path serves at B=64, the reference configuration's point
+    base4 = dict(base, batch_size=int(os.environ.get("BLASR_BENCH_B4", "64")))
+    p4 = MappingParams(best_n=1, emit_moves=False, **base4)
 
     def pass4() -> tuple[float, int]:
         t0 = time.time()

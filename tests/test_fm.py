@@ -218,3 +218,78 @@ def test_bwt2sa_and_locatelist_cli(tmp_path, capsys):
     assert n1 >= 1
     positions = [int(x) for x in out[i1 + 1 : i1 + 1 + n1]]
     assert 100 in positions
+
+
+def test_fm_occ_bitmask_rank_matches_row_gather():
+    """fm_occ's popcount path (bit-packed per-char masks, the -bwt serving
+    form) must equal the row-gather form for every (char, position)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blasr_tpu.index.fm import ROW, build_fm_index
+    from blasr_tpu.index.suffix_array import build_suffix_array
+    from blasr_tpu.ops.fm_search import build_bit_masks, fm_occ
+    from blasr_tpu.sim import simulate_genome
+
+    g = simulate_genome(5_000, seed=13)
+    fm = build_fm_index(g, build_suffix_array(g))
+    masks = jnp.asarray(build_bit_masks(fm.bwt_rows))
+    bwt = jnp.asarray(fm.bwt_rows)
+    occ = jnp.asarray(fm.occ_bins)
+    rng = np.random.default_rng(4)
+    i = jnp.asarray(
+        np.concatenate([
+            rng.integers(0, fm.n + 1, 3000),
+            np.array([0, 1, fm.n - 1, fm.n, ROW, ROW - 1]),
+        ]).astype(np.int32)
+    )
+    for c in range(6):
+        cv = jnp.full(i.shape, c, jnp.int32)
+        a = np.asarray(fm_occ(bwt, occ, cv, i))
+        b = np.asarray(fm_occ(bwt, occ, cv, i, masks))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fm_anchor_stride_matches_sa_sets():
+    """find_anchors_fm(anchor_stride=4) must anchor the same strided
+    position set as the SA path (the serving pipeline passes the same
+    stride to both engines)."""
+    from blasr_tpu.core.encode import pack_kmers
+    from blasr_tpu.ops.anchors import find_anchors
+
+    rng = np.random.default_rng(21)
+    k, B = 12, 6
+    g = rng.integers(0, 4, 30_000).astype(np.uint8)
+    fm = build_fm_index(g, build_suffix_array(g))
+    pos_ok = np.ones(len(g), bool)
+    pos_ok[len(g) - k + 1 :] = False
+    codes = np.full((B, 400), 4, np.uint8)
+    lengths = np.zeros(B, np.int32)
+    for b in range(B):
+        s = int(rng.integers(0, len(g) - 400))
+        codes[b, :400] = g[s : s + 400]
+        lengths[b] = 400
+    sa_p = build_suffix_array(g)
+    keys, valid = pack_kmers(g, k)
+    sa_kmers = keys[sa_p].astype(np.int32)
+    t1, q1, nh1, v1 = find_anchors(
+        jnp.asarray(codes), jnp.asarray(lengths),
+        jnp.asarray(sa_p.astype(np.int32)), jnp.asarray(sa_kmers),
+        jnp.asarray(valid),
+        k=k, max_hits_per_pos=8, max_anchors_per_read=256, anchor_stride=4,
+    )
+    t2, q2, nh2, v2 = find_anchors_fm(
+        jnp.asarray(codes), jnp.asarray(lengths),
+        jnp.asarray(fm.bwt_rows), jnp.asarray(fm.occ_bins),
+        jnp.asarray(fm.C), jnp.asarray(fm.ssa_mask),
+        jnp.asarray(fm.ssa_base), jnp.asarray(fm.ssa_vals),
+        jnp.asarray(pos_ok),
+        k=k, n=fm.n, max_hits_per_pos=8, max_anchors_per_read=256,
+        anchor_stride=4,
+    )
+    for b in range(B):
+        s1 = {(int(t), int(q)) for t, q, v in zip(
+            np.asarray(t1)[b], np.asarray(q1)[b], np.asarray(v1)[b]) if v}
+        s2 = {(int(t), int(q)) for t, q, v in zip(
+            np.asarray(t2)[b], np.asarray(q2)[b], np.asarray(v2)[b]) if v}
+        assert s1 == s2, f"read {b}: SA {len(s1)} vs FM {len(s2)}"
