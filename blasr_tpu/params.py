@@ -152,6 +152,21 @@ class MappingParams:
                                       # (scripts/calibrate_cd.py) — the
                                       # other 90% skip nearly half the
                                       # device pipeline. best_n == 1 only.
+    exact_chain: bool = False         # rank candidate intervals by the
+                                      # EXACT max-weight colinear chain
+                                      # (GlobalChain.h:100-210, on-device
+                                      # fori_loop weighted LIS, oracle-
+                                      # tested vs global_chain_exact).
+                                      # Measured on the golden corpus:
+                                      # 99.70% agreement at 4.0k reads/s
+                                      # vs the evidence-count default's
+                                      # 99.80% at ~11k — the reference's
+                                      # emergent placements are matched
+                                      # BETTER by the count ranking
+                                      # (blasrmc ranks by LIS p-values
+                                      # over variable maximal-match
+                                      # lengths, not pure chain size), so
+                                      # the default stays the count.
     emit_moves: bool = True           # ship per-alignment 2-bit move
                                       # strings over the host link. m4
                                       # output needs only coordinates+stats

@@ -538,6 +538,16 @@ def _map_batch_impl(
         n_chain, chained_any, cmass, ch_corners = chain_stats(
             at, aq, avalid, cand.dstar, cand.valid, k=k, win=CW,
         )                                                   # (2B, C)
+        if params.exact_chain:
+            # reference GlobalChain ranking: exact max-weight colinear
+            # chain per window (ops/candidates.chain_weight_device,
+            # oracle-tested vs global_chain_exact); the admission gates
+            # (chained_any, minInterval mass) are unchanged
+            from blasr_tpu.ops.candidates import chain_weight_device
+
+            n_chain = chain_weight_device(
+                at, aq, avalid, cand.dstar, cand.valid, k=k, win=CW,
+            )
         nch2 = to2(n_chain)
         # interval admission (FindMaxInterval.h:832): a colinear chain OR a
         # long bare match (maxPValue), AND anchor coverage above this

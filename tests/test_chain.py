@@ -204,3 +204,51 @@ def test_global_chain_exact_vs_bruteforce():
                 a, b = chain[i - 1], chain[i]
                 assert q[a] + l[a] <= q[b] and t[a] + l[a] <= t[b]
         assert w == got
+
+
+def test_chain_weight_device_matches_exact_oracle():
+    """chain_weight_device (the on-device GlobalChain ranking) must equal
+    global_chain_exact restricted to each window's members, with fragment
+    length k (GlobalChain.h:100-210 semantics)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from blasr_tpu.ops.candidates import (
+        chain_weight_device, global_chain_exact,
+    )
+
+    rng = np.random.default_rng(17)
+    B, A, C, k, win = 12, 48, 4, 14, 128
+    for trial in range(8):
+        t = rng.integers(0, 40_000, (B, A)).astype(np.int32)
+        q = rng.integers(0, 800, (B, A)).astype(np.int32)
+        # coherent clusters so windows have real chains
+        for b in range(B):
+            d0 = rng.integers(0, 30_000)
+            sel = rng.choice(A, rng.integers(6, 20), replace=False)
+            t[b, sel] = q[b, sel] + d0 + rng.integers(0, win, len(sel))
+        valid = rng.random((B, A)) < 0.8
+        dstar = np.zeros((B, C), np.int32)
+        for b in range(B):
+            dstar[b] = (t[b] - q[b])[rng.choice(A, C, replace=False)]
+        cvalid = rng.random((B, C)) < 0.9
+
+        got = np.asarray(chain_weight_device(
+            jnp.asarray(t), jnp.asarray(q), jnp.asarray(valid),
+            jnp.asarray(dstar), jnp.asarray(cvalid), k=k, win=win,
+        ))
+        for b in range(B):
+            for c in range(C):
+                if not cvalid[b, c]:
+                    assert got[b, c] == 0
+                    continue
+                d = t[b] - q[b]
+                m = valid[b] & (d - dstar[b, c] >= 0) & (d - dstar[b, c] < win)
+                if not m.any():
+                    assert got[b, c] == 0
+                    continue
+                w, _ = global_chain_exact(
+                    q[b][m].astype(np.int64), t[b][m].astype(np.int64),
+                    np.full(int(m.sum()), k, np.int64),
+                )
+                assert got[b, c] == w, (trial, b, c, got[b, c], w)

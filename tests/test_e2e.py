@@ -822,3 +822,35 @@ def test_rc_strand_score_tie_picks_rc_space_start():
     assert abs(best.tstart_fwd - 40_000) < 50, (
         f"rc tie must pick the larger fwd copy, got {best.tstart_fwd}"
     )
+
+
+def test_exact_chain_ranking_e2e():
+    """params.exact_chain (on-device GlobalChain max-weight ranking) must
+    produce the same records as the evidence-count default on a
+    repeat-free corpus (where every window's rank is unambiguous) and
+    keep every read mapped."""
+    import dataclasses
+
+    import numpy as np
+
+    from blasr_tpu.index.artifacts import build_index_from_arrays
+    from blasr_tpu.io.seqdb import SeqDB
+    from blasr_tpu.output.m4 import format_m4
+    from blasr_tpu.params import MappingParams
+    from blasr_tpu.pipeline.runner import run_mapping
+    from blasr_tpu.sim import simulate_genome, simulate_reads
+
+    g = simulate_genome(100_000, seed=3, repeat_fraction=0.0)
+    seqdb = SeqDB(["ref"], np.array([0, len(g)], np.int64), ["0" * 32])
+    index = build_index_from_arrays(g, seqdb, k=13)
+    reads, _ = simulate_reads(g, 24, mean_len=600, seed=4)
+    p = MappingParams(
+        batch_size=8, max_read_len=1024, n_candidates=4,
+        n_dp_candidates=2, best_n=1, min_match_length=13,
+    )
+    r1, u1 = run_mapping(index, reads, p)
+    r2, u2 = run_mapping(
+        index, reads, dataclasses.replace(p, exact_chain=True)
+    )
+    assert sorted(u1) == sorted(u2) == []
+    assert sorted(format_m4(x) for x in r1) == sorted(format_m4(x) for x in r2)
