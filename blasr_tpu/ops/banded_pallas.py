@@ -63,6 +63,13 @@ import os
 # iteration — env-overridable for hardware sweeps (scripts/sweep_dp.py)
 ITEM_TILE = int(os.environ.get("BLASR_DP_ITEM_TILE", "256"))
 UNROLL = int(os.environ.get("BLASR_DP_UNROLL", "0"))  # 0 = auto by rows
+# packed/unguided window extraction per sub-step: 1 = one traced-shift
+# incremental roll per sub-step (O(1) in U), 0 = select among U static
+# slices (O(U) where-chain per sub-step). MEASURED round 5 (sweep_dp
+# W=32 I=256): subroll U=8 7.5 ms / U=4 9.1 vs the select form's 6.5 at
+# U=2 — traced rolls on (IT, 3*LW) cost more than they save, so the
+# select form at U=2 stays the default; the flag documents the dead end.
+SUBROLL = int(os.environ.get("BLASR_DP_SUBROLL", "0"))
 # sweep history (I=256, L=1024, W=128, real v5e via tunnel): with
 # block-staged windows IT=32/U=2 23.6 ms, IT=64/U=4 20.4, IT=128/U=2 16.5,
 # IT=256/U=2 15.6, IT=256/U=8 16.9 — large item tiles amortize grid
@@ -416,6 +423,16 @@ def _make_kernel(
                 quroll = pltpu.roll(
                     qu_ref[:], shift=(3 * LW - P * (qo0 - qin)) % (3 * LW), axis=1
                 )
+        qw_i = tw_i = quw_i = None
+        if (not guided) and SUBROLL and U > 1:
+            # incremental per-sub-step frames: window always at [0, LW);
+            # the t frame starts at offset U-1 (toff at u = 0)
+            qw_i = qroll
+            tw_i = pltpu.roll(
+                troll, shift=(3 * LW - P * (U - 1)) % (3 * LW), axis=1
+            )
+            if with_qual:
+                quw_i = quroll
 
         H1 = H1s[:]
         H2 = H2s[:]
@@ -481,6 +498,22 @@ def _make_kernel(
                 for o in range(1, U):
                     qwin = jnp.where(qd == o, qcand[o], qwin)
                     twin = jnp.where(toff == o, tcand[o], twin)
+            elif qw_i is not None:
+                # advance the frames by this sub-step's band delta: q by
+                # +s1 windows, t by -(1 - s1) (toff delta = s1 - 1)
+                if u > 0:
+                    qw_i = pltpu.roll(
+                        qw_i, shift=(3 * LW - P * s1) % (3 * LW), axis=1
+                    )
+                    tw_i = pltpu.roll(
+                        tw_i, shift=(P * (1 - s1)) % (3 * LW), axis=1
+                    )
+                    if with_qual:
+                        quw_i = pltpu.roll(
+                            quw_i, shift=(3 * LW - P * s1) % (3 * LW), axis=1
+                        )
+                qwin = qw_i[:, :LW]
+                twin = tw_i[:, :LW]
             else:
                 qwin = _subwin(qroll, qd, LW, P, U - 1)
                 twin = _subwin(troll, toff, LW, P, U - 1)
@@ -502,6 +535,8 @@ def _make_kernel(
                     quwin = qucand[0]
                     for o in range(1, U):
                         quwin = jnp.where(qd == o, qucand[o], quwin)
+                elif quw_i is not None:
+                    quwin = quw_i[:, :LW]
                 else:
                     quwin = _subwin(quroll, qd, LW, P, U - 1)
                 if qual_dual:
