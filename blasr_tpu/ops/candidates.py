@@ -71,11 +71,13 @@ def select_candidates(
     # ws 0) and their own window is masked below.
     delta = ds[:, None, :] - ds[:, :, None]            # (B, win_i, anchor_j)
     member_m = (delta >= 0) & (delta < win)
-    win_w = jnp.einsum(
-        "bij,bj->bi",
-        member_m.astype(jnp.float32),
-        ws,
-        preferred_element_type=jnp.float32,
+    # fused masked reduce: the einsum form materialized the (B, A, A)
+    # f32 mask for a batched 128x128 matvec that underutilizes the MXU;
+    # the where+sum fuses into its reduction (round-5 pattern). Same
+    # reduction ORDER class as a row-major tree sum — bench golden
+    # re-verified after the switch (float tie order is the risk here).
+    win_w = jnp.sum(
+        jnp.where(member_m, ws[:, None, :], 0.0), axis=-1
     )
     win_w = jnp.where(valid, win_w, -1.0)
 
